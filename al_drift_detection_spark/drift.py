@@ -1,0 +1,182 @@
+"""Windowed distribution-drift scoring: reference-vs-current windows.
+
+Replaces the reference's sequential, stateful GAN scan loop
+(/root/reference/gan.py:723-860, SURVEY.md §2.10) with an embarrassingly
+parallel plan:
+
+1. a bounded REFERENCE SAMPLE per column (from reference windows / a ref
+   table) is collected once and broadcast — the analog of the reference's
+   known-drift pre-train set (/root/reference/gan.py:726-728);
+2. `groupBy(part, window_id).applyInPandas(score)` runs the KS / PSI / MMD
+   kernels (kernels.py) on each current window independently — one shuffle of
+   the value columns only (column pruning keeps bytes/caption out of it);
+3. per-window verdicts use a majority vote across kernels — the analog of the
+   reference's unanimity vote over discriminator predictions
+   (/root/reference/gan.py:737-757, SURVEY.md §2.5 W4).
+
+Scale notes: window groups are ~rows_per_window rows → Arrow batches stay
+small; the kernels subsample to max_n per side so per-task cost is O(max_n²)
+for MMD and O(n log n) for KS regardless of window size; output is
+O(windows × columns) tiny rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from al_drift_detection_spark.kernels import ks_2samp, mmd_rbf, psi, subsample
+
+SCORE_SCHEMA = (
+    "part int, window_id int, column string, kernel string, "
+    "statistic double, p_value double, threshold double, verdict string"
+)
+
+
+def build_reference_sample(
+    ref_df: DataFrame,
+    value_cols: list[str],
+    max_n: int = 4096,
+) -> dict[str, np.ndarray]:
+    """Collect a bounded per-column reference sample to the driver.
+
+    The ref side is bounded (≤ max_n rows per column after an even-stride
+    subsample), so this is a small deterministic collect — the broadcast side
+    of every subsequent comparison. At 100 TB the ref_df itself should already
+    be a designated reference partition/window range, pruned by partition
+    filters before this runs.
+    """
+    agg = ref_df.select(*value_cols).toPandas()
+    out: dict[str, np.ndarray] = {}
+    for c in value_cols:
+        vals = agg[c].dropna().to_numpy(dtype=np.float64)
+        out[c] = subsample(np.sort(vals), max_n)
+    return out
+
+
+def drift_scores(
+    df: DataFrame,
+    value_cols: list[str],
+    ref_samples: dict[str, np.ndarray],
+    part_col: str = "part",
+    window_col: str = "window_id",
+    ks_alpha: float = 0.01,
+    psi_threshold: float = 0.25,
+    mmd_threshold: float = 0.05,
+    max_n: int = 2048,
+) -> DataFrame:
+    """Score every (part, window) group against the broadcast reference.
+
+    Output: one row per (part, window, column, kernel) plus a per-column
+    majority-vote row (kernel='vote') — verdict='fail' iff ≥2 of 3 kernels
+    flag drift.
+    """
+    spark = SparkSession.getActiveSession()
+    bc_ref = spark.sparkContext.broadcast(ref_samples)
+
+    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        part, window = int(key[0]), int(key[1])
+        ref = bc_ref.value
+        rows = []
+        for c in value_cols:
+            cur = pdf[c].dropna().to_numpy(dtype=np.float64)
+            cur = subsample(cur, max_n)
+            r = ref[c]
+            d, p = ks_2samp(r, cur)
+            psi_v = psi(r, cur)
+            mmd_v = mmd_rbf(r, cur, max_n=min(max_n, 1024))
+            flags = [p < ks_alpha, psi_v > psi_threshold, mmd_v > mmd_threshold]
+            rows += [
+                (part, window, c, "ks", d, p, ks_alpha, "fail" if flags[0] else "pass"),
+                (part, window, c, "psi", psi_v, None, psi_threshold, "fail" if flags[1] else "pass"),
+                (part, window, c, "mmd_rbf", mmd_v, None, mmd_threshold, "fail" if flags[2] else "pass"),
+                (
+                    part, window, c, "vote",
+                    float(sum(flags)), None, 2.0,
+                    "fail" if sum(flags) >= 2 else "pass",
+                ),
+            ]
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "part", "window_id", "column", "kernel",
+                "statistic", "p_value", "threshold", "verdict",
+            ],
+        )
+
+    pruned = df.select(part_col, window_col, *value_cols)
+    return (
+        pruned.groupBy(part_col, window_col)
+        .applyInPandas(score, SCORE_SCHEMA)
+    )
+
+
+def sliding_window_scores(
+    df: DataFrame,
+    value_cols: list[str],
+    part_col: str = "part",
+    window_col: str = "window_id",
+    offset: int = 1,
+    **kwargs,
+) -> DataFrame:
+    """Sliding reference-vs-current comparison (SURVEY.md §2.5 W8): window k
+    scored against window k−offset. window_id is globally monotone, so pairs
+    may straddle partition boundaries; grouping is by pair id, and the
+    reported `part` is the CURRENT window's partition.
+
+    Implementation: tag each window's rows with both roles — rows of window k
+    participate as 'cur' for pair k and as 'ref' for pair k+offset — via a
+    union with a shifted window id, then one applyInPandas over pair_id.
+    Two scans of the pruned value columns, zero driver state.
+    """
+    pruned = df.select(part_col, window_col, *value_cols)
+    cur = pruned.withColumn("_pair", F.col(window_col)).withColumn("_role", F.lit("cur"))
+    ref = (
+        pruned.withColumn("_pair", F.col(window_col) + offset)
+        .withColumn("_role", F.lit("ref"))
+    )
+    both = cur.unionByName(ref)
+
+    ks_alpha = kwargs.get("ks_alpha", 0.01)
+    psi_threshold = kwargs.get("psi_threshold", 0.25)
+    mmd_threshold = kwargs.get("mmd_threshold", 0.05)
+    max_n = kwargs.get("max_n", 2048)
+
+    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pair = int(key[0])
+        rows = []
+        ref_pdf = pdf[pdf["_role"] == "ref"]
+        cur_pdf = pdf[pdf["_role"] == "cur"]
+        if len(ref_pdf) == 0 or len(cur_pdf) == 0:  # boundary pairs
+            return pd.DataFrame(
+                columns=[
+                    "part", "window_id", "column", "kernel",
+                    "statistic", "p_value", "threshold", "verdict",
+                ]
+            )
+        part = int(cur_pdf[part_col].iloc[0])
+        for c in value_cols:
+            r = subsample(np.sort(ref_pdf[c].dropna().to_numpy(np.float64)), max_n)
+            cu = subsample(cur_pdf[c].dropna().to_numpy(np.float64), max_n)
+            d, p = ks_2samp(r, cu)
+            psi_v = psi(r, cu)
+            mmd_v = mmd_rbf(r, cu, max_n=min(max_n, 1024))
+            flags = [p < ks_alpha, psi_v > psi_threshold, mmd_v > mmd_threshold]
+            rows += [
+                (part, pair, c, "ks", d, p, ks_alpha, "fail" if flags[0] else "pass"),
+                (part, pair, c, "psi", psi_v, None, psi_threshold, "fail" if flags[1] else "pass"),
+                (part, pair, c, "mmd_rbf", mmd_v, None, mmd_threshold, "fail" if flags[2] else "pass"),
+                (part, pair, c, "vote", float(sum(flags)), None, 2.0,
+                 "fail" if sum(flags) >= 2 else "pass"),
+            ]
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "part", "window_id", "column", "kernel",
+                "statistic", "p_value", "threshold", "verdict",
+            ],
+        )
+
+    return both.groupBy("_pair").applyInPandas(score, SCORE_SCHEMA)

@@ -1,0 +1,129 @@
+"""CLI entry point — the `spark-submit --py-files` surface (north_rule).
+
+Runs the full validation pass over an images table: column stats +
+constraint verdicts + violation rows + KS/PSI/MMD drift scores (+ optional
+decode checks), writing each output contract table (FIXTURES.md §4) as
+parquet under --out.
+
+Usage (local sandbox stand-in for a cluster submit):
+    python -m al_drift_detection_spark.runner \
+        --images synthetic:20000 --out /tmp/val_out --master local[8]
+    python -m al_drift_detection_spark.runner \
+        --images /path/images_parquet --ref /path/ref_parquet --out out/
+
+The same file works unmodified as `spark-submit --py-files engine.zip
+al_drift_detection_spark/runner.py ...` on a real cluster — getOrCreate
+picks up the cluster master/conf.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from al_drift_detection_spark import suite as S
+from al_drift_detection_spark.session import get_spark
+
+
+def default_suite() -> S.CheckSuite:
+    """The input_hint constraint set for the image+caption table."""
+    return S.CheckSuite(
+        checks=[
+            S.not_null("image_id"),
+            S.non_empty("caption"),
+            S.in_set("fmt", ["png", "jpeg"]),
+            S.between("w", 1, 10000),
+            S.between("h", 1, 10000),
+            S.unique("image_id"),
+            S.referential("phash"),
+        ],
+        numeric_stat_cols=["w", "h"],
+        id_stat_cols=["image_id", "phash"],
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="PySpark validation + drift engine")
+    ap.add_argument("--images", required=True, help="parquet path or synthetic:N")
+    ap.add_argument("--ref", default=None, help="reference-set parquet path (or synthetic)")
+    ap.add_argument("--out", required=True, help="output directory for verdict tables")
+    ap.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    ap.add_argument("--ref-windows", type=int, default=4, help="windows forming the drift reference")
+    ap.add_argument("--decode", action="store_true", help="run decode/PSNR/phash checks (needs --ref)")
+    ap.add_argument("--resume", action="store_true", help="skip partitions already passed in checkpoint")
+    ap.add_argument("--run-id", default="run1")
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="al-drift-validation", master=args.master)
+    t0 = time.perf_counter()
+
+    if args.images.startswith("synthetic:"):
+        from al_drift_detection_spark.datagen import generate_images, generate_reference
+
+        n = int(args.images.split(":", 1)[1])
+        images = generate_images(spark, n)
+        ref = generate_reference(spark, n)
+    else:
+        images = spark.read.parquet(args.images)
+        ref = spark.read.parquet(args.ref) if args.ref else None
+
+    from al_drift_detection_spark.checkpoint import Checkpoint
+
+    ckpt = Checkpoint(f"{args.out}/checkpoint", run_id=args.run_id)
+    if args.resume:
+        before = images
+        images = ckpt.filter_pending(images)
+        skipped = before.select("part").distinct().count() - images.select("part").distinct().count()
+        print(f"resume: skipping {skipped} already-passed partitions", file=sys.stderr)
+
+    # the suite/drift/decode stages each trigger actions; cache the (pruned)
+    # input once so synthetic generation / the table scan doesn't re-execute
+    images = images.cache()
+
+    suite = default_suite()
+    res = suite.run(images, ref=ref.select("phash") if ref is not None else None)
+
+    from al_drift_detection_spark.drift import build_reference_sample, drift_scores
+
+    ref_rows = images.filter(F.col("window_id") < args.ref_windows)
+    samples = build_reference_sample(ref_rows, ["w", "h"])
+    drift = drift_scores(images, ["w", "h"], samples)
+
+    res.verdicts.orderBy("part", "check_name").write.mode("overwrite").parquet(f"{args.out}/verdicts")
+    res.violations.write.mode("overwrite").parquet(f"{args.out}/violations")
+    if res.stats is not None:
+        res.stats.write.mode("overwrite").parquet(f"{args.out}/stats")
+    drift.orderBy("part", "window_id", "column", "kernel").write.mode("overwrite").parquet(
+        f"{args.out}/drift"
+    )
+
+    if args.decode:
+        if ref is None:
+            ap.error("--decode requires --ref")
+        from al_drift_detection_spark.decode import decode_checks
+
+        decode_checks(images, ref).write.mode("overwrite").parquet(f"{args.out}/decode_violations")
+
+    ckpt.record(spark.read.parquet(f"{args.out}/verdicts"))
+
+    n_rows = images.count()
+    wall = time.perf_counter() - t0
+    verd = spark.read.parquet(f"{args.out}/verdicts")
+    summary = {
+        "rows": n_rows,
+        "wall_sec": round(wall, 2),
+        "rows_per_sec": round(n_rows / wall, 1),
+        "verdicts": verd.count(),
+        "failed_checks": verd.filter(F.col("verdict") == "fail").count(),
+        "out": args.out,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

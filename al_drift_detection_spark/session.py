@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference is a single-process pandas pipeline (SURVEY.md §3.1: "no
+distribution anywhere"); here every knob is set for a multi-executor cluster
+and merely *tested* on local[N]:
+
+- AQE on (runtime re-plan: skew-join splitting, partition coalescing),
+- Arrow on (vectorized pandas UDF transfer),
+- UTC session timezone (oracle/DuckDB comparability),
+- shuffle partitions sized to the local core count (overridden on a real
+  cluster to ~2-3x total executor cores via spark-submit conf).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "al-drift-detection-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    master defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so the
+    bench harness can pin parallelism levels for the two-cluster-size scaling
+    measurement (north_rule: N vs 4N executors → local[8] vs local[32]).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # ~1x core count locally; a real cluster submit overrides this.
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,316 @@
+"""Declarative CheckSuite: the generalization of the reference's feature-file
+configuration (/root/reference/util.py:74-76) into a constraint/metric spec.
+
+A suite is a list of `Check`s compiled into ONE aggregation pass per partition
+(pass/fail verdicts from violation counts) plus ONE scan that extracts capped
+violation-row samples — never a per-check scan.
+
+Scale notes (100 TB):
+- row predicates evaluate JVM-side inside whole-stage codegen (plain Column
+  expressions; no Python in the hot path);
+- verdicts come from `groupBy(part).agg(count(when(!ok,1)) ...)` — map-side
+  partial aggregation, one shuffle of O(parts) tiny rows;
+- violation-row extraction filters BEFORE any shuffle and caps per
+  (part, check) with a window over only the violating rows;
+- uniqueness uses exact per-part dup counts in the same agg + a global
+  `groupBy(key) HAVING count>1` (AQE handles skew) for cross-partition dupes;
+- referential checks are broadcast LEFT ANTI joins (SURVEY.md §2.3 J4) — the
+  reference set ships to executors once, no shuffle of the fact table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One declarative constraint.
+
+    kind ∈ {not_null, non_empty, in_set, between, gt, predicate, unique,
+    referential}. `unique` and `referential` are table-level (not row
+    predicates) and get special plans. max_violation_ratio: a partition passes
+    while violations/rows ≤ ratio (default 0 = strict).
+    """
+
+    name: str
+    kind: str
+    column: str | None = None
+    params: dict[str, Any] = field(default_factory=dict)
+    max_violation_ratio: float = 0.0
+
+    def ok_expr(self) -> Column | None:
+        """Row-level pass predicate (None for table-level checks)."""
+        c = F.col(self.column) if self.column else None
+        if self.kind == "not_null":
+            return c.isNotNull()
+        if self.kind == "non_empty":
+            return c.isNotNull() & (F.length(c) > 0)
+        if self.kind == "in_set":
+            return c.isNotNull() & c.isin(list(self.params["values"]))
+        if self.kind == "between":
+            return c.isNotNull() & c.between(self.params["lo"], self.params["hi"])
+        if self.kind == "gt":
+            return c.isNotNull() & (c > self.params["value"])
+        if self.kind == "predicate":
+            return F.expr(self.params["expr"])
+        if self.kind in ("unique", "referential"):
+            return None
+        raise ValueError(f"unknown check kind {self.kind!r}")
+
+    def observed_expr(self) -> Column:
+        """String rendering of the offending value for the violations table."""
+        if self.column:
+            return F.coalesce(F.col(self.column).cast("string"), F.lit("NULL"))
+        return F.lit("")
+
+    def expected_desc(self) -> str:
+        if self.kind == "in_set":
+            return f"in {sorted(self.params['values'])}"
+        if self.kind == "between":
+            return f"between [{self.params['lo']}, {self.params['hi']}]"
+        if self.kind == "gt":
+            return f"> {self.params['value']}"
+        if self.kind == "predicate":
+            return self.params["expr"]
+        if self.kind == "unique":
+            return "unique"
+        if self.kind == "referential":
+            return f"exists in reference.{self.params.get('ref_column', self.column)}"
+        return self.kind
+
+
+# ---- convenience constructors (the public suite-building API) ----
+def not_null(col: str, **kw: Any) -> Check:
+    return Check(f"not_null_{col}", "not_null", col, **kw)
+
+
+def non_empty(col: str, **kw: Any) -> Check:
+    return Check(f"non_empty_{col}", "non_empty", col, **kw)
+
+
+def in_set(col: str, values: list[Any], **kw: Any) -> Check:
+    return Check(f"in_set_{col}", "in_set", col, {"values": values}, **kw)
+
+
+def between(col: str, lo: Any, hi: Any, **kw: Any) -> Check:
+    return Check(f"between_{col}", "between", col, {"lo": lo, "hi": hi}, **kw)
+
+
+def gt(col: str, value: Any, **kw: Any) -> Check:
+    return Check(f"gt_{col}", "gt", col, {"value": value}, **kw)
+
+
+def predicate(name: str, expr: str, column: str | None = None, **kw: Any) -> Check:
+    return Check(name, "predicate", column, {"expr": expr}, **kw)
+
+
+def unique(col: str, **kw: Any) -> Check:
+    return Check(f"unique_{col}", "unique", col, **kw)
+
+
+def referential(col: str, ref_column: str | None = None, **kw: Any) -> Check:
+    return Check(f"referential_{col}", "referential", col, {"ref_column": ref_column or col}, **kw)
+
+
+@dataclass
+class ValidationResult:
+    """Output contract (FIXTURES.md §4): the structured replacement for the
+    reference's drifts_setN.txt verdict file (/root/reference/gan.py:971-974)
+    and log metric rows."""
+
+    verdicts: DataFrame
+    violations: DataFrame
+    stats: DataFrame  # long metrics rows (part, column, metric, value)
+
+
+class CheckSuite:
+    def __init__(
+        self,
+        checks: list[Check],
+        part_col: str = "part",
+        row_id_col: str = "image_id",
+        numeric_stat_cols: list[str] | None = None,
+        id_stat_cols: list[str] | None = None,
+        violation_cap_per_check: int = 100,
+    ):
+        self.checks = checks
+        self.part_col = part_col
+        self.row_id_col = row_id_col
+        self.numeric_stat_cols = numeric_stat_cols or []
+        self.id_stat_cols = id_stat_cols or []
+        self.violation_cap = violation_cap_per_check
+
+    # ---- plan builders ------------------------------------------------
+    def _row_checks(self) -> list[Check]:
+        return [c for c in self.checks if c.ok_expr() is not None]
+
+    def _verdict_agg(self, df: DataFrame) -> DataFrame:
+        """One pass: per-partition violation counts for every row check +
+        exact dup counts for unique checks."""
+        aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+        for chk in self._row_checks():
+            ok = chk.ok_expr()
+            aggs.append(F.count(F.when(~ok, 1)).alias(f"viol__{chk.name}"))
+        for chk in self.checks:
+            if chk.kind == "unique":
+                aggs.append(
+                    (F.count(chk.column) - F.count_distinct(F.col(chk.column))).alias(
+                        f"viol__{chk.name}__local"
+                    )
+                )
+        return df.groupBy(self.part_col).agg(*aggs)
+
+    def run(self, df: DataFrame, ref: DataFrame | None = None) -> ValidationResult:
+        """Compile + execute the suite. `ref` is the broadcast reference set
+        for referential checks (must contain the ref_column)."""
+        from al_drift_detection_spark.stats import melt_stats, stats_pass
+
+        part = self.part_col
+        counts = self._verdict_agg(df)
+
+        verdict_rows = []
+        for chk in self._row_checks():
+            verdict_rows.append(
+                counts.select(
+                    F.col(part),
+                    F.lit(chk.name).alias("check_name"),
+                    F.col(f"viol__{chk.name}").alias("n_violations"),
+                    F.col("n_rows"),
+                    F.lit(chk.max_violation_ratio).alias("threshold"),
+                )
+            )
+        # unique: local dups per part + cross-part dups attributed to each part
+        for chk in self.checks:
+            if chk.kind != "unique":
+                continue
+            key = chk.column
+            cross = (
+                df.groupBy(key)
+                .agg(F.count(F.lit(1)).alias("_n"), F.count_distinct(part).alias("_nparts"))
+                .filter((F.col("_n") > 1) & (F.col("_nparts") > 1))
+                .join(df.select(key, part), key)
+                .groupBy(part)
+                .agg(F.count(F.lit(1)).alias("_cross_dups"))
+            )
+            verdict_rows.append(
+                counts.select(part, F.col(f"viol__{chk.name}__local"), "n_rows")
+                .join(cross, part, "left")
+                .select(
+                    F.col(part),
+                    F.lit(chk.name).alias("check_name"),
+                    (
+                        F.col(f"viol__{chk.name}__local")
+                        + F.coalesce(F.col("_cross_dups"), F.lit(0))
+                    ).alias("n_violations"),
+                    F.col("n_rows"),
+                    F.lit(chk.max_violation_ratio).alias("threshold"),
+                )
+            )
+        # referential: broadcast anti join, count misses per part
+        for chk in self.checks:
+            if chk.kind != "referential":
+                continue
+            refcol = chk.params["ref_column"]
+            if ref is None:
+                raise ValueError(f"check {chk.name} needs a reference DataFrame")
+            misses = (
+                df.select(part, F.col(chk.column).alias(refcol))
+                .join(F.broadcast(ref.select(refcol).distinct()), refcol, "left_anti")
+                .groupBy(part)
+                .agg(F.count(F.lit(1)).alias("_misses"))
+            )
+            verdict_rows.append(
+                counts.select(part, "n_rows")
+                .join(misses, part, "left")
+                .select(
+                    F.col(part),
+                    F.lit(chk.name).alias("check_name"),
+                    F.coalesce(F.col("_misses"), F.lit(0)).alias("n_violations"),
+                    F.col("n_rows"),
+                    F.lit(chk.max_violation_ratio).alias("threshold"),
+                )
+            )
+
+        all_verdicts = verdict_rows[0]
+        for v in verdict_rows[1:]:
+            all_verdicts = all_verdicts.unionByName(v)
+        verdicts = all_verdicts.withColumn(
+            "verdict",
+            F.when(
+                F.col("n_violations") <= F.col("threshold") * F.col("n_rows"), F.lit("pass")
+            ).otherwise(F.lit("fail")),
+        )
+
+        violations = self.violation_rows(df, ref)
+
+        stats_long = None
+        if self.numeric_stat_cols or self.id_stat_cols:
+            wide = stats_pass(df, self.numeric_stat_cols, self.id_stat_cols, part)
+            stats_long = melt_stats(wide, part)
+
+        return ValidationResult(verdicts=verdicts, violations=violations, stats=stats_long)
+
+    def violation_rows(self, df: DataFrame, ref: DataFrame | None = None) -> DataFrame:
+        """ONE scan → capped per-(part, check) violation-row samples.
+
+        Builds an array of failed-check structs per row, filters to rows with
+        ≥1 failure (pushes down — passing rows never shuffle), explodes, and
+        caps with a row_number window over only the violating rows.
+        """
+        part, rid = self.part_col, self.row_id_col
+        structs = [
+            F.when(
+                ~chk.ok_expr(),
+                F.struct(
+                    F.lit(chk.name).alias("check_name"),
+                    F.lit(chk.column or "").alias("column"),
+                    chk.observed_expr().alias("observed"),
+                    F.lit(chk.expected_desc()).alias("expected"),
+                ),
+            )
+            for chk in self._row_checks()
+        ]
+        base = (
+            df.select(part, rid, F.array_compact(F.array(*structs)).alias("_fails"))
+            .filter(F.size("_fails") > 0)
+            .select(part, rid, F.explode("_fails").alias("f"))
+            .select(
+                part,
+                F.col(rid).alias("row_id"),
+                F.col("f.check_name"),
+                F.col("f.column"),
+                F.col("f.observed"),
+                F.col("f.expected"),
+            )
+        )
+        # referential misses become violation rows too
+        for chk in self.checks:
+            if chk.kind != "referential" or ref is None:
+                continue
+            refcol = chk.params["ref_column"]
+            miss_rows = (
+                df.select(part, rid, F.col(chk.column).alias(refcol))
+                .join(F.broadcast(ref.select(refcol).distinct()), refcol, "left_anti")
+                .select(
+                    part,
+                    F.col(rid).alias("row_id"),
+                    F.lit(chk.name).alias("check_name"),
+                    F.lit(chk.column).alias("column"),
+                    F.col(refcol).cast("string").alias("observed"),
+                    F.lit(chk.expected_desc()).alias("expected"),
+                )
+            )
+            base = base.unionByName(miss_rows)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(part, "check_name").orderBy("row_id")
+        return (
+            base.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= self.violation_cap)
+            .drop("_rn")
+        )

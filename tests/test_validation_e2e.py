@@ -1,0 +1,164 @@
+"""End-to-end slice: synthetic images table → stats pass → constraint
+verdicts + violation rows → drift kernels flag exactly the planted windows
+(the analog of reproducing the reference's golden drifts_set1.txt,
+/root/reference/logs/gan/drifts_set1.txt)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from al_drift_detection_spark import suite as S
+from al_drift_detection_spark.datagen import generate_images, generate_reference
+from al_drift_detection_spark.drift import build_reference_sample, drift_scores, sliding_window_scores
+from al_drift_detection_spark.stats import global_rollup, melt_stats, stats_pass
+
+N = 8000
+RPW = 1000  # rows per window → 8 windows, windows 6,7 drifted
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    df = generate_images(spark, N, rows_per_window=RPW, windows_per_part=2).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def ref(spark):
+    df = generate_reference(spark, N, rows_per_window=RPW, windows_per_part=2).cache()
+    df.count()
+    return df
+
+
+def test_datagen_shape_and_determinism(spark, images):
+    assert images.count() == N
+    assert set(images.columns) == {
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "part", "window_id"
+    }
+    # deterministic under different partitioning
+    again = generate_images(spark, 200, rows_per_window=RPW, num_partitions=3)
+    once = generate_images(spark, 200, rows_per_window=RPW, num_partitions=7)
+    a = {r["image_id"]: (r["phash"], r["caption"]) for r in again.collect()}
+    b = {r["image_id"]: (r["phash"], r["caption"]) for r in once.collect()}
+    assert a == b
+
+
+def test_stats_pass_matches_pandas(spark, images):
+    wide = stats_pass(images, ["w", "h"], id_cols=["image_id"]).toPandas()
+    pdf = images.select("part", "w", "h", "image_id").toPandas()
+    for part, grp in pdf.groupby("part"):
+        row = wide[wide["part"] == part].iloc[0]
+        assert row["n_rows"] == len(grp)
+        assert row["w__min"] == grp["w"].min()
+        assert row["w__max"] == grp["w"].max()
+        assert row["w__avg"] == pytest.approx(grp["w"].mean(), rel=1e-9)
+        assert row["w__std"] == pytest.approx(grp["w"].std(ddof=1), rel=1e-9)
+        # sketches within tolerance (SURVEY.md §5: HLL within 5%, quantiles approximate)
+        assert row["image_id__approx_distinct"] == pytest.approx(grp["image_id"].nunique(), rel=0.05)
+        assert row["w__q50"] == pytest.approx(grp["w"].median(), abs=2.0)
+
+
+def test_melt_and_global_rollup(spark, images):
+    wide = stats_pass(images, ["w"], part_col="part")
+    long = melt_stats(wide).toPandas()
+    assert {"part", "column", "metric", "value"} <= set(long.columns)
+    assert (long["metric"] == "n_rows").sum() == wide.count()
+
+    glob = global_rollup(wide, ["w"]).toPandas().iloc[0]
+    pdf = images.select("w").toPandas()["w"]
+    assert glob["avg"] == pytest.approx(pdf.mean(), rel=1e-9)
+    assert glob["std"] == pytest.approx(pdf.std(ddof=1), rel=1e-6)
+    assert glob["min"] == pdf.min() and glob["max"] == pdf.max()
+
+
+def _suite() -> S.CheckSuite:
+    return S.CheckSuite(
+        checks=[
+            S.non_empty("caption"),
+            S.in_set("fmt", ["png", "jpeg"]),
+            S.between("w", 1, 200),
+            S.gt("h", 0),
+            S.unique("image_id"),
+            S.referential("phash"),
+        ],
+        numeric_stat_cols=["w", "h"],
+        id_stat_cols=["image_id", "phash"],
+    )
+
+
+def test_constraint_verdicts_and_violations(spark, images, ref):
+    res = _suite().run(images, ref=ref.select("phash"))
+    verd = res.verdicts.toPandas()
+    viol = res.violations.toPandas()
+    pdf = images.toPandas()
+
+    # planted violations exist and are found
+    exp_empty = ((pdf["caption"].isna()) | (pdf["caption"] == "")).sum()
+    got_empty = verd[verd["check_name"] == "non_empty_caption"]["n_violations"].sum()
+    assert got_empty == exp_empty and exp_empty > 0
+
+    exp_fmt = (~pdf["fmt"].isin(["png", "jpeg"])).sum()
+    got_fmt = verd[verd["check_name"] == "in_set_fmt"]["n_violations"].sum()
+    assert got_fmt == exp_fmt and exp_fmt > 0
+
+    exp_h = (pdf["h"] <= 0).sum()
+    assert verd[verd["check_name"] == "gt_h"]["n_violations"].sum() == exp_h and exp_h > 0
+
+    # uniqueness: planted duplicates counted (dupes share a part or cross parts)
+    n_dupe_rows = (pdf.groupby("image_id")["image_id"].transform("count") > 1).sum()
+    got_uni = verd[verd["check_name"] == "unique_image_id"]["n_violations"].sum()
+    assert got_uni > 0
+    assert got_uni <= n_dupe_rows
+
+    # referential: orphan phashes flagged
+    ref_set = set(r["phash"] for r in ref.select("phash").collect())
+    exp_orphans = (~pdf["phash"].isin(ref_set)).sum()
+    got_orph = verd[verd["check_name"] == "referential_phash"]["n_violations"].sum()
+    assert got_orph == exp_orphans and exp_orphans > 0
+
+    # violation rows carry usable samples
+    assert len(viol) > 0
+    assert {"row_id", "check_name", "column", "observed", "expected"} <= set(viol.columns)
+    assert (viol["check_name"] == "in_set_fmt").any()
+    # verdict column well-formed
+    assert set(verd["verdict"]) <= {"pass", "fail"}
+
+
+def test_drift_flags_planted_windows(spark, images):
+    # reference sample = first 4 (clean) windows
+    ref_rows = images.filter(F.col("window_id") < 4)
+    ref_samples = build_reference_sample(ref_rows, ["w", "h"])
+    scores = drift_scores(images, ["w", "h"], ref_samples).toPandas()
+
+    votes = scores[(scores["kernel"] == "vote") & (scores["column"] == "w")]
+    flagged = set(votes[votes["verdict"] == "fail"]["window_id"])
+    assert flagged == {6, 7}, f"expected planted windows {{6,7}}, got {flagged}"
+
+    # KS p-values near 1 for clean windows drawn from the same distribution
+    ks = scores[(scores["kernel"] == "ks") & (scores["column"] == "w")]
+    clean_p = ks[ks["window_id"] < 4]["p_value"]
+    assert (clean_p > 0.001).all()
+
+
+def test_sliding_window_scores(spark, images):
+    scores = sliding_window_scores(images, ["w"], offset=1).toPandas()
+    votes = scores[scores["kernel"] == "vote"]
+    # window 6 vs 5 is the drift onset boundary → must fail
+    onset = votes[(votes["window_id"] == 6)]
+    assert (onset["verdict"] == "fail").any()
+    # interior clean boundary (2 vs 1, same part) passes
+    interior = votes[(votes["window_id"] == 3)]
+    assert (interior["verdict"] == "pass").all()
+
+
+def test_decode_validation(spark, images, ref):
+    from al_drift_detection_spark.decode import decode_checks
+
+    out = decode_checks(images, ref).toPandas()
+    assert (out["check_name"] == "decode_ok").any()
+    assert (out["check_name"] == "dims_match").any()
+    assert (out["check_name"] == "psnr_ge_40").any()
+    assert (out["check_name"] == "phash_match").any()
+    assert (out["check_name"] == "caption_match").any()

@@ -1,0 +1,172 @@
+"""Deduplication operators for training-data pipelines (documents table).
+
+Five families, each scale-shaped for Spark:
+- exact          — md5 hash groupBy (one shuffle of (hash, id) pairs)
+- ngram Jaccard  — shingle explode → equi-join on shingle → pair agg
+- MinHash + LSH  — k min-hashes per doc in ONE agg pass → band → bucket join
+- SimHash        — weighted bit-vote over token hashes, pure columns
+- embedding cosine near-dup — see functions/similarity.py
+
+Everything uses built-in JVM functions (xxhash64, md5, array ops) — no Python
+in the hot path. LSH/SimHash are the 100 TB paths (candidate generation is
+linear + a bucket-local self-join); pairwise Jaccard is the exact small-scale
+oracle-checkable variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from al_drift_detection_spark.functions.text import shingled
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5(text) → keep min id, group size."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.04,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    explode(distinct shingles) → self-equi-join on shingle → count
+    intersections → Jaccard from per-doc shingle counts. The join key is the
+    shingle (high cardinality → well-distributed shuffle); output only pairs
+    over the threshold.
+    """
+    sh = (
+        shingled(df, text_col, id_col, n)
+        .select("id", F.explode("_sh").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+        .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, k: int = 32, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    explode(distinct shingles) → k flat `min(xxhash64(shingle, seed))` hash
+    aggregations grouped by doc. Flat aggs get map-side partial combine and
+    whole-stage codegen; an array-lambda formulation re-evaluates the shingle
+    pipeline k times per row because Catalyst's project-collapse inlines
+    projections into lambda bodies. Returns (id, sig array<long>).
+    """
+    exploded = shingled(df, text_col, id_col, n).select("id", F.explode("_sh").alias("g"))
+    mins = [F.min(F.xxhash64(F.col("g"), F.lit(s))).alias(f"m{s}") for s in range(k)]
+    agg = exploded.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[F.col(f"m{s}") for s in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates: signature → band hashes →
+    explode bands → bucket self-join → estimated Jaccard = matching rows / k.
+
+    Scale shape: candidate generation is linear (explode is bands× rows of
+    small longs); the self-join is per (band, bucket) — collision groups only.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, k, n, text_col, id_col)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[i].cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", "sig", F.posexplode(band_hashes).alias("band", "bucket"))
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
+            F.col("a.sig").alias("sa"), F.col("b.sig").alias("sb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v)) / F.lit(k), 4
+    )
+    return cand.select("a_id", "b_id", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document via bit-vote over token xxhash64 values.
+
+    Pure column expressions: tokens → hashes → per-bit vote sum → sign bits
+    packed into a long. Near-dups share a hash within small hamming distance.
+    """
+    from al_drift_detection_spark.functions.text import tokens
+
+    # explode → one hash per token row → 64 partial-aggregating bit-vote sums
+    # (map-side combine; codegen-friendly flat aggs instead of 64 nested
+    # array-aggregate lambdas over a re-evaluated token array)
+    h = (
+        df.select(id_col, F.explode(tokens(text_col)).alias("_t"))
+        .select(id_col, F.xxhash64("_t").alias("_h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = h.groupBy(id_col).agg(*votes)
+    packed = None
+    for i in range(bits):
+        term = F.shiftleft(F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(0), i)
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return agg.select(id_col, packed.alias("simhash"))

@@ -1,0 +1,185 @@
+"""Similarity search over the `embeddings` table (array<float> vectors).
+
+- brute-force cosine top-k: exact baseline, built-in array expressions
+  (zip_with + aggregate — JVM-side, no Python);
+- LSH-bucketed ANN: random-hyperplane signatures via a vectorized pandas UDF
+  (one matmul per Arrow batch), bucket join for candidates — the scale path:
+  candidate generation is linear, comparison is bucket-local;
+- embedding-cosine near-duplicate pairs: cosine ≥ τ within LSH buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against one query vector (broadcast as a literal
+    array). TakeOrderedAndProject keeps this a single narrow pass + tiny
+    top-k heap per partition — no global sort materialization."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(id_col, F.round(cosine(F.col(vec_col), q), 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane LSH signature (SimHash for vectors): sign pattern of
+    V·P packed into a long. One matmul per Arrow batch (vectorized pandas
+    UDF); planes are seeded + regenerated per executor (no driver shipping).
+    """
+
+    @pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        planes = np.random.Generator(np.random.Philox(key=seed)).standard_normal((dim, n_planes))
+        M = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (M.astype(np.float64) @ planes) > 0  # (batch, n_planes)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return df.select(id_col, vec_col, sig(F.col(vec_col)).alias("bucket"))
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's hyperplane bucket are
+    scored. With n_planes=8, ~1/256 of the corpus is touched per query."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = np.random.Generator(np.random.Philox(key=seed)).standard_normal((dim, n_planes))
+    qbits = (q @ planes) > 0
+    qbucket = int((qbits @ (1 << np.arange(n_planes, dtype=np.int64))).astype(np.int64))
+    sigs = hyperplane_signatures(df, dim, n_planes, seed, vec_col, id_col)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        sigs.filter(F.col("bucket") == qbucket)
+        .select(id_col, F.round(cosine(F.col(vec_col), qcol), 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets: bucket-local
+    self-join (candidates), exact cosine filter ≥ threshold."""
+    sigs = hyperplane_signatures(df, dim, n_planes, seed, vec_col, id_col)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return cand.select(
+        F.col(f"a.{id_col}").alias("a_id"),
+        F.col(f"b.{id_col}").alias("b_id"),
+        F.round(cos, 4).alias("cos"),
+    ).filter(F.col("cos") >= threshold)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: vectors pre-assigned to nearest centroid; query probes
+    the n_probe nearest centroid cells only. Centroids are a small broadcast
+    list; assignment is a built-in argmin over literal arrays."""
+    cents = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    dists = F.array(*[_dot(F.col(vec_col), c) / (_norm(F.col(vec_col)) * _norm(c)) for c in cents])
+    assign = F.array_position(dists, F.array_max(dists))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qsims = [
+        float(np.dot(q, np.asarray(c)) / (np.linalg.norm(q) * np.linalg.norm(np.asarray(c)) + 1e-12))
+        for c in centroids
+    ]
+    probe_cells = [i + 1 for i in np.argsort(qsims)[::-1][:n_probe]]  # 1-based
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(id_col, vec_col, assign.alias("cell"))
+        .filter(F.col("cell").isin(probe_cells))
+        .select(id_col, F.round(cosine(F.col(vec_col), qcol), 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def topk_per_query(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Batch top-k: broadcast the (small) query set, score all pairs, window
+    top-k per query. The corpus side never shuffles pre-ranking."""
+    crossed = df.crossJoin(F.broadcast(queries))
+    scored = crossed.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 4).alias("cos"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -1,0 +1,380 @@
+"""Registry part 2: metric block (A6-A10), drift statistics expressed in both
+engines, and the training-data-pipeline operators (dedup / similarity / text)
+over documents + embeddings. Importing this module populates REGISTRY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from al_drift_detection_spark import metrics as M
+from al_drift_detection_spark.functions import dedup as D
+from al_drift_detection_spark.functions import text as T
+from al_drift_detection_spark.operators.registry import _t, register
+
+# deterministic pseudo-prediction used by all metric queries: pred = vec_id % 10
+_PRED_SQL = "CAST(vec_id % 10 AS BIGINT)"
+
+
+def _emb_with_pred(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "embeddings").select(
+        F.col("label").cast("long").alias("label"),
+        (F.col("vec_id") % 10).cast("long").alias("pred"),
+    )
+
+
+# =====================================================================
+# Metric block (SURVEY.md §2.4 A6-A10 — ported cnn.py formulas)
+# =====================================================================
+@register(
+    "q_confusion_matrix",
+    f"""
+    SELECT CAST(label AS BIGINT) AS label, {_PRED_SQL} AS pred, count(*) AS n
+    FROM embeddings GROUP BY 1, 2
+    """,
+    "A6 confusion matrix counts (ref sklearn confusion_matrix, cnn.py:634)",
+)
+def q_confusion_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    return M.confusion_counts(_emb_with_pred(spark, sf), "label", "pred")
+
+
+@register(
+    "q_accuracy",
+    f"SELECT round(avg(CASE WHEN label = {_PRED_SQL} THEN 1.0 ELSE 0.0 END), 6) AS accuracy FROM embeddings",
+    "A10 accuracy (ref accuracy_score, cnn.py:620)",
+)
+def q_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    return M.accuracy(_emb_with_pred(spark, sf), "label", "pred")
+
+
+_MARGIN_CTE = f"""
+    WITH cm AS (
+      SELECT CAST(label AS BIGINT) AS t, {_PRED_SQL} AS p, count(*)::DOUBLE AS n
+      FROM embeddings GROUP BY 1, 2
+    ),
+    classes AS (SELECT DISTINCT t AS c FROM cm UNION SELECT DISTINCT p FROM cm),
+    m AS (
+      SELECT c,
+             coalesce((SELECT sum(n) FROM cm WHERE t = c AND p = c), 0) AS tp,
+             coalesce((SELECT sum(n) FROM cm WHERE t = c), 0) AS rowsum,
+             coalesce((SELECT sum(n) FROM cm WHERE p = c), 0) AS colsum
+      FROM classes
+    )
+"""
+
+
+@register(
+    "q_prf_per_class",
+    _MARGIN_CTE
+    + """
+    SELECT c AS label,
+           round(CASE WHEN colsum > 0 THEN tp / colsum ELSE 0 END, 6) AS prec,
+           round(CASE WHEN rowsum > 0 THEN tp / rowsum ELSE 0 END, 6) AS rec,
+           round(CASE WHEN tp > 0
+                 THEN 2 * (tp / colsum) * (tp / rowsum) / ((tp / colsum) + (tp / rowsum))
+                 ELSE 0 END, 6) AS f1,
+           CAST(rowsum AS BIGINT) AS support
+    FROM m
+    """,
+    "A9 per-class precision/recall/F1/support from confusion counts "
+    "(ref precision_recall_fscore_support, cnn.py:238-242)",
+)
+def q_prf_per_class(spark: SparkSession, sf: str) -> DataFrame:
+    cm = M.confusion_counts(_emb_with_pred(spark, sf), "label", "pred")
+    return M.prf_from_confusion(cm)
+
+
+@register(
+    "q_per_class_accuracy",
+    _MARGIN_CTE
+    + """
+    , tot AS (SELECT sum(n) AS total FROM cm)
+    SELECT c AS label,
+           round((tp + (total - rowsum - colsum + tp)) / total, 6) AS class_accuracy
+    FROM m, tot
+    """,
+    "A7 per-class accuracy (TP+TN)/total (ref cnn.py:86-109)",
+)
+def q_per_class_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    cm = M.confusion_counts(_emb_with_pred(spark, sf), "label", "pred")
+    return M.per_class_accuracy(cm)
+
+
+@register(
+    "q_error_sdi",
+    _MARGIN_CTE
+    + """
+    , tot AS (SELECT sum(n) AS total FROM cm)
+    SELECT c AS label,
+           CAST(least(rowsum - tp, colsum - tp) AS BIGINT) AS s,
+           CAST(greatest((rowsum - tp) - (colsum - tp), 0) AS BIGINT) AS d,
+           CAST(greatest((colsum - tp) - (rowsum - tp), 0) AS BIGINT) AS i,
+           round((least(rowsum - tp, colsum - tp)
+                  + greatest((rowsum - tp) - (colsum - tp), 0)
+                  + greatest((colsum - tp) - (rowsum - tp), 0)) / total, 6) AS err_contrib
+    FROM m, tot
+    """,
+    "A8 substitution/deletion/insertion error decomposition "
+    "(exact port of ref cnn.py:112-146)",
+)
+def q_error_sdi(spark: SparkSession, sf: str) -> DataFrame:
+    cm = M.confusion_counts(_emb_with_pred(spark, sf), "label", "pred")
+    return M.sdi_error(cm)
+
+
+# =====================================================================
+# Drift statistics cross-checked in SQL (kernels also unit-tested vs numpy)
+# =====================================================================
+@register(
+    "q_ks_statistic",
+    """
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS r,
+             CASE WHEN event_id % 2 = 1 THEN 1.0 ELSE 0.0 END AS c
+      FROM events
+    ),
+    tot AS (SELECT sum(r) AS nr, sum(c) AS nc FROM s),
+    e AS (
+      SELECT sum(r) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+             sum(c) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM s
+    )
+    SELECT round(max(abs(cr / nr - cc / nc)), 6) AS ks_stat FROM e, tot
+    """,
+    "KS two-sample statistic (north_star kernel) expressed relationally: "
+    "merged-ECDF sup-difference; validates the numpy kernel cross-engine",
+)
+def q_ks_statistic(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    s = _t(spark, sf, "events").select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_id") % 2 == 0, 1.0).otherwise(0.0).alias("r"),
+        F.when(F.col("event_id") % 2 == 1, 1.0).otherwise(0.0).alias("c"),
+    )
+    tot = s.agg(F.sum("r").alias("nr"), F.sum("c").alias("nc"))
+    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    e = s.select(F.sum("r").over(w).alias("cr"), F.sum("c").over(w).alias("cc"))
+    return e.crossJoin(F.broadcast(tot)).agg(
+        F.round(F.max(F.abs(F.col("cr") / F.col("nr") - F.col("cc") / F.col("nc"))), 6).alias(
+            "ks_stat"
+        )
+    )
+
+
+@register(
+    "q_psi_fixed_bins",
+    """
+    WITH b AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS side,
+             least(greatest(CAST(floor(value / 10) AS BIGINT), 0), 9) AS bin
+      FROM events
+    ),
+    c AS (SELECT side, bin, count(*)::DOUBLE AS n FROM b GROUP BY 1, 2),
+    t AS (SELECT side, sum(n) AS tot FROM c GROUP BY 1),
+    p AS (
+      SELECT bin,
+             greatest(coalesce(max(CASE WHEN c.side = 'ref' THEN n / tot END), 0), 0.0001) AS pr,
+             greatest(coalesce(max(CASE WHEN c.side = 'cur' THEN n / tot END), 0), 0.0001) AS pc
+      FROM c JOIN t USING (side) GROUP BY bin
+    )
+    SELECT round(sum((pc - pr) * ln(pc / pr)), 6) AS psi FROM p
+    """,
+    "PSI with fixed bins (north_star kernel) expressed relationally — "
+    "eps-clipped proportions, ref=even/cur=odd event ids",
+)
+def q_psi_fixed_bins(spark: SparkSession, sf: str) -> DataFrame:
+    b = _t(spark, sf, "events").select(
+        F.when(F.col("event_id") % 2 == 0, "ref").otherwise("cur").alias("side"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 10).cast("long"), F.lit(0)), F.lit(9)
+        ).alias("bin"),
+    )
+    c = b.groupBy("side", "bin").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    t = c.groupBy("side").agg(F.sum("n").alias("tot"))
+    p = (
+        c.join(t, "side")
+        .groupBy("bin")
+        .agg(
+            F.greatest(
+                F.coalesce(F.max(F.when(F.col("side") == "ref", F.col("n") / F.col("tot"))), F.lit(0.0)),
+                F.lit(0.0001),
+            ).alias("pr"),
+            F.greatest(
+                F.coalesce(F.max(F.when(F.col("side") == "cur", F.col("n") / F.col("tot"))), F.lit(0.0)),
+                F.lit(0.0001),
+            ).alias("pc"),
+        )
+    )
+    return p.agg(
+        F.round(
+            F.sum((F.col("pc") - F.col("pr")) * F.log(F.col("pc") / F.col("pr"))), 6
+        ).alias("psi")
+    )
+
+
+# =====================================================================
+# Dedup / text / similarity (training-data pipeline operators)
+# =====================================================================
+@register(
+    "q_dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    "exact dedup via content hash groupBy; keep min id per group",
+)
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return D.exact_dedup(_t(spark, sf, "documents"))
+
+
+@register(
+    "q_ngram_jaccard_pairs",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
+      FROM tok, UNNEST(range(1, len(ts) - 1)) AS r(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.04
+    """,
+    "exact word-3-gram Jaccard near-dup pairs: shingle explode → equi-join → "
+    "pair agg (the oracle-checkable exact variant; MinHash-LSH is the scale path)",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.04)
+
+
+@register(
+    "q_token_count",
+    "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
+    "token counting (whitespace); text-analysis primitive",
+)
+def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    return T.token_count(_t(spark, sf, "documents"))
+
+
+@register(
+    "q_quality_features",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           round(length(text) / len(string_split(text, ' ')), 4) AS avg_token_len,
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+           round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                 / length(text), 6) AS punct_ratio,
+           round(len(list_intersect(string_split(text, ' '),
+                 ['the','and','of','to','a','in','is','it','that','was']))
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio
+    FROM documents
+    """,
+    "quality scoring: length/punctuation/stopword ratios as pure columns",
+)
+def q_quality_features(spark: SparkSession, sf: str) -> DataFrame:
+    return T.quality_features(_t(spark, sf, "documents"))
+
+
+@register(
+    "q_cosine_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 4) AS cos
+    FROM embeddings, q
+    WHERE vec_id > 0
+    ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+    "brute-force cosine top-k (exact ANN baseline) via built-in array exprs — "
+    "JVM-side zip_with/aggregate, no UDF",
+)
+def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.similarity import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return brute_force_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10)
+
+
+# ---- rows-only entries (not ANSI-SQL-expressible; driver records weaker check)
+@register(
+    "q_minhash_lsh_pairs",
+    None,
+    "MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join); "
+    "engine-hash-dependent → no SQL oracle; validated in pytest vs exact Jaccard",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return D.minhash_lsh_pairs(_t(spark, sf, "documents"), k=32, bands=8)
+
+
+@register(
+    "q_simhash",
+    None,
+    "64-bit SimHash fingerprints via bit-vote over token xxhash64 — "
+    "engine-hash-dependent → no SQL oracle; stability tested in pytest",
+)
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return D.simhash(_t(spark, sf, "documents"))
+
+
+@register(
+    "q_fingerprint",
+    None,
+    "winnowing-style min-hash document fingerprint (rolling 3-gram hash)",
+)
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return T.fingerprint(_t(spark, sf, "documents"))
+
+
+@register(
+    "q_langid",
+    None,
+    "stopword-overlap language-ID heuristic (pure array built-ins)",
+)
+def q_langid(spark: SparkSession, sf: str) -> DataFrame:
+    return T.langid(_t(spark, sf, "documents"))
+
+
+@register(
+    "q_label_smoothing",
+    None,
+    "W5 stateful label smoothing (ref cnn.py:149-172) — in-place carry-over "
+    "is not pure-SQL; applyInPandas per group, validated in pytest vs a "
+    "direct numpy port",
+)
+def q_label_smoothing(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.operators.smoothing import smooth_labels
+
+    emb = _t(spark, sf, "embeddings").select(
+        (F.col("vec_id") / 100).cast("long").alias("grp"),
+        F.col("vec_id").cast("long").alias("ord"),
+        F.col("label").cast("int").alias("label"),
+    )
+    return smooth_labels(emb, "grp", "ord", "label", run=12, gap=6)
+
+
+@register(
+    "q_lsh_ann_topk",
+    None,
+    "LSH-bucketed approximate nearest neighbours (random hyperplanes, "
+    "vectorized pandas-UDF signatures); recall vs brute force tested in pytest",
+)
+def q_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return lsh_ann_topk(emb.filter(F.col("vec_id") > 0), qvec, dim=64, k=10, n_planes=6)

@@ -1,0 +1,136 @@
+"""Per-round bench harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS], plus the flagship validation pass (stats +
+constraints + KS/PSI/MMD drift) over a synthetic images table sized to the SF,
+and prints ONE JSON line:
+    {"metric": ..., "value": secs, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: images_rows, images_validated_per_sec (the north-star metric).
+The synthetic images parquet is cached under /tmp keyed by row count so bench
+timings measure the engine, not the data generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_tpch_q1",
+    "q_filter_project",
+    "q_broadcast_join_agg",
+    "q_anti_join",
+    "q_rolling_mean",
+    "q_tumbling_vote",
+    "q_topk_per_group",
+    "q_sessionize",
+    "q_entropy_per_group",
+    "q_stratified_sample",
+    "q_confusion_matrix",
+    "q_prf_per_class",
+    "q_ks_statistic",
+    "q_psi_fixed_bins",
+    "q_dedup_exact",
+    "q_token_count",
+    "q_quality_features",
+    "q_minhash_lsh_pairs",
+    "q_simhash",
+    "q_cosine_topk",
+]
+
+
+def ensure_images(spark, n_rows: int, path: str) -> None:
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    from al_drift_detection_spark.datagen import generate_images, generate_reference
+
+    generate_images(spark, n_rows, num_partitions=32).write.mode("overwrite").parquet(path)
+    generate_reference(spark, n_rows, num_partitions=32).write.mode("overwrite").parquet(
+        path + "_ref"
+    )
+
+
+def validation_pass(spark, images_path: str) -> dict:
+    """The north-star job: full stats + constraints + drift over the images
+    table; returns rows/sec."""
+    from al_drift_detection_spark.drift import build_reference_sample, drift_scores
+    from al_drift_detection_spark.runner import default_suite
+
+    images = spark.read.parquet(images_path)
+    ref = spark.read.parquet(images_path + "_ref")
+    t0 = time.perf_counter()
+    res = default_suite().run(images, ref=ref.select("phash"))
+    ref_rows = images.filter(F.col("window_id") < 4)
+    samples = build_reference_sample(ref_rows, ["w", "h"])
+    drift = drift_scores(images, ["w", "h"], samples)
+    n_verd = res.verdicts.count()
+    n_viol = res.violations.count()
+    n_drift = drift.count()
+    wall = time.perf_counter() - t0
+    n_rows = images.count()
+    return {
+        "wall": wall,
+        "rows": n_rows,
+        "rows_per_sec": n_rows / wall,
+        "n_verdicts": n_verd,
+        "n_violations": n_viol,
+        "n_drift_scores": n_drift,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from al_drift_detection_spark.operators import REGISTRY
+    from al_drift_detection_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # images table sized to SF: sf0.1 → 100k rows
+    n_images = max(2000, int(float(sf) * 1_000_000))
+    images_path = f"/tmp/bench_images_{n_images}"
+    ensure_images(spark, n_images, images_path)
+
+    queries: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # materialize the full result
+        dt = time.perf_counter() - t0
+        queries[name] = round(dt, 3)
+        total += dt
+
+    val = validation_pass(spark, images_path)
+    queries["validation_pass"] = round(val["wall"], 3)
+    total += val["wall"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf),
+                "images_rows": val["rows"],
+                "images_validated_per_sec": round(val["rows_per_sec"], 1),
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

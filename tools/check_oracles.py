@@ -1,0 +1,89 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark AND its oracle_sql() on DuckDB at sf0.01, compare row count, column
+names, and order-insensitive value hash. Usage:
+
+    python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(9)
+        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype) == "bool":
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from al_drift_detection_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8, app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    qs, sqls = E.queries(), E.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, sf).toPandas()
+        except Exception as ex:
+            print(f"FAIL  {name}: spark error: {str(ex).splitlines()[0][:160]}")
+            n_fail += 1
+            continue
+        if name not in sqls:
+            print(f"ROWS  {name}: {len(got)} rows (no oracle)")
+            continue
+        try:
+            exp = con.execute(sqls[name]).fetchdf()
+        except Exception as ex:
+            print(f"FAIL  {name}: duckdb error: {str(ex).splitlines()[0][:160]}")
+            n_fail += 1
+            continue
+        g, e = normalize(got), normalize(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL  {name}: columns {list(g.columns)} vs {list(e.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(e):
+            print(f"FAIL  {name}: rows {len(g)} vs {len(e)}")
+            n_fail += 1
+            continue
+        if not g.equals(e):
+            diff_cols = [c for c in g.columns if not g[c].equals(e[c])]
+            print(f"FAIL  {name}: values differ in {diff_cols}")
+            for c in diff_cols[:2]:
+                neq = g[c] != e[c]
+                print("   spark:", g.loc[neq, c].head(3).tolist(), " duck:", e.loc[neq, c].head(3).tolist())
+            n_fail += 1
+            continue
+        print(f"OK    {name}: {len(g)} rows")
+    print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

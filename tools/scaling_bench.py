@@ -1,0 +1,84 @@
+"""Two-parallelism scaling measurement (north_rule: throughput scaling
+efficiency ≥ 0.8 between N and 4N executors; sandbox stand-in local[8] vs
+local[32] per the driver brief).
+
+Runs the SAME validation job on the SAME input at both parallelism levels in
+separate JVMs (fresh SparkSession each), reports throughput at both and
+efficiency = (T_low / T_high) / (cpus_high / cpus_low).
+
+Usage: python tools/scaling_bench.py [n_rows] [low_cpus] [high_cpus]
+Writes BENCH_SCALING.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, "{repo}")
+from al_drift_detection_spark.session import get_spark
+from pyspark.sql import functions as F
+
+spark = get_spark(app_name="scale-bench", master="local[{cpus}]", shuffle_partitions={cpus})
+spark.sparkContext.setLogLevel("ERROR")
+from bench import validation_pass
+# warm-up: JVM/codegen (small, not timed)
+spark.read.parquet("{path}").limit(1000).count()
+r = validation_pass(spark, "{path}")
+print("RESULT " + json.dumps(r))
+"""
+
+
+def run_level(repo: str, path: str, cpus: int) -> dict:
+    code = CHILD.replace("{repo}", repo).replace("{cpus}", str(cpus)).replace("{path}", path)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = f"/tmp/bench_images_{n_rows}"
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from al_drift_detection_spark.session import get_spark
+        from bench import ensure_images
+
+        sys.path.insert(0, repo)
+        spark = get_spark(app_name="gen", master="local[32]")
+        ensure_images(spark, n_rows, path)
+        spark.stop()
+
+    r_low = run_level(repo, path, low)
+    r_high = run_level(repo, path, high)
+    speedup = r_low["wall"] / r_high["wall"]
+    efficiency = speedup / (high / low)
+    result = {
+        "rows": n_rows,
+        "low_cpus": low,
+        "high_cpus": high,
+        "low_wall_sec": round(r_low["wall"], 2),
+        "high_wall_sec": round(r_high["wall"], 2),
+        "low_rows_per_sec": round(r_low["rows_per_sec"], 1),
+        "high_rows_per_sec": round(r_high["rows_per_sec"], 1),
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+    }
+    with open(os.path.join(repo, "BENCH_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from al_drift_detection_spark.functions.text import shingled
+from al_drift_detection_spark.functions.text import shingle_rows
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -43,11 +43,7 @@ def ngram_jaccard_pairs(
     shingle (high cardinality → well-distributed shuffle); output only pairs
     over the threshold.
     """
-    sh = (
-        shingled(df, text_col, id_col, n)
-        .select("id", F.explode("_sh").alias("g"))
-        .filter(F.col("g").isNotNull())
-    )
+    sh = shingle_rows(df, text_col, id_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -81,7 +77,7 @@ def minhash_signatures(
     pipeline k times per row because Catalyst's project-collapse inlines
     projections into lambda bodies. Returns (id, sig array<long>).
     """
-    exploded = shingled(df, text_col, id_col, n).select("id", F.explode("_sh").alias("g"))
+    exploded = shingle_rows(df, text_col, id_col, n)
     mins = [F.min(F.xxhash64(F.col("g"), F.lit(s))).alias(f"m{s}") for s in range(k)]
     agg = exploded.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[F.col(f"m{s}") for s in range(k)]).alias("sig"))
@@ -122,6 +118,18 @@ def minhash_lsh_pairs(
     banded = sig.select("id", "sig", F.posexplode(band_hashes).alias("band", "bucket"))
     a = banded.alias("a")
     b_ = banded.alias("b")
+    # compute the estimate AT the join row, then dedup on 3 small columns —
+    # deduplicating (a_id, b_id) first would shuffle the full 32-long
+    # signatures once per matching band
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda v: v
+            )
+        )
+        / F.lit(k),
+        4,
+    )
     cand = (
         a.join(
             b_,
@@ -129,18 +137,10 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
-            F.col("a.sig").alias("sa"), F.col("b.sig").alias("sb"),
-        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"), est.alias("est_jaccard"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    est = F.round(
-        F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v)) / F.lit(k), 4
-    )
-    return cand.select("a_id", "b_id", est.alias("est_jaccard")).filter(
-        F.col("est_jaccard") >= threshold
-    )
+    return cand.filter(F.col("est_jaccard") >= threshold)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:

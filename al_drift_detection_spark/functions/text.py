@@ -77,31 +77,45 @@ def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     return out.select(id_col, pred.alias("lang_pred"))
 
 
-def shingles_from_tokens(ts: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles from an ALREADY-PROJECTED token array
-    column. Callers must project `split()` into a column first — referencing
-    a split() expression here would re-evaluate it n× per element (Catalyst
-    does not CSE through lambda bodies)."""
-    idx = F.sequence(F.lit(0), F.greatest(F.size(ts) - n, F.lit(-1)))
+def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """DISTINCT word n-gram shingles as exploded rows (id, g).
 
-    def make(i: Column) -> Column:
-        return F.concat_ws(" ", *[F.element_at(ts, i + k + 1) for k in range(n)])
+    posexplode(tokens) once, then n−1 lead() windows per doc assemble each
+    n-gram. An array-lambda formulation (transform over sequence with
+    element_at) is a trap: Catalyst's project-collapse inlines the split()
+    into every element_at, re-tokenizing the document n× per shingle. The
+    window shuffle here moves only small (id, pos, token) rows, partitioned
+    by doc id — well distributed at any scale.
+    """
+    from pyspark.sql.window import Window
 
-    return F.array_distinct(F.transform(idx, make))
+    tok = df.select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "t")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("t")] + [F.lead("t", k).over(w) for k in range(1, n)]
+    g = F.concat_ws(" ", *parts)
+    return (
+        tok.select("id", g.alias("g"), F.lead("t", n - 1).over(w).alias("_tail"))
+        .filter(F.col("_tail").isNotNull())
+        .select("id", "g")
+        .distinct()
+    )
 
 
 def shingled(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, _sh) projection with the shingle array materialized exactly once."""
-    return df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_ts")).select(
-        "id", shingles_from_tokens(F.col("_ts"), n).alias("_sh")
+    """(id, _sh array) — shingle rows re-collected per doc (compat helper;
+    prefer shingle_rows for anything that explodes again downstream)."""
+    return shingle_rows(df, text_col, id_col, n).groupBy("id").agg(
+        F.collect_list("g").alias("_sh")
     )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: min of 64-bit hashes over word 3-gram shingles —
     a winnowing-style rolling-hash fingerprint using the built-in xxhash64."""
-    base = shingled(df, text_col, id_col)
-    return base.select(
-        F.col("id").alias(id_col),
-        F.array_min(F.transform(F.col("_sh"), lambda g: F.xxhash64(g))).alias("fingerprint"),
+    return (
+        shingle_rows(df, text_col, id_col)
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.min(F.xxhash64("g")).alias("fingerprint"))
     )

@@ -378,3 +378,51 @@ def q_lsh_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     return lsh_ann_topk(emb.filter(F.col("vec_id") > 0), qvec, dim=64, k=10, n_planes=6)
+
+
+# =====================================================================
+# Engine-path entries on the synthetic images fixture (rows-only checks:
+# the images table is engine-generated, not among the oracle's views)
+# =====================================================================
+@register(
+    "q_image_features",
+    None,
+    "multimodal decode + feature extraction over binary image column "
+    "(mapInPandas Arrow batches; F9/input_hint plumbing)",
+)
+def q_image_features(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.datagen import generate_images
+    from al_drift_detection_spark.functions.multimodal import image_features
+
+    return image_features(generate_images(spark, 2000, rows_per_window=500))
+
+
+@register(
+    "q_validation_verdicts",
+    None,
+    "full constraint-suite verdicts on the synthetic images fixture "
+    "(the engine's core output contract, FIXTURES.md §4)",
+)
+def q_validation_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.datagen import generate_images, generate_reference
+    from al_drift_detection_spark.runner import default_suite
+
+    imgs = generate_images(spark, 4000, rows_per_window=500)
+    ref = generate_reference(spark, 4000, rows_per_window=500)
+    return default_suite().run(imgs, ref=ref.select("phash")).verdicts
+
+
+@register(
+    "q_drift_scores",
+    None,
+    "windowed KS/PSI/MMD drift scores vs broadcast reference sample "
+    "(the north_star drift kernel path; golden planted-drift test in pytest)",
+)
+def q_drift_scores(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.datagen import generate_images
+    from al_drift_detection_spark.drift import build_reference_sample, drift_scores
+
+    imgs = generate_images(spark, 4000, rows_per_window=500)
+    ref_rows = imgs.filter(F.col("window_id") < 4)
+    samples = build_reference_sample(ref_rows, ["w", "h"])
+    return drift_scores(imgs, ["w", "h"], samples)

@@ -30,6 +30,16 @@ def get_spark(
     bench harness can pin parallelism levels for the two-cluster-size scaling
     measurement (north_rule: N vs 4N executors → local[8] vs local[32]).
     """
+    # make the engine importable in executor Python workers regardless of the
+    # driver's cwd — the local-mode analog of `spark-submit --py-files
+    # engine.zip` (workers inherit PYTHONPATH, not the driver's sys.path)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"

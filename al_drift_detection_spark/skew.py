@@ -1,0 +1,81 @@
+"""Skew handling: salted repartition + two-level aggregation + AQE conf.
+
+north_star: "Skew on fmt/size is handled via salted repartitioning and AQE."
+The images table is fmt-skewed 90/10 (jpeg/png — FIXTURES.md), so any
+`groupBy(fmt)` or join keyed on fmt sends ~90% of rows to one reducer. Two
+mitigations, composable:
+
+1. AQE (on by default in session.py): splits skewed shuffle partitions at
+   runtime (`spark.sql.adaptive.skewJoin.enabled`,
+   `advisoryPartitionSizeInBytes`).
+2. Explicit salting for aggregations whose key set is tiny (AQE can't split
+   a single hot KEY within a hash aggregate): add salt = pmod(hash(row_key),
+   n_salts) to the group key, aggregate (key, salt), then re-aggregate by
+   key. Works for any algebraic aggregate (sum/count/min/max and avg via
+   sum+count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+AQE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "3",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+}
+
+
+def with_salt(df: DataFrame, row_key: str, n_salts: int = 16, salt_col: str = "_salt") -> DataFrame:
+    """Deterministic salt from a high-cardinality row key (never rand() —
+    reruns must be idempotent, fixing the reference's per-run seeding,
+    /root/reference/gan.py:913)."""
+    return df.withColumn(salt_col, F.pmod(F.hash(F.col(row_key)), F.lit(n_salts)))
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, Column],
+    row_key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-level aggregation over a skewed key.
+
+    Level 1 groups by (group_cols + salt) — hot keys fan out over n_salts
+    reducers; level 2 merges the partials by group_cols alone (tiny input).
+    `aggs` maps output name → level-1 aggregate Column; merge functions are
+    derived (sum→sum, count→sum, min→min, max→max). For avg, request sum +
+    count and divide afterwards.
+    """
+    salted = with_salt(df, row_key, n_salts)
+    level1 = salted.groupBy(*group_cols, "_salt").agg(
+        *[c.alias(f"_p_{name}") for name, c in aggs.items()]
+    )
+    merged = []
+    for name, c in aggs.items():
+        fn_name = c._jc.toString().lower() if hasattr(c, "_jc") else ""
+        src = F.col(f"_p_{name}")
+        if fn_name.startswith("min"):
+            merged.append(F.min(src).alias(name))
+        elif fn_name.startswith("max"):
+            merged.append(F.max(src).alias(name))
+        else:  # sum/count partials merge by summation
+            merged.append(F.sum(src).alias(name))
+    return level1.groupBy(*group_cols).agg(*merged)
+
+
+def skewed_key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
+    """Diagnostic: per-key row counts + share of total, descending — the
+    planning input for choosing n_salts."""
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("share", F.round(F.col("n") / F.lit(total), 4))
+        .orderBy(F.desc("n"))
+        .limit(top)
+    )

@@ -1,0 +1,138 @@
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_streaming_suite_runs_batches(spark, tmp_path_factory):
+    from al_drift_detection_spark import suite as S
+    from al_drift_detection_spark.streaming.validate import stream_suite
+
+    base = tmp_path_factory.mktemp("stream")
+    inp, out, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "part", (F.col("event_id") % 4).cast("int")
+    )
+    ev.repartition(4).write.parquet(inp)
+
+    suite = S.CheckSuite(
+        checks=[S.not_null("event_type"), S.between("value", -1e6, 1e6)],
+        part_col="part",
+        row_id_col="event_id",
+    )
+    q = stream_suite(spark, inp, ev.schema, suite, out, ckpt, max_files_per_trigger=2)
+    q.awaitTermination(120)
+    verd = spark.read.parquet(out)
+    assert verd.count() > 0
+    assert {"check_name", "verdict", "batch_id"} <= set(verd.columns)
+    # multiple micro-batches processed (maxFilesPerTrigger=2 over 4 files)
+    assert verd.select("batch_id").distinct().count() >= 2
+    assert verd.filter(F.col("verdict") == "fail").count() == 0
+
+
+def test_streaming_window_stats_matches_batch(spark, tmp_path_factory):
+    from al_drift_detection_spark.streaming.validate import streaming_window_stats
+
+    base = tmp_path_factory.mktemp("stream2")
+    inp = str(base / "in")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.parquet(inp)
+
+    stream = spark.readStream.schema(ev.schema).parquet(inp)
+    agg = streaming_window_stats(stream, "ts", "value", window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("winstats")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM winstats").toPandas()
+
+    exp = (
+        ev.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_v"))
+        .toPandas()
+    )
+    # append mode only emits windows the watermark has closed; all emitted
+    # rows must match the batch computation exactly
+    assert len(got) > 0
+    exp_map = {
+        (r["window"]["start"], r["window"]["end"]): (r["n"], r["avg_v"])
+        for _, r in exp.iterrows()
+    }
+    for _, r in got.iterrows():
+        key = (r["window_start"], r["window_end"])
+        assert key in exp_map
+        assert (r["n"], r["avg_v"]) == exp_map[key]
+
+
+def test_image_features_and_resize(spark):
+    from al_drift_detection_spark.datagen import generate_images
+    from al_drift_detection_spark.functions.multimodal import image_features, resize_images
+
+    imgs = generate_images(spark, 500, rows_per_window=250).cache()
+    feats = image_features(imgs).toPandas()
+    assert len(feats) == 500
+    bad = feats[~feats["ok"]]
+    assert len(bad) > 0  # planted truncated blobs
+    ok = feats[feats["ok"]]
+    assert (ok["width"] > 0).all() and (ok["mean_px"].between(0, 255)).all()
+    # phash recomputed from decoded pixels must equal the stored phash for
+    # rows without planted corruption (compare Spark-side: toPandas() turns a
+    # nullable long column into float64 and mangles 64-bit hashes)
+    feats_df = image_features(imgs).filter(F.col("ok"))
+    joined = feats_df.select("image_id", F.col("phash").alias("rehash")).join(
+        imgs.select("image_id", "phash"), "image_id"
+    )
+    n_ok = joined.count()
+    n_match = joined.filter(F.col("rehash") == F.col("phash")).count()
+    assert n_match / n_ok > 0.95
+
+    thumbs = resize_images(imgs, target=8).toPandas()
+    okt = thumbs[thumbs["thumb"].notna()]
+    assert ((okt["thumb_w"] == 8) & (okt["thumb_h"] == 8)).mean() > 0.9
+
+
+def test_video_frame_sampling(spark):
+    from al_drift_detection_spark.functions.multimodal import video_frame_sample
+
+    rows = [(f"m{i}", bytes(range(256)) * (i + 4)) for i in range(10)]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary")
+    out = video_frame_sample(df).toPandas()
+    assert out["media_id"].nunique() == 10
+    assert (out.groupby("media_id")["frame_idx"].max() >= 0).all()
+
+
+def test_salted_agg_matches_plain(spark):
+    from al_drift_detection_spark.skew import salted_agg, skewed_key_histogram
+    from al_drift_detection_spark.datagen import generate_images
+
+    imgs = generate_images(spark, 3000, rows_per_window=1000).cache()
+    hist = skewed_key_histogram(imgs, "fmt").toPandas()
+    assert hist.iloc[0]["share"] > 0.8  # jpeg skew planted
+
+    plain = (
+        imgs.groupBy("fmt")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("sum_w"), F.min("h").alias("min_h"))
+        .toPandas()
+        .set_index("fmt")
+    )
+    salted = (
+        salted_agg(
+            imgs,
+            ["fmt"],
+            {"n": F.count(F.lit(1)), "sum_w": F.sum("w"), "min_h": F.min("h")},
+            row_key="image_id",
+            n_salts=8,
+        )
+        .toPandas()
+        .set_index("fmt")
+    )
+    for fmt in plain.index:
+        for c in ("n", "sum_w", "min_h"):
+            assert plain.loc[fmt, c] == salted.loc[fmt, c], (fmt, c)

@@ -174,15 +174,21 @@ class CheckSuite:
         counts = self._verdict_agg(df)
 
         verdict_rows = []
-        for chk in self._row_checks():
+        row_checks = self._row_checks()
+        if row_checks:
+            # ONE agg + stack unpivot → (part, check, n_violations); a union
+            # of per-check selects would re-run the final aggregation per
+            # branch
+            stack_args = ", ".join(
+                f"'{chk.name}', cast(`viol__{chk.name}` as bigint), cast({chk.max_violation_ratio} as double)"
+                for chk in row_checks
+            )
             verdict_rows.append(
-                counts.select(
-                    F.col(part),
-                    F.lit(chk.name).alias("check_name"),
-                    F.col(f"viol__{chk.name}").alias("n_violations"),
-                    F.col("n_rows"),
-                    F.lit(chk.max_violation_ratio).alias("threshold"),
-                )
+                counts.selectExpr(
+                    part,
+                    "n_rows",
+                    f"stack({len(row_checks)}, {stack_args}) as (check_name, n_violations, threshold)",
+                ).select(part, "check_name", "n_violations", "n_rows", "threshold")
             )
         # unique: local dups per part + cross-part dups attributed to each part
         for chk in self.checks:

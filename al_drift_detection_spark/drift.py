@@ -66,12 +66,17 @@ def drift_scores(
     psi_threshold: float = 0.25,
     mmd_threshold: float = 0.05,
     max_n: int = 2048,
+    mmd_max_n: int = 512,
 ) -> DataFrame:
     """Score every (part, window) group against the broadcast reference.
 
     Output: one row per (part, window, column, kernel) plus a per-column
     majority-vote row (kernel='vote') — verdict='fail' iff ≥2 of 3 kernels
     flag drift.
+
+    mmd_max_n bounds the Gram matrices (O(m²) per window); 512 keeps the MMD
+    estimate's standard error well under the detection threshold while being
+    ~4× cheaper than 1024 — the dominant per-window cost.
     """
     spark = SparkSession.getActiveSession()
     bc_ref = spark.sparkContext.broadcast(ref_samples)
@@ -86,7 +91,7 @@ def drift_scores(
             r = ref[c]
             d, p = ks_2samp(r, cur)
             psi_v = psi(r, cur)
-            mmd_v = mmd_rbf(r, cur, max_n=min(max_n, 1024))
+            mmd_v = mmd_rbf(r, cur, max_n=mmd_max_n)
             flags = [p < ks_alpha, psi_v > psi_threshold, mmd_v > mmd_threshold]
             rows += [
                 (part, window, c, "ks", d, p, ks_alpha, "fail" if flags[0] else "pass"),
@@ -143,6 +148,7 @@ def sliding_window_scores(
     psi_threshold = kwargs.get("psi_threshold", 0.25)
     mmd_threshold = kwargs.get("mmd_threshold", 0.05)
     max_n = kwargs.get("max_n", 2048)
+    mmd_max_n = kwargs.get("mmd_max_n", 512)
 
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pair = int(key[0])
@@ -162,7 +168,7 @@ def sliding_window_scores(
             cu = subsample(cur_pdf[c].dropna().to_numpy(np.float64), max_n)
             d, p = ks_2samp(r, cu)
             psi_v = psi(r, cu)
-            mmd_v = mmd_rbf(r, cu, max_n=min(max_n, 1024))
+            mmd_v = mmd_rbf(r, cu, max_n=mmd_max_n)
             flags = [p < ks_alpha, psi_v > psi_threshold, mmd_v > mmd_threshold]
             rows += [
                 (part, pair, c, "ks", d, p, ks_alpha, "fail" if flags[0] else "pass"),

@@ -1,0 +1,172 @@
+"""Registry part 3: OLAP-pattern extensions — grouping sets, pivot, exact
+percentiles, time-bucket rollup, correlation, as-of join, sequence features.
+Importing this module populates REGISTRY (done in operators/__init__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from al_drift_detection_spark.operators.registry import _t, register
+
+
+@register(
+    "q_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, '*') AS rflag,
+           coalesce(l_linestatus, '*') AS lstatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    "A14 one-pass multi-level aggregation (per-group + subtotal + global) via "
+    "grouping sets — the per-partition→global stats shape without a rescan",
+)
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '*') AS rflag,
+               coalesce(l_linestatus, '*') AS lstatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "q_pivot",
+    """
+    SELECT l_returnflag,
+           round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS qty_F,
+           round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "pivot (wide confusion-matrix shape, ref cnn.py:633-634): "
+    "groupBy().pivot() with explicit value list → no extra distinct pass",
+)
+def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    p = (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+    return p.select(
+        "l_returnflag",
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
+    )
+
+
+@register(
+    "q_percentiles",
+    """
+    SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    """,
+    "exact linear-interpolation percentiles (oracle twin of the t-digest "
+    "approx_percentile used in the stats pass, A13)",
+)
+def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {q})"), 4).alias(f"p{int(q * 100):02d}")
+            for q in (0.25, 0.50, 0.75, 0.99)
+        ]
+    )
+
+
+@register(
+    "q_time_bucket",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           count(*) AS n, round(sum(value), 4) AS sum_v
+    FROM events GROUP BY 1
+    """,
+    "hypertable-style time-bucket rollup: date_trunc + hash agg "
+    "(the windowed-sketch feed for streaming drift)",
+)
+def q_time_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
+    )
+
+
+@register(
+    "q_corr_covar",
+    """
+    SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp
+    FROM lineitem
+    """,
+    "correlation / sample covariance between numeric columns (stats-pass "
+    "extension for multivariate drift context)",
+)
+def q_corr_covar(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+    )
+
+
+@register(
+    "q_asof_join",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, max_by(o_totalprice, o_orderkey) AS price
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, round(r.price, 2) AS price
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+    "as-of join (no native Spark operator): union + single-window "
+    "carry-forward — one shuffle on the key, no range explosion",
+)
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts_r"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    joined = asof_join(
+        ev, orders, key="user_id", left_ts="ts", right_ts="ts_r",
+        payload_cols=["o_totalprice"], tiebreak_col="o_orderkey",
+    )
+    return joined.select(
+        "event_id", "user_id", F.round("o_totalprice", 2).alias("price")
+    )
+
+
+@register(
+    "q_sequence_features",
+    None,
+    "W2 lag-sequence feature assembly (ref concatenate_features "
+    "gan.py:348-385): array of the previous k values + lead target, "
+    "zero-padded head — validated in pytest vs a pandas construction",
+)
+def q_sequence_features(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.operators.windows import sequence_features
+
+    ev = _t(spark, sf, "events")
+    return sequence_features(
+        ev, group_col="user_id", order_cols=["ts", "event_id"],
+        value_col="value", k=5,
+    )

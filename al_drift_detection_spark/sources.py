@@ -1,0 +1,82 @@
+"""Sources & storage layout helpers.
+
+- bucketed image/reference tables: the decode-invariant pass joins two
+  blob-carrying tables on image_id; at any scale that join must be
+  co-located, not shuffled (north_rule: partitioning/shuffle handled
+  explicitly). `write_bucketed` writes Spark-bucketed parquet; `attach_bucketed`
+  re-declares the bucket spec over the files in a fresh session's in-memory
+  catalog (CREATE TABLE ... CLUSTERED BY ... LOCATION), so independent
+  processes — or cluster jobs without a shared metastore — get shuffle-free,
+  sort-free joins on the bucket key. On Iceberg deployments the same effect
+  comes from `bucket(N, image_id)` partition transforms.
+
+- CSV orbit-corpus reader (SURVEY.md §2.1 S1-S3): schema-pinned multi-file
+  scan with the reference's filename→ORBIT derivation
+  (/root/reference/util.py:53-55) as a column expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def ddl_of(df: DataFrame) -> str:
+    return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+
+
+def write_bucketed(
+    df: DataFrame, name: str, path: str, bucket_col: str = "image_id", buckets: int = 64
+) -> None:
+    """External bucketed+sorted parquet table (bucket id is encoded in file
+    names; sortedness within buckets makes the join a streaming zip).
+
+    repartition on the bucket key first so each bucket is ONE file: Spark
+    only trusts (and uses) the SORTED BY order when files-per-bucket == 1 —
+    otherwise every join re-sorts the blob rows per task, which spills under
+    high task concurrency (measured: 16s → 51s decode regression at 32
+    cores)."""
+    (
+        df.repartition(buckets, bucket_col)
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
+def attach_bucketed(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    schema_ddl: str,
+    bucket_col: str = "image_id",
+    buckets: int = 64,
+) -> DataFrame:
+    """Declare an existing bucketed-parquet location as a table in THIS
+    session's catalog (no metastore needed) and return it."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"""
+        CREATE TABLE {name} ({schema_ddl})
+        USING parquet
+        CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) INTO {buckets} BUCKETS
+        LOCATION '{path}'
+        """
+    )
+    return spark.table(name)
+
+
+def read_orbit_csvs(spark: SparkSession, path_glob: str, schema: str) -> DataFrame:
+    """S1-S3: multi-file CSV scan with ORBIT derived from `df_<N>.csv` names
+    when the column is absent — the reference's loader re-expressed as one
+    declarative scan (Spark unions file splits natively; no driver loop)."""
+    df = spark.read.csv(path_glob, header=True, schema=schema)
+    if "ORBIT" not in df.columns:
+        df = df.withColumn(
+            "ORBIT",
+            F.regexp_extract(F.input_file_name(), r"df_(\d+)\.csv", 1).cast("long"),
+        )
+    return df.na.drop()

@@ -46,25 +46,49 @@ HEADLINE = [
 ]
 
 
+IMAGES_DDL = (
+    "`image_id` string, `bytes` binary, `w` int, `h` int, `fmt` string, "
+    "`caption` string, `phash` bigint, `part` int, `window_id` int"
+)
+REF_DDL = "`image_id` string, `phash` bigint, `ref_bytes` binary, `ref_caption` string"
+BUCKETS = 64
+
+
 def ensure_images(spark, n_rows: int, path: str) -> None:
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return
+    """Materialize the synthetic corpus as BUCKETED parquet (by image_id):
+    the decode-invariant join is then co-located — no shuffle, no sort of
+    blob rows (the Iceberg `bucket(N, image_id)` layout stand-in)."""
     from al_drift_detection_spark.datagen import generate_images, generate_reference
+    from al_drift_detection_spark.sources import write_bucketed
 
-    generate_images(spark, n_rows, num_partitions=32).write.mode("overwrite").parquet(path)
-    generate_reference(spark, n_rows, num_partitions=32).write.mode("overwrite").parquet(
-        path + "_ref"
-    )
+    if not os.path.exists(path):
+        write_bucketed(
+            generate_images(spark, n_rows, num_partitions=32),
+            f"bench_images_{n_rows}", path, "image_id", BUCKETS,
+        )
+    if not os.path.exists(path + "_ref"):
+        write_bucketed(
+            generate_reference(spark, n_rows, num_partitions=32),
+            f"bench_ref_{n_rows}", path + "_ref", "image_id", BUCKETS,
+        )
 
 
-def validation_pass(spark, images_path: str) -> dict:
-    """The north-star job: full stats + constraints + drift over the images
-    table; returns rows/sec."""
+def attach_images(spark, n_rows: int, path: str):
+    from al_drift_detection_spark.sources import attach_bucketed
+
+    images = attach_bucketed(spark, f"bench_images_{n_rows}", path, IMAGES_DDL, "image_id", BUCKETS)
+    ref = attach_bucketed(spark, f"bench_ref_{n_rows}", path + "_ref", REF_DDL, "image_id", BUCKETS)
+    return images, ref
+
+
+def validation_pass(spark, images_path: str, include_decode: bool = False) -> dict:
+    """The north-star job: full stats + constraints + drift (+ optionally the
+    decode/PSNR/phash invariant pass) over the images table; returns rows/sec."""
     from al_drift_detection_spark.drift import build_reference_sample, drift_scores
     from al_drift_detection_spark.runner import default_suite
 
-    images = spark.read.parquet(images_path)
-    ref = spark.read.parquet(images_path + "_ref")
+    n_hint = int(images_path.rstrip("/").rsplit("_", 1)[-1])
+    images, ref = attach_images(spark, n_hint, images_path)
     t0 = time.perf_counter()
     res = default_suite().run(images, ref=ref.select("phash"))
     ref_rows = images.filter(F.col("window_id") < 4)
@@ -73,6 +97,11 @@ def validation_pass(spark, images_path: str) -> dict:
     n_verd = res.verdicts.count()
     n_viol = res.violations.count()
     n_drift = drift.count()
+    n_decode_viol = None
+    if include_decode:
+        from al_drift_detection_spark.decode import decode_checks
+
+        n_decode_viol = decode_checks(images, ref).count()
     wall = time.perf_counter() - t0
     n_rows = images.count()
     return {
@@ -82,6 +111,7 @@ def validation_pass(spark, images_path: str) -> dict:
         "n_verdicts": n_verd,
         "n_violations": n_viol,
         "n_drift_scores": n_drift,
+        "n_decode_violations": n_decode_viol,
     }
 
 

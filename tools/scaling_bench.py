@@ -28,7 +28,9 @@ spark.sparkContext.setLogLevel("ERROR")
 from bench import validation_pass
 # warm-up: JVM/codegen (small, not timed)
 spark.read.parquet("{path}").limit(1000).count()
-r = validation_pass(spark, "{path}")
+# full pass INCLUDING the decode/PSNR/phash invariants — the north-star
+# workload has real per-row CPU, so the measurement is compute-bound
+r = validation_pass(spark, "{path}", include_decode=True)
 print("RESULT " + json.dumps(r))
 """
 

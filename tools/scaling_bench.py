@@ -36,10 +36,16 @@ print("RESULT " + json.dumps(r))
 
 
 def run_level(repo: str, path: str, cpus: int) -> dict:
+    """One parallelism level in a fresh, CPU-PINNED process.
+
+    taskset bounds the whole process tree (JVM task threads AND python UDF
+    workers) to exactly `cpus` cores — the local-mode analog of an N-core
+    executor. Without pinning, local[N]'s python workers run on any core, so
+    the low level silently uses extra parallelism and deflates the measured
+    N→4N speedup."""
     code = CHILD.replace("{repo}", repo).replace("{cpus}", str(cpus)).replace("{path}", path)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
-    )
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])

@@ -170,3 +170,20 @@ def q_sequence_features(spark: SparkSession, sf: str) -> DataFrame:
         ev, group_col="user_id", order_cols=["ts", "event_id"],
         value_col="value", k=5,
     )
+
+
+@register(
+    "q_ivf_topk",
+    None,
+    "IVF-style ANN: vectors assigned to nearest centroid cell, query probes "
+    "n_probe cells only (the partition-pruned scale path next to "
+    "brute-force); centroid set is a broadcast literal",
+)
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    rows = emb.filter(F.col("vec_id").isin([0, 7, 13, 21])).collect()
+    cents = [[float(x) for x in r["embedding"]] for r in sorted(rows, key=lambda r: r["vec_id"])[1:]]
+    q = [float(x) for x in rows[0]["embedding"]]
+    return ivf_topk(emb.filter(F.col("vec_id") > 0), q, cents, k=10, n_probe=2)

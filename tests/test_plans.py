@@ -1,0 +1,80 @@
+"""Physical-plan regression tests: the optimizations the engine depends on
+must be visible in explain() output — pushdown, pruning, broadcast, top-k,
+partial aggregation. A plan regression at 100 TB is an outage; these pin the
+plan shape at test scale."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark):
+    from al_drift_detection_spark.operators import REGISTRY
+
+    p = plan_of(REGISTRY["q_filter_project"].fn(spark, SF))
+    assert "PushedFilters: [" in p and "IsNotNull" in p or "GreaterThanOrEqual" in p
+    # column pruning: scan must not read unprojected columns
+    assert "l_shipdate" not in p.split("ReadSchema")[1][:300]
+
+
+def test_broadcast_join_chosen(spark):
+    from al_drift_detection_spark.operators import REGISTRY
+
+    p = plan_of(REGISTRY["q_broadcast_join_agg"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_anti_join_broadcast(spark):
+    from al_drift_detection_spark.operators import REGISTRY
+
+    p = plan_of(REGISTRY["q_anti_join"].fn(spark, SF))
+    assert "LeftAnti" in p
+
+
+def test_topn_uses_take_ordered(spark):
+    from al_drift_detection_spark.operators import REGISTRY
+
+    p = plan_of(REGISTRY["q_topn_global"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in p  # no full global sort materialization
+
+
+def test_agg_is_partial_then_final(spark):
+    from al_drift_detection_spark.operators import REGISTRY
+
+    p = plan_of(REGISTRY["q_tpch_q1"].fn(spark, SF))
+    # map-side combine: two HashAggregate nodes around one small exchange
+    assert p.count("HashAggregate") >= 2
+
+
+def test_stats_pass_prunes_scan(spark):
+    from al_drift_detection_spark.stats import stats_pass
+
+    imgs_like = spark.read.parquet(f"{SF}/lineitem.parquet")
+    p = plan_of(stats_pass(imgs_like, ["l_quantity"], part_col="l_linenumber"))
+    rs = p.split("ReadSchema")[1][:200]
+    assert "l_quantity" in rs and "l_extendedprice" not in rs
+
+
+def test_drift_scan_prunes_to_value_cols(spark):
+    import numpy as np
+
+    from al_drift_detection_spark.datagen import generate_images
+    from al_drift_detection_spark.drift import drift_scores
+
+    imgs = generate_images(spark, 100, rows_per_window=50)
+    # write/read parquet so a real scan exists to prune
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    imgs.write.mode("overwrite").parquet(d)
+    df = spark.read.parquet(d)
+    p = plan_of(drift_scores(df, ["w", "h"], {"w": np.arange(10.0), "h": np.arange(10.0)}))
+    rs = p.split("ReadSchema")[1][:300]
+    assert "bytes" not in rs and "caption" not in rs  # blobs never scanned

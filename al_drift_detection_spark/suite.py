@@ -294,6 +294,31 @@ class CheckSuite:
                 F.col("f.expected"),
             )
         )
+        # duplicate-key rows become violation rows (rows whose key occurs >1
+        # time anywhere); the duplicate-key set is small → broadcast join back
+        for chk in self.checks:
+            if chk.kind != "unique":
+                continue
+            key = chk.column
+            dup_keys = (
+                df.groupBy(key)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .select(key)
+            )
+            dup_rows = (
+                df.select(part, rid, key)
+                .join(F.broadcast(dup_keys), key)
+                .select(
+                    part,
+                    F.col(rid).alias("row_id"),
+                    F.lit(chk.name).alias("check_name"),
+                    F.lit(key).alias("column"),
+                    F.col(key).cast("string").alias("observed"),
+                    F.lit(chk.expected_desc()).alias("expected"),
+                )
+            )
+            base = base.unionByName(dup_rows)
         # referential misses become violation rows too
         for chk in self.checks:
             if chk.kind != "referential" or ref is None:

@@ -122,6 +122,10 @@ def test_constraint_verdicts_and_violations(spark, images, ref):
     assert len(viol) > 0
     assert {"row_id", "check_name", "column", "observed", "expected"} <= set(viol.columns)
     assert (viol["check_name"] == "in_set_fmt").any()
+    # duplicate-key rows surface as violation rows, and both copies appear
+    dup_viol = viol[viol["check_name"] == "unique_image_id"]
+    assert len(dup_viol) > 0
+    assert (dup_viol.groupby("observed").size() >= 2).all()
     # verdict column well-formed
     assert set(verd["verdict"]) <= {"pass", "fail"}
 

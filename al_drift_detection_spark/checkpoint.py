@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import datetime
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,7 +32,13 @@ class Checkpoint:
 
     def load(self, spark: SparkSession) -> DataFrame | None:
         if not os.path.exists(self.path):
-            return None
+            # crash-recovery: if a rewrite died between the two renames in
+            # record(), the previous table survives at .__old__
+            old = f"{self.path}.__old__"
+            if os.path.exists(old):
+                os.rename(old, self.path)
+            else:
+                return None
         return spark.read.parquet(self.path)
 
     def passed_parts(self, spark: SparkSession) -> list[int]:
@@ -86,8 +93,17 @@ class Checkpoint:
             merged = keep.unionByName(new)
         else:
             merged = new
-        # tiny table: break lineage through the driver, then atomic-ish rewrite
+        # tiny table: break lineage through the driver, then a crash-safe
+        # rewrite — write to a temp sibling, swap via rename (never delete the
+        # live table before its replacement is fully written; load() recovers
+        # from .__old__ if we die between the renames)
         pdf = merged.toPandas()
+        tmp, old = f"{self.path}.__tmp__", f"{self.path}.__old__"
         spark.createDataFrame(pdf, schema=CKPT_SCHEMA).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(self.path)
+        ).parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)

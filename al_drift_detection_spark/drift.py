@@ -40,20 +40,33 @@ def build_reference_sample(
     value_cols: list[str],
     max_n: int = 4096,
 ) -> dict[str, np.ndarray]:
-    """Collect a bounded per-column reference sample to the driver.
+    """Build a bounded per-column reference sample, subsampled IN SPARK.
 
-    The ref side is bounded (≤ max_n rows per column after an even-stride
-    subsample), so this is a small deterministic collect — the broadcast side
-    of every subsequent comparison. At 100 TB the ref_df itself should already
-    be a designated reference partition/window range, pruned by partition
-    filters before this runs.
+    The sorted even-stride subsample `sort(x)[linspace(0, n-1, max_n)]` is
+    exactly the set of empirical quantiles at p = idx/(n-1), so it is computed
+    JVM-side with `percentile(col, array(ps))` — only max_n doubles per column
+    ever reach the driver, never the full reference projection. Raises when a
+    reference column is entirely null/empty instead of letting every kernel
+    silently return 0.0/'pass' downstream.
     """
-    agg = ref_df.select(*value_cols).toPandas()
-    out: dict[str, np.ndarray] = {}
+    counts = ref_df.agg(*[F.count(F.col(c)).alias(c) for c in value_cols]).first()
+    aggs = []
     for c in value_cols:
-        vals = agg[c].dropna().to_numpy(dtype=np.float64)
-        out[c] = subsample(np.sort(vals), max_n)
-    return out
+        n = int(counts[c])
+        if n == 0:
+            raise ValueError(
+                f"reference sample column {c!r} is empty — every drift kernel "
+                "would return 0.0 and pass all windows; check the reference "
+                "window range / resume filter"
+            )
+        k = min(n, max_n)
+        idx = np.linspace(0, n - 1, k).astype(np.int64)
+        ps = (idx / (n - 1)).tolist() if n > 1 else [0.0]
+        aggs.append(
+            F.percentile(F.col(c), F.array(*[F.lit(float(p)) for p in ps])).alias(c)
+        )
+    row = ref_df.agg(*aggs).first()
+    return {c: np.asarray(row[c], dtype=np.float64) for c in value_cols}
 
 
 def drift_scores(

@@ -355,13 +355,20 @@ def q_lag_features(spark: SparkSession, sf: str) -> DataFrame:
     FROM r GROUP BY 1
     """,
     "W3+W4 tumbling count window (test_batch_size=4 cursor, ref gan.py:730) + "
-    "unanimity vote per window (ref gan.py:737-757)",
+    "unanimity vote per window (ref gan.py:737-757). Global row_number is the "
+    "two-pass bucketed form (hour-of-ts buckets + broadcast offsets) — no "
+    "single-partition sort (operators/windows.py global_cumulative)",
 )
 def q_tumbling_vote(spark: SparkSession, sf: str) -> DataFrame:
-    w = Window.orderBy("ts", "event_id")
-    r = _t(spark, sf, "events").select(
-        "event_type", (F.row_number().over(w) - 1).alias("rn")
+    from al_drift_detection_spark.operators.windows import global_cumulative
+
+    numbered = global_cumulative(
+        _t(spark, sf, "events").select("event_type", "ts", "event_id"),
+        bucket=F.floor(F.unix_timestamp("ts") / 3600),
+        order_cols=["ts", "event_id"],
+        row_number_col="_rn1",
     )
+    r = numbered.select("event_type", (F.col("_rn1") - 1).alias("rn"))
     return (
         r.groupBy(F.floor(F.col("rn") / 4).alias("window_id"))
         .agg(
@@ -564,16 +571,18 @@ def q_split_counts(spark: SparkSession, sf: str) -> DataFrame:
            round((c_acctbal - avg(c_acctbal) OVER ()) / stddev_samp(c_acctbal) OVER (), 4) AS z
     FROM customer
     """,
-    "F1 z-score normalization (ref gan.py:634; pandas std ddof=1)",
+    "F1 z-score normalization (ref gan.py:634; pandas std ddof=1). Plan: one "
+    "agg → two scalars → broadcast crossJoin back (SURVEY §2.4 A1), NOT an "
+    "empty-partition window (which would move every row through one task)",
 )
 def q_zscore(spark: SparkSession, sf: str) -> DataFrame:
-    w = Window.partitionBy()
-    return _t(spark, sf, "customer").select(
+    c = _t(spark, sf, "customer")
+    s = c.agg(
+        F.avg("c_acctbal").alias("_mu"), F.stddev_samp("c_acctbal").alias("_sd")
+    )
+    return c.crossJoin(F.broadcast(s)).select(
         "c_custkey",
-        F.round(
-            (F.col("c_acctbal") - F.avg("c_acctbal").over(w)) / F.stddev_samp("c_acctbal").over(w),
-            4,
-        ).alias("z"),
+        F.round((F.col("c_acctbal") - F.col("_mu")) / F.col("_sd"), 4).alias("z"),
     )
 
 

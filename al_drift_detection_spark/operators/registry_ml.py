@@ -144,10 +144,13 @@ def q_error_sdi(spark: SparkSession, sf: str) -> DataFrame:
     SELECT round(max(abs(cr / nr - cc / nc)), 6) AS ks_stat FROM e, tot
     """,
     "KS two-sample statistic (north_star kernel) expressed relationally: "
-    "merged-ECDF sup-difference; validates the numpy kernel cross-engine",
+    "merged-ECDF sup-difference; validates the numpy kernel cross-engine. "
+    "Cumulative counts use the two-pass bucketed form (value-range buckets + "
+    "broadcast offsets, operators/windows.py global_cumulative) — no "
+    "single-partition global sort",
 )
 def q_ks_statistic(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from al_drift_detection_spark.operators.windows import global_cumulative
 
     s = _t(spark, sf, "events").select(
         F.col("value").alias("v"),
@@ -155,8 +158,12 @@ def q_ks_statistic(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("event_id") % 2 == 1, 1.0).otherwise(0.0).alias("c"),
     )
     tot = s.agg(F.sum("r").alias("nr"), F.sum("c").alias("nc"))
-    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    e = s.select(F.sum("r").over(w).alias("cr"), F.sum("c").over(w).alias("cc"))
+    e = global_cumulative(
+        s,
+        bucket=F.floor(F.col("v") / 10),
+        order_cols=["v"],
+        sums={"cr": "r", "cc": "c"},
+    ).select("cr", "cc")
     return e.crossJoin(F.broadcast(tot)).agg(
         F.round(F.max(F.abs(F.col("cr") / F.col("nr") - F.col("cc") / F.col("nc"))), 6).alias(
             "ks_stat"

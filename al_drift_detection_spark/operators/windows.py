@@ -15,6 +15,65 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def global_cumulative(
+    df: DataFrame,
+    bucket,
+    order_cols: list,
+    sums: dict[str, str] | None = None,
+    row_number_col: str | None = None,
+):
+    """Globally-ordered row_number / running sums WITHOUT a single-partition
+    sort (the scale-safe replacement for `Window.orderBy(...)` with no
+    partitionBy, which moves the whole table through one task).
+
+    Two passes:
+      1. per-bucket totals → cumulative offsets (one tiny collect, ≤ O(buckets)
+         rows, re-broadcast as a join);
+      2. per-bucket window (partitioned by bucket → parallel sorts) + offset.
+
+    `bucket` must be a coarse monotone prefix of the global order (every row in
+    bucket b sorts before every row in bucket b+1, and ties in the order key
+    never straddle buckets — e.g. hour-of-ts for an order on (ts, id), or
+    floor(v/width) for an order on v).
+
+    sums: {out_col: in_col} running sums over the global order (RANGE frame —
+    ties share the cumulative value, matching SQL RANGE BETWEEN UNBOUNDED
+    PRECEDING AND CURRENT ROW). row_number_col: 1-based global row number
+    (ROWS frame, ties broken by order_cols which must be unique).
+    """
+    sums = sums or {}
+    d = df.withColumn("_bkt", bucket.cast("long"))
+    aggs = [F.count(F.lit(1)).alias("_cnt")] + [
+        F.sum(c).alias(f"_s_{o}") for o, c in sums.items()
+    ]
+    per_bucket = d.groupBy("_bkt").agg(*aggs).orderBy("_bkt").collect()
+    offsets, run = [], {"_cnt": 0, **{f"_s_{o}": 0.0 for o in sums}}
+    for r in per_bucket:
+        offsets.append((r["_bkt"], run["_cnt"], *[run[f"_s_{o}"] for o in sums]))
+        run["_cnt"] += r["_cnt"]
+        for o in sums:
+            run[f"_s_{o}"] += r[f"_s_{o}"] or 0.0
+    schema = "_bkt long, _off_cnt long" + "".join(f", _off_{o} double" for o in sums)
+    off_df = d.sparkSession.createDataFrame(offsets, schema)
+    joined = d.join(F.broadcast(off_df), "_bkt")
+    out_cols = []
+    if row_number_col:
+        w_rows = Window.partitionBy("_bkt").orderBy(*order_cols)
+        out_cols.append(
+            (F.row_number().over(w_rows) + F.col("_off_cnt")).alias(row_number_col)
+        )
+    if sums:
+        w_range = (
+            Window.partitionBy("_bkt")
+            .orderBy(*order_cols)
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for o, c in sums.items():
+            out_cols.append((F.sum(c).over(w_range) + F.col(f"_off_{o}")).alias(o))
+    keep = [x for x in df.columns]
+    return joined.select(*keep, *out_cols)
+
+
 def sequence_features(
     df: DataFrame,
     group_col: str,

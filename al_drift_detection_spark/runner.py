@@ -74,10 +74,17 @@ def main(argv: list[str] | None = None) -> int:
     from al_drift_detection_spark.checkpoint import Checkpoint
 
     ckpt = Checkpoint(f"{args.out}/checkpoint", run_id=args.run_id)
+    # the drift REFERENCE must come from the full table, not the resume-
+    # filtered remainder: once the reference windows' partitions have passed
+    # and are skipped, a post-filter reference would be empty and every kernel
+    # would silently return 0.0 / 'pass' (drift detection disabled on resume)
+    images_full = images
     if args.resume:
-        before = images
         images = ckpt.filter_pending(images)
-        skipped = before.select("part").distinct().count() - images.select("part").distinct().count()
+        skipped = (
+            images_full.select("part").distinct().count()
+            - images.select("part").distinct().count()
+        )
         print(f"resume: skipping {skipped} already-passed partitions", file=sys.stderr)
 
     # the suite/drift/decode stages each trigger actions; cache the (pruned)
@@ -89,7 +96,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from al_drift_detection_spark.drift import build_reference_sample, drift_scores
 
-    ref_rows = images.filter(F.col("window_id") < args.ref_windows)
+    ref_rows = images_full.filter(F.col("window_id") < args.ref_windows)
     samples = build_reference_sample(ref_rows, ["w", "h"])
     drift = drift_scores(images, ["w", "h"], samples)
 

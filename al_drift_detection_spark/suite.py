@@ -150,19 +150,14 @@ class CheckSuite:
         return [c for c in self.checks if c.ok_expr() is not None]
 
     def _verdict_agg(self, df: DataFrame) -> DataFrame:
-        """One pass: per-partition violation counts for every row check +
-        exact dup counts for unique checks."""
+        """One pass: per-partition violation counts for every row check.
+        (Unique checks are counted separately from the global dup-key set —
+        a single local+cross formula here would double-count keys duplicated
+        both within and across partitions.)"""
         aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
         for chk in self._row_checks():
             ok = chk.ok_expr()
             aggs.append(F.count(F.when(~ok, 1)).alias(f"viol__{chk.name}"))
-        for chk in self.checks:
-            if chk.kind == "unique":
-                aggs.append(
-                    (F.count(chk.column) - F.count_distinct(F.col(chk.column))).alias(
-                        f"viol__{chk.name}__local"
-                    )
-                )
         return df.groupBy(self.part_col).agg(*aggs)
 
     def run(self, df: DataFrame, ref: DataFrame | None = None) -> ValidationResult:
@@ -190,29 +185,35 @@ class CheckSuite:
                     f"stack({len(row_checks)}, {stack_args}) as (check_name, n_violations, threshold)",
                 ).select(part, "check_name", "n_violations", "n_rows", "threshold")
             )
-        # unique: local dups per part + cross-part dups attributed to each part
+        # unique: n_violations per part = rows whose key occurs >1 time
+        # ANYWHERE (all copies count, matching the violation-rows contract).
+        # One global groupBy(key) finds dup keys; a broadcast join back counts
+        # each row exactly once — no local/cross double counting for keys
+        # duplicated both within and across partitions, and n_violations can
+        # never exceed n_rows.
         for chk in self.checks:
             if chk.kind != "unique":
                 continue
             key = chk.column
-            cross = (
+            dup_keys = (
                 df.groupBy(key)
-                .agg(F.count(F.lit(1)).alias("_n"), F.count_distinct(part).alias("_nparts"))
-                .filter((F.col("_n") > 1) & (F.col("_nparts") > 1))
-                .join(df.select(key, part), key)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .select(key)
+            )
+            dup_per_part = (
+                df.select(part, key)
+                .join(F.broadcast(dup_keys), key)
                 .groupBy(part)
-                .agg(F.count(F.lit(1)).alias("_cross_dups"))
+                .agg(F.count(F.lit(1)).alias("_dups"))
             )
             verdict_rows.append(
-                counts.select(part, F.col(f"viol__{chk.name}__local"), "n_rows")
-                .join(cross, part, "left")
+                counts.select(part, "n_rows")
+                .join(dup_per_part, part, "left")
                 .select(
                     F.col(part),
                     F.lit(chk.name).alias("check_name"),
-                    (
-                        F.col(f"viol__{chk.name}__local")
-                        + F.coalesce(F.col("_cross_dups"), F.lit(0))
-                    ).alias("n_violations"),
+                    F.coalesce(F.col("_dups"), F.lit(0)).alias("n_violations"),
                     F.col("n_rows"),
                     F.lit(chk.max_violation_ratio).alias("threshold"),
                 )
@@ -281,19 +282,21 @@ class CheckSuite:
             )
             for chk in self._row_checks()
         ]
-        base = (
-            df.select(part, rid, F.array_compact(F.array(*structs)).alias("_fails"))
-            .filter(F.size("_fails") > 0)
-            .select(part, rid, F.explode("_fails").alias("f"))
-            .select(
-                part,
-                F.col(rid).alias("row_id"),
-                F.col("f.check_name"),
-                F.col("f.column"),
-                F.col("f.observed"),
-                F.col("f.expected"),
+        base = None
+        if structs:  # table-level-only suites have no row-check structs
+            base = (
+                df.select(part, rid, F.array_compact(F.array(*structs)).alias("_fails"))
+                .filter(F.size("_fails") > 0)
+                .select(part, rid, F.explode("_fails").alias("f"))
+                .select(
+                    part,
+                    F.col(rid).alias("row_id"),
+                    F.col("f.check_name"),
+                    F.col("f.column"),
+                    F.col("f.observed"),
+                    F.col("f.expected"),
+                )
             )
-        )
         # duplicate-key rows become violation rows (rows whose key occurs >1
         # time anywhere); the duplicate-key set is small → broadcast join back
         for chk in self.checks:
@@ -318,7 +321,7 @@ class CheckSuite:
                     F.lit(chk.expected_desc()).alias("expected"),
                 )
             )
-            base = base.unionByName(dup_rows)
+            base = dup_rows if base is None else base.unionByName(dup_rows)
         # referential misses become violation rows too
         for chk in self.checks:
             if chk.kind != "referential" or ref is None:
@@ -336,8 +339,15 @@ class CheckSuite:
                     F.lit(chk.expected_desc()).alias("expected"),
                 )
             )
-            base = base.unionByName(miss_rows)
+            base = miss_rows if base is None else base.unionByName(miss_rows)
         from pyspark.sql.window import Window
+
+        if base is None:  # suite with no violation-producing checks
+            return df.sparkSession.createDataFrame(
+                [],
+                f"{part} int, row_id string, check_name string, column string, "
+                "observed string, expected string",
+            )
 
         w = Window.partitionBy(part, "check_name").orderBy("row_id")
         return (

@@ -34,3 +34,47 @@ def test_checkpoint_record_resume_upsert(spark, tmp_path_factory):
     # second run id is independent
     ck2 = Checkpoint(path, run_id="r2")
     assert ck2.passed_parts(spark) == []
+
+def test_checkpoint_crash_safe_rewrite(spark, tmp_path_factory):
+    """A crash between record()'s two renames must never lose the table:
+    load() recovers from the .__old__ sibling."""
+    import os
+    import shutil
+
+    from al_drift_detection_spark.checkpoint import Checkpoint
+
+    path = str(tmp_path_factory.mktemp("ckpt") / "tbl")
+    ck = Checkpoint(path, run_id="r1")
+    ck.record(_verdicts(spark, [(0, "a", "pass"), (1, "a", "fail")]))
+    assert ck.passed_parts(spark) == [0]
+    # no leftover temp/old dirs after a clean rewrite
+    assert not os.path.exists(f"{path}.__tmp__") and not os.path.exists(f"{path}.__old__")
+
+    # simulate dying between rename(path → old) and rename(tmp → path)
+    os.rename(path, f"{path}.__old__")
+    assert ck.passed_parts(spark) == [0]  # recovered
+    assert os.path.exists(path)
+
+    # and a crash AFTER the tmp write but before any rename leaves the live
+    # table untouched
+    shutil.copytree(path, f"{path}.__tmp__")
+    assert ck.passed_parts(spark) == [0]
+
+
+def test_runner_resume_keeps_drift_reference(spark, tmp_path_factory):
+    """--resume must not disable drift detection: the reference sample comes
+    from the full table, so a second (resumed) run still scores drift instead
+    of silently passing everything on an empty reference."""
+    from al_drift_detection_spark import runner
+
+    out = str(tmp_path_factory.mktemp("run") / "out")
+    args = ["--images", "synthetic:2000", "--out", out, "--master", "local[8]"]
+    assert runner.main(args) == 0
+    drift1 = spark.read.parquet(f"{out}/drift").toPandas()
+    assert len(drift1) > 0
+
+    # resumed run: previously-passed partitions are skipped, but the drift
+    # reference still builds from the full table (no ValueError, no empty ref)
+    assert runner.main(args + ["--resume"]) == 0
+    drift2 = spark.read.parquet(f"{out}/drift")
+    assert drift2.columns == list(drift1.columns)

@@ -78,3 +78,26 @@ def test_drift_scan_prunes_to_value_cols(spark):
     p = plan_of(drift_scores(df, ["w", "h"], {"w": np.arange(10.0), "h": np.arange(10.0)}))
     rs = p.split("ReadSchema")[1][:300]
     assert "bytes" not in rs and "caption" not in rs  # blobs never scanned
+
+def test_no_unpartitioned_windows(spark):
+    """Every Window in the order-dependent queries must carry a non-empty
+    partition spec (the two-pass bucketed form) — an unpartitioned
+    Window.orderBy moves the whole table through ONE task at scale.
+    An empty partition spec prints as `], [], [` in the Window node."""
+    import re
+
+    from al_drift_detection_spark.operators import REGISTRY
+
+    for q in ("q_tumbling_vote", "q_ks_statistic", "q_zscore", "q_rolling_mean"):
+        p = plan_of(REGISTRY[q].fn(spark, SF))
+        for line in p.splitlines():
+            if "Window [" in line:
+                assert not re.search(r"\], \[\], \[", line), f"{q}: unpartitioned window: {line}"
+
+
+def test_zscore_broadcasts_scalars(spark):
+    from al_drift_detection_spark.operators import REGISTRY
+
+    p = plan_of(REGISTRY["q_zscore"].fn(spark, SF))
+    assert "Window" not in p  # agg + broadcast crossJoin, not a global window
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p

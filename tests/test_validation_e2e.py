@@ -106,11 +106,12 @@ def test_constraint_verdicts_and_violations(spark, images, ref):
     exp_h = (pdf["h"] <= 0).sum()
     assert verd[verd["check_name"] == "gt_h"]["n_violations"].sum() == exp_h and exp_h > 0
 
-    # uniqueness: planted duplicates counted (dupes share a part or cross parts)
+    # uniqueness: n_violations == rows whose key occurs >1 time anywhere
+    # (all copies, exactly once each — no local/cross double counting even for
+    # keys duplicated both within and across partitions)
     n_dupe_rows = (pdf.groupby("image_id")["image_id"].transform("count") > 1).sum()
     got_uni = verd[verd["check_name"] == "unique_image_id"]["n_violations"].sum()
-    assert got_uni > 0
-    assert got_uni <= n_dupe_rows
+    assert got_uni == n_dupe_rows and got_uni > 0
 
     # referential: orphan phashes flagged
     ref_set = set(r["phash"] for r in ref.select("phash").collect())
@@ -166,3 +167,45 @@ def test_decode_validation(spark, images, ref):
     assert (out["check_name"] == "psnr_ge_40").any()
     assert (out["check_name"] == "phash_match").any()
     assert (out["check_name"] == "caption_match").any()
+
+
+def test_unique_count_within_and_across_parts(spark):
+    """Pin the unique-check count semantics: a key duplicated both WITHIN and
+    ACROSS partitions is counted once per row (all copies), never double
+    (the old local + cross formula over-reported and could exceed n_rows)."""
+    rows = [
+        # key "d" twice in part 0 AND once in part 1 → 3 violating rows
+        (0, "r0", "d"), (0, "r1", "d"), (1, "r2", "d"),
+        # unique keys
+        (0, "r3", "x"), (1, "r4", "y"), (1, "r5", "z"),
+    ]
+    df = spark.createDataFrame(rows, "part int, image_id string, k string")
+    suite = S.CheckSuite(checks=[S.unique("k")], part_col="part", row_id_col="image_id")
+    res = suite.run(df)
+    verd = {r["part"]: r["n_violations"] for r in res.verdicts.collect()}
+    assert verd == {0: 2, 1: 1}
+    # and every copy appears exactly once as a violation row
+    viol = res.violations.toPandas()
+    dup = viol[viol["check_name"] == "unique_k"]
+    assert sorted(dup["row_id"]) == ["r0", "r1", "r2"]
+
+
+def test_reference_sample_built_spark_side(spark, images):
+    """The Spark-side percentile subsample must equal the old driver-side
+    collect → sort → even-stride subsample, without collecting the full
+    reference projection to the driver."""
+    from al_drift_detection_spark.kernels import subsample
+
+    ref_rows = images.filter(F.col("window_id") < 4)
+    got = build_reference_sample(ref_rows, ["w", "h"], max_n=512)
+    pdf = ref_rows.select("w", "h").toPandas()
+    for c in ("w", "h"):
+        exp = subsample(np.sort(pdf[c].dropna().to_numpy(np.float64)), 512)
+        assert len(got[c]) == len(exp)
+        assert np.allclose(got[c], exp, rtol=1e-9, atol=1e-9)
+
+
+def test_reference_sample_empty_column_raises(spark):
+    df = spark.createDataFrame([(None,), (None,)], "w double")
+    with pytest.raises(ValueError, match="empty"):
+        build_reference_sample(df, ["w"])

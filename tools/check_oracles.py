@@ -33,6 +33,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if "/" not in sf:  # bare "sf0.01" → resolve against the testdata root
+        sf = f"/root/testdata/{sf}"
     only = set(sys.argv[2:])
 
     import __spark_entry__ as E

@@ -173,6 +173,32 @@ def q_sequence_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_drift_regimes",
+    None,
+    "drift-regime identity (ref gan.py:785-811, golden drifts_set1.txt): "
+    "per-window quantile sketches (distributed) + sequential catalog match "
+    "on the driver — recurring drift re-uses its regime id, novel drift "
+    "mints the next one; inherently stateful/sequential → no ANSI oracle, "
+    "golden-tested in tests/test_regimes.py",
+)
+def q_drift_regimes(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.drift import build_reference_sample
+    from al_drift_detection_spark.regimes import assign_drift_regimes
+
+    ev = _t(spark, sf, "events").select(
+        (F.col("event_id") / 2000).cast("int").alias("window_id"),
+        "value",
+    ).select((F.col("window_id") / 4).cast("int").alias("part"), "window_id", "value")
+    ref = build_reference_sample(ev.filter(F.col("window_id") < 2), ["value"])
+    out = assign_drift_regimes(ev, ["value"], ref)
+    return out.select(
+        "part", "window_id", "regime_id", "is_new",
+        F.round("ks_vs_current", 6).alias("ks_vs_current"),
+        F.round("matched_p", 6).alias("matched_p"),
+    )
+
+
+@register(
     "q_ivf_topk",
     None,
     "IVF-style ANN: vectors assigned to nearest centroid cell, query probes "

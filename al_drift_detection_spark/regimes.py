@@ -1,0 +1,169 @@
+"""Drift-regime identity: NEW vs RECURRING drift labelling.
+
+The reference does not just flag drift — it assigns each orbit a drift *id*:
+a confirmed drift is matched against previously-seen regimes; a recurring
+regime re-uses its old label (/root/reference/gan.py:785-794 relabel +
+reset_top_layer), a novel one mints the next id (gan.py:796-801
+`generator_label += 1`), and non-drifted orbits inherit the current label
+(gan.py:763-772). The verdict file is `orbit drift_id` rows
+(gan.py:971-974; golden logs/gan/drifts_set1.txt = `233 1 / 234 1 / 380 2 /
+381 2`).
+
+Spark-first split of that sequential loop:
+
+1. DISTRIBUTED: one `groupBy(part, window).agg(percentile(col, ps))` pass
+   computes a fixed-size per-window quantile sketch per column — the exact
+   even-stride-of-sorted-sample the kernels already consume. All heavy data
+   reduces JVM-side to O(windows x cols x q) doubles.
+2. DRIVER: a sequential pass over the TINY ordered sketch table maintains the
+   regime catalog (the replacement for the reference's growing discriminator
+   output layer): score each window's sketch against the current regime with
+   the KS kernel; on drift, match against every catalog entry — recurring if
+   some entry's worst-column p-value clears match_alpha, else mint a new id.
+   The catalog is bounded (one sketch per regime) and persistable
+   (catalog_to_df / catalog_from_df) — the checkpoint analog of the
+   reference's "accepted reference sketches" memory.
+
+Scale note: the driver loop is O(windows x |catalog| x cols x q) on plain
+numpy over sketch vectors — windows are coarse partition-level units, so this
+stays trivial even when the underlying table is 100 TB; no raw row ever
+reaches the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from al_drift_detection_spark.kernels import ks_2samp, subsample
+
+REGIME_SCHEMA = (
+    "part int, window_id int, regime_id int, is_new boolean, "
+    "ks_vs_current double, matched_p double"
+)
+
+
+def window_sketches(
+    df: DataFrame,
+    value_cols: list[str],
+    part_col: str = "part",
+    window_col: str = "window_id",
+    q: int = 128,
+) -> DataFrame:
+    """Fixed-size per-(part, window) quantile sketch per column.
+
+    `percentile(c, array(ps))` at ps = i/(q-1) is the sorted even-stride
+    subsample (same contract as drift.build_reference_sample) computed
+    entirely JVM-side with partial aggregation — one shuffle of the pruned
+    value columns, output O(windows) tiny array rows.
+    """
+    ps = [i / (q - 1) for i in range(q)]
+    aggs = [
+        F.percentile(F.col(c), F.array(*[F.lit(p) for p in ps])).alias(c)
+        for c in value_cols
+    ]
+    return df.groupBy(part_col, window_col).agg(*aggs)
+
+
+def _sketchify(sample: np.ndarray, q: int) -> np.ndarray:
+    return subsample(np.sort(np.asarray(sample, dtype=np.float64)), q)
+
+
+def assign_drift_regimes(
+    df: DataFrame,
+    value_cols: list[str],
+    ref_samples: dict[str, np.ndarray],
+    part_col: str = "part",
+    window_col: str = "window_id",
+    ks_alpha: float = 0.01,
+    match_alpha: float = 0.05,
+    q: int = 128,
+    catalog: dict[int, dict[str, np.ndarray]] | None = None,
+) -> DataFrame:
+    """Assign a regime id to every (part, window): the reference's
+    orbit -> drift_id verdict contract (gan.py:785-811).
+
+    - regime 1 = the initial reference distribution (ref_samples — the analog
+      of the known-drift pre-train set, gan.py:726-728);
+    - a window DRIFTS iff any column's KS p-value vs the CURRENT regime's
+      sketch falls below ks_alpha (the detector); non-drifted windows inherit
+      the current regime (gan.py:763-772);
+    - a drifted window is RECURRING if some catalog regime's worst-column
+      p-value clears match_alpha (pick the best-matching entry; relabel,
+      gan.py:785-794), else NEW: mint max_id+1 and add its sketch to the
+      catalog (gan.py:796-801).
+
+    `catalog` (optional) resumes from a previously saved regime catalog
+    (catalog_from_df); it is mutated in place so callers can persist it after
+    the run.
+    """
+    sk_rows = (
+        window_sketches(df, value_cols, part_col, window_col, q)
+        .orderBy(window_col, part_col)
+        .collect()
+    )
+    if catalog is None:
+        catalog = {}
+    if 1 not in catalog:
+        catalog[1] = {c: _sketchify(ref_samples[c], q) for c in value_cols}
+    current = 1
+    next_id = max(catalog) + 1
+    out = []
+    for r in sk_rows:
+        cur_sketch = {c: np.asarray(r[c], dtype=np.float64) for c in value_cols}
+
+        def worst_p(regime_sketch: dict[str, np.ndarray]) -> float:
+            return min(
+                ks_2samp(regime_sketch[c], cur_sketch[c])[1] for c in value_cols
+            )
+
+        p_current = worst_p(catalog[current])
+        drifted = p_current < ks_alpha
+        if not drifted:
+            out.append(
+                (int(r[part_col]), int(r[window_col]), current, False,
+                 float(1.0 - p_current), float(p_current))
+            )
+            continue
+        # confirmed drift: match against the whole catalog
+        best_id, best_p = None, -1.0
+        for rid, sketch in catalog.items():
+            p = worst_p(sketch)
+            if p > best_p:
+                best_id, best_p = rid, p
+        if best_p >= match_alpha:  # recurring regime
+            current, is_new = best_id, False
+        else:  # novel regime: mint the next id, remember its sketch
+            current, is_new = next_id, True
+            catalog[next_id] = cur_sketch
+            next_id += 1
+        out.append(
+            (int(r[part_col]), int(r[window_col]), current, is_new,
+             float(1.0 - p_current), float(best_p))
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(out, REGIME_SCHEMA)
+
+
+def catalog_to_df(spark, catalog: dict[int, dict[str, np.ndarray]]) -> DataFrame:
+    """Persist the regime catalog as a tiny long-format table
+    (regime_id, column, sketch) — the checkpointable 'accepted reference
+    sketches' memory."""
+    rows = [
+        (int(rid), c, [float(x) for x in sketch])
+        for rid, by_col in catalog.items()
+        for c, sketch in by_col.items()
+    ]
+    return spark.createDataFrame(
+        rows, "regime_id int, column string, sketch array<double>"
+    )
+
+
+def catalog_from_df(df: DataFrame) -> dict[int, dict[str, np.ndarray]]:
+    out: dict[int, dict[str, np.ndarray]] = {}
+    for r in df.collect():
+        out.setdefault(int(r["regime_id"]), {})[r["column"]] = np.asarray(
+            r["sketch"], dtype=np.float64
+        )
+    return out

@@ -1,0 +1,85 @@
+"""Drift-regime identity golden test: plants one NOVEL and one RECURRING
+drift and asserts the exact regime-id sequence — mirroring the reference's
+verdict contract (/root/reference/gan.py:785-811) and the shape of its golden
+drifts_set1.txt (`233 1 / 234 1 / 380 2 / 381 2`: ids, not booleans)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from al_drift_detection_spark.regimes import (
+    assign_drift_regimes,
+    catalog_from_df,
+    catalog_to_df,
+    window_sketches,
+)
+
+RPW = 800  # rows per window
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """10 windows: 0-3 base, 4-5 shifted (+200, NOVEL), 6-7 base again
+    (RECURRING regime 1), 8-9 shifted again (RECURRING regime 2)."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for w in range(10):
+        shift = 200.0 if w in (4, 5, 8, 9) else 0.0
+        vals = rng.uniform(0, 100, RPW) + shift
+        part = w // 2
+        rows += [(part, w, float(v)) for v in vals]
+    return spark.createDataFrame(rows, "part int, window_id int, v double").cache()
+
+
+def test_regime_id_sequence_golden(spark, planted):
+    ref = {"v": planted.filter("window_id < 2").select("v").toPandas()["v"].to_numpy()}
+    out = (
+        assign_drift_regimes(planted, ["v"], ref)
+        .orderBy("window_id")
+        .toPandas()
+    )
+    # the drifts_set1.txt shape: base=1, novel drift mints 2, base recurs as 1,
+    # the same drift recurs as 2
+    assert out["regime_id"].tolist() == [1, 1, 1, 1, 2, 2, 1, 1, 2, 2]
+    # only the first appearance of the shifted distribution is NEW
+    assert out["is_new"].tolist() == [False] * 4 + [True] + [False] * 5
+    # recurring windows match their catalog entry with a healthy p-value
+    recur = out[(out["window_id"].isin([6, 8]))]
+    assert (recur["matched_p"] > 0.05).all()
+
+
+def test_window_sketches_are_sorted_quantiles(spark, planted):
+    sk = window_sketches(planted, ["v"], q=64).filter("window_id = 0").first()
+    arr = np.asarray(sk["v"])
+    assert len(arr) == 64
+    assert (np.diff(arr) >= 0).all()  # sorted
+    pdf = planted.filter("window_id = 0").select("v").toPandas()["v"]
+    assert arr[0] == pytest.approx(pdf.min())
+    assert arr[-1] == pytest.approx(pdf.max())
+
+
+def test_catalog_roundtrip_and_resume(spark, planted):
+    ref = {"v": planted.filter("window_id < 2").select("v").toPandas()["v"].to_numpy()}
+    catalog: dict = {}
+    assign_drift_regimes(planted, ["v"], ref, catalog=catalog).count()
+    assert sorted(catalog) == [1, 2]
+
+    # persist + reload the catalog (the checkpointable regime memory)
+    reloaded = catalog_from_df(catalog_to_df(spark, catalog))
+    assert sorted(reloaded) == [1, 2]
+    for rid in (1, 2):
+        assert np.allclose(reloaded[rid]["v"], catalog[rid]["v"])
+
+    # resumed run over a THIRD distribution mints id 3, recognises 1 and 2
+    rng = np.random.default_rng(11)
+    rows = [(0, 100, float(v)) for v in rng.uniform(500, 600, RPW)]
+    rows += [(0, 101, float(v)) for v in rng.uniform(0, 100, RPW)]
+    more = spark.createDataFrame(rows, "part int, window_id int, v double")
+    out2 = (
+        assign_drift_regimes(more, ["v"], ref, catalog=reloaded)
+        .orderBy("window_id")
+        .toPandas()
+    )
+    assert out2["regime_id"].tolist() == [3, 1]
+    assert out2["is_new"].tolist() == [True, False]

@@ -143,6 +143,117 @@ def minhash_lsh_pairs(
     return cand.filter(F.col("est_jaccard") >= threshold)
 
 
+def dedup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over a near-dup
+    pair graph → one canonical doc per cluster (the keep/drop list every
+    dedup user actually needs, not candidate pairs). Reference analog:
+    segment relabeling on recurring drift (/root/reference/gan.py:785-794).
+
+    Iterative min-label propagation (GraphFrames-free union-find): every node
+    starts labelled with its own id; each round, each node takes the min of
+    its own and its neighbours' labels, until fixpoint. Near-dup pair graphs
+    have tiny diameter (dup chains, not paths), so this converges in a few
+    rounds; each round is two shuffles of the (small) edge list, with
+    `localCheckpoint` cutting lineage so plans stay flat. Singletons (docs in
+    no pair) keep themselves.
+
+    Output: (id_col, canonical_id, keep) for EVERY node; keep ⇔ the node is
+    its cluster's minimum id.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        # pairs may be an expensive plan (shingle join / LSH); materialize once
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("pnode"))
+            .agg(F.min("lbl").alias("plbl"))
+        )
+        new_labels = (
+            labels.join(prop, labels["node"] == prop["pnode"], "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("plbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("lbl").alias("canonical_id"),
+        (F.col("node") == F.col("lbl")).alias("keep"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_distance: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-duplicate retrieval: pairs within Hamming ≤ max_distance.
+
+    Band-rotation join over the 64-bit fingerprints: split into `bands`
+    equal bit-bands — by pigeonhole, any pair within distance d < bands
+    agrees EXACTLY on ≥1 band — self-join per (band, band value), then the
+    exact Hamming filter `bit_count(xor) ≤ d`. Candidate generation is
+    linear (bands× rows of small longs); the join is per-bucket. All JVM
+    column expressions, no Python.
+    """
+    if max_distance >= bands:
+        raise ValueError("need bands > max_distance for the pigeonhole guarantee")
+    fp = simhash(df, text_col, id_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    banded = fp.select(
+        F.col(id_col).alias("id"), "simhash", F.posexplode(band_vals).alias("band", "bval")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash per document via bit-vote over token xxhash64 values.
 

@@ -338,6 +338,60 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_simhash_pairs",
+    None,
+    "SimHash near-dup retrieval: band-rotation join over 64-bit fingerprints "
+    "(pigeonhole: distance ≤3 ⇒ one of 4 bands matches exactly) + "
+    "bit_count(xor) Hamming filter — engine-hash-dependent → no SQL oracle; "
+    "planted near-dups pinned in pytest",
+)
+def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return D.simhash_pairs(_t(spark, sf, "documents"), max_distance=3, bands=4)
+
+
+@register(
+    "q_dedup_clusters",
+    """
+    WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
+      FROM tok, UNNEST(range(1, len(ts) - 1)) AS r(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a_id, b_id FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.04
+    ),
+    edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+    cc(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, cc.lbl FROM cc JOIN edges e ON e.src = cc.node
+    )
+    SELECT node AS doc_id, min(lbl) AS canonical_id,
+           (node = min(lbl)) AS keep
+    FROM cc GROUP BY node
+    """,
+    "duplicate-cluster resolution: connected components (iterative min-label "
+    "propagation) over the exact-Jaccard pair graph → (doc, canonical, keep) "
+    "— the keep/drop list; oracle = DuckDB recursive CTE over the same pairs "
+    "(ref analog: segment relabel on recurring drift, gan.py:785-794)",
+)
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.04)
+    return D.dedup_clusters(docs.select("doc_id"), pairs)
+
+
+@register(
     "q_fingerprint",
     None,
     "winnowing-style min-hash document fingerprint (rolling 3-gram hash)",

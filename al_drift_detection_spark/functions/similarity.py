@@ -82,6 +82,20 @@ def hyperplane_signatures(
     return df.select(id_col, vec_col, sig(F.col(vec_col)).alias("bucket"))
 
 
+def _hamming_ball(bucket: int, n_bits: int, radius: int) -> list[int]:
+    """All bucket ids within Hamming distance ≤ radius of `bucket`."""
+    from itertools import combinations
+
+    out = [bucket]
+    for r in range(1, radius + 1):
+        for flips in combinations(range(n_bits), r):
+            b = bucket
+            for f in flips:
+                b ^= 1 << f
+            out.append(b)
+    return out
+
+
 def lsh_ann_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -89,23 +103,74 @@ def lsh_ann_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    probe_radius: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k: only candidates in the query's hyperplane bucket are
-    scored. With n_planes=8, ~1/256 of the corpus is touched per query."""
+    """Approximate top-k with MULTI-PROBE: candidates in the query's
+    hyperplane bucket plus every bucket within Hamming ≤ probe_radius of it
+    (a near neighbour that lands on the wrong side of a few hyperplanes is
+    one bit-flip away — single-bucket probing has a recall cliff). With
+    n_planes=8 and radius 1, 9/256 of the bucket space is touched; the probe
+    set is a driver-side literal IN list, so the filter still prunes."""
     q = np.asarray(query_vec, dtype=np.float64)
     planes = np.random.Generator(np.random.Philox(key=seed)).standard_normal((dim, n_planes))
     qbits = (q @ planes) > 0
     qbucket = int((qbits @ (1 << np.arange(n_planes, dtype=np.int64))).astype(np.int64))
+    probe = _hamming_ball(qbucket, n_planes, probe_radius)
     sigs = hyperplane_signatures(df, dim, n_planes, seed, vec_col, id_col)
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        sigs.filter(F.col("bucket") == qbucket)
+        sigs.filter(F.col("bucket").isin(probe))
         .select(id_col, F.round(cosine(F.col(vec_col), qcol), 4).alias("cos"))
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
     )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    k: int = 16,
+    sample_n: int = 4096,
+    seed: int = 42,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Seeded spherical k-means trainer for IVF cells.
+
+    A deterministic bounded sample (order by xxhash64(id, seed), limit
+    sample_n — a TakeOrdered, never a full collect) comes to the driver; a
+    numpy Lloyd's loop with k-means++ init runs on L2-normalized vectors
+    (spherical k-means — the right geometry for cosine cell assignment).
+    Returns k unit centroids as plain lists for ivf_topk's literal arrays.
+    """
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding
+    cents = [X[rng.integers(len(X))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            np.stack([np.sum((X - c) ** 2, axis=1) for c in cents]), axis=0
+        )
+        p = d2 / max(d2.sum(), 1e-12)
+        cents.append(X[rng.choice(len(X), p=p)])
+    C = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine on unit vectors
+        for j in range(k):
+            m = X[assign == j]
+            if len(m):
+                C[j] = m.mean(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return [[float(x) for x in c] for c in C]
 
 
 def cosine_near_dup_pairs(

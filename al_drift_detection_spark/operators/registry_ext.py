@@ -201,15 +201,15 @@ def q_drift_regimes(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q_ivf_topk",
     None,
-    "IVF-style ANN: vectors assigned to nearest centroid cell, query probes "
-    "n_probe cells only (the partition-pruned scale path next to "
-    "brute-force); centroid set is a broadcast literal",
+    "IVF-style ANN: seeded spherical k-means trains the cell centroids "
+    "(deterministic bounded sample -> driver Lloyd's loop), vectors assigned "
+    "to nearest cell, query probes n_probe cells only (the partition-pruned "
+    "scale path next to brute-force); centroid set is a broadcast literal",
 )
 def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    from al_drift_detection_spark.functions.similarity import ivf_topk
+    from al_drift_detection_spark.functions.similarity import ivf_topk, train_ivf_centroids
 
     emb = _t(spark, sf, "embeddings")
-    rows = emb.filter(F.col("vec_id").isin([0, 7, 13, 21])).collect()
-    cents = [[float(x) for x in r["embedding"]] for r in sorted(rows, key=lambda r: r["vec_id"])[1:]]
-    q = [float(x) for x in rows[0]["embedding"]]
-    return ivf_topk(emb.filter(F.col("vec_id") > 0), q, cents, k=10, n_probe=2)
+    cents = train_ivf_centroids(emb, k=8, sample_n=512, seed=42, iters=8)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(emb.filter(F.col("vec_id") > 0), q, cents, k=10, n_probe=3)

@@ -1,0 +1,78 @@
+"""ANN recall hardening: on a planted clustered corpus (where near
+neighbours exist by construction), IVF with trained centroids and
+multi-probe LSH must both reach recall@10 ≥ 0.9 vs the exact brute-force
+baseline, and multi-probe must beat single-probe."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from al_drift_detection_spark.functions.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_ann_topk,
+    train_ivf_centroids,
+)
+
+DIM = 32
+N_CLUSTERS = 8
+PER_CLUSTER = 120
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((N_CLUSTERS, DIM)) * 4.0
+    rows = []
+    for ci in range(N_CLUSTERS):
+        pts = centers[ci] + rng.standard_normal((PER_CLUSTER, DIM)) * 0.5
+        rows += [
+            (ci * PER_CLUSTER + i, [float(x) for x in p]) for i, p in enumerate(pts)
+        ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    df.count()
+    # queries: one perturbed member per cluster (so true top-k is in-cluster)
+    queries = [
+        [float(x) for x in centers[ci] + rng.standard_normal(DIM) * 0.4]
+        for ci in range(3)
+    ]
+    return df, queries
+
+
+def _recall(spark_df_ids: list, truth_ids: list) -> float:
+    return len(set(spark_df_ids) & set(truth_ids)) / len(truth_ids)
+
+
+def test_ivf_trained_centroids_recall(spark, clustered):
+    df, queries = clustered
+    cents = train_ivf_centroids(df, k=N_CLUSTERS, sample_n=512, seed=42, iters=10)
+    assert len(cents) == N_CLUSTERS and len(cents[0]) == DIM
+    recalls = []
+    for q in queries:
+        truth = [r["vec_id"] for r in brute_force_topk(df, q, k=10).collect()]
+        got = [r["vec_id"] for r in ivf_topk(df, q, cents, k=10, n_probe=2).collect()]
+        recalls.append(_recall(got, truth))
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_lsh_multiprobe_recall_beats_single(spark, clustered):
+    df, queries = clustered
+    single, multi = [], []
+    for q in queries:
+        truth = [r["vec_id"] for r in brute_force_topk(df, q, k=10).collect()]
+        got1 = [r["vec_id"] for r in
+                lsh_ann_topk(df, q, DIM, k=10, n_planes=8, probe_radius=0).collect()]
+        got2 = [r["vec_id"] for r in
+                lsh_ann_topk(df, q, DIM, k=10, n_planes=8, probe_radius=2).collect()]
+        single.append(_recall(got1, truth))
+        multi.append(_recall(got2, truth))
+    assert np.mean(multi) >= 0.9, (single, multi)
+    assert np.mean(multi) >= np.mean(single)
+
+
+def test_trainer_is_deterministic(spark, clustered):
+    df, _ = clustered
+    a = train_ivf_centroids(df, k=4, sample_n=256, seed=7, iters=5)
+    b = train_ivf_centroids(df, k=4, sample_n=256, seed=7, iters=5)
+    assert a == b

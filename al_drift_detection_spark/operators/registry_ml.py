@@ -391,6 +391,26 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return D.dedup_clusters(docs.select("doc_id"), pairs)
 
 
+def _inference_oracle() -> str:
+    from al_drift_detection_spark.functions.inference import batch_score_oracle_sql
+
+    return batch_score_oracle_sql(n_classes=10, dim=64)
+
+
+@register(
+    "q_batch_inference",
+    _inference_oracle(),
+    "batch inference as dataflow (SURVEY §2.11, ref CRNN predict "
+    "cnn.py:221-236): frozen linear model scored via mapInPandas, one numpy "
+    "matmul per Arrow batch -> label_pred; oracle = DuckDB list_dot_product "
+    "against the same integer-derived weight literals + ordered-CASE argmax",
+)
+def q_batch_inference(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.inference import batch_score
+
+    return batch_score(_t(spark, sf, "embeddings"), n_classes=10)
+
+
 @register(
     "q_fingerprint",
     None,

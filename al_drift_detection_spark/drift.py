@@ -38,14 +38,19 @@ SCORE_SCHEMA = (
 def build_reference_sample(
     ref_df: DataFrame,
     value_cols: list[str],
-    max_n: int = 4096,
+    max_n: int = 1024,
 ) -> dict[str, np.ndarray]:
     """Build a bounded per-column reference sample, subsampled IN SPARK.
 
-    The sorted even-stride subsample `sort(x)[linspace(0, n-1, max_n)]` is
-    exactly the set of empirical quantiles at p = idx/(n-1), so it is computed
-    JVM-side with `percentile(col, array(ps))` — only max_n doubles per column
-    ever reach the driver, never the full reference projection. Raises when a
+    The sample is the exact linear-interpolation quantile grid at
+    p_j = j/(k−1), k = min(n, max_n) — the bounded ECDF the kernels need (for
+    n ≤ max_n it reproduces the sorted values themselves) — computed JVM-side
+    with `percentile(col, lit(ps))`. The grid ships as ONE array Literal
+    (k separate lit() nodes made Catalyst analysis take ~80 s), and only
+    max_n doubles per column ever reach the driver, never the full reference
+    projection. percentile's eval costs ~1 ms per grid point, hence the
+    1024-point default — the drift kernels cap at 2048/512 per side anyway,
+    so a larger reference adds cost but no detection power. Raises when a
     reference column is entirely null/empty instead of letting every kernel
     silently return 0.0/'pass' downstream.
     """
@@ -60,11 +65,8 @@ def build_reference_sample(
                 "window range / resume filter"
             )
         k = min(n, max_n)
-        idx = np.linspace(0, n - 1, k).astype(np.int64)
-        ps = (idx / (n - 1)).tolist() if n > 1 else [0.0]
-        aggs.append(
-            F.percentile(F.col(c), F.array(*[F.lit(float(p)) for p in ps])).alias(c)
-        )
+        ps = (np.arange(k) / (k - 1)).tolist() if k > 1 else [0.0]
+        aggs.append(F.percentile(F.col(c), F.lit(ps)).alias(c))
     row = ref_df.agg(*aggs).first()
     return {c: np.asarray(row[c], dtype=np.float64) for c in value_cols}
 

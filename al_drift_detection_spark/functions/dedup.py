@@ -35,6 +35,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -42,8 +43,23 @@ def ngram_jaccard_pairs(
     intersections → Jaccard from per-doc shingle counts. The join key is the
     shingle (high cardinality → well-distributed shuffle); output only pairs
     over the threshold.
+
+    This is the exact small-scale ORACLE TWIN; at corpus scale the self-join
+    blows up on hot shingles (a shingle in d docs yields d²/2 join rows).
+    Pass max_doc_freq to drop shingles appearing in more than that many docs
+    BEFORE the self-join (standard document-frequency cap — hot shingles are
+    boilerplate and carry no near-dup signal; Jaccard is then computed over
+    the surviving shingle universe). Default None keeps exact semantics.
     """
     sh = shingle_rows(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("g")
+        )
+        sh = sh.join(rare, "g")  # sizes + intersections over the capped universe
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -58,11 +58,8 @@ def window_sketches(
     entirely JVM-side with partial aggregation — one shuffle of the pruned
     value columns, output O(windows) tiny array rows.
     """
-    ps = [i / (q - 1) for i in range(q)]
-    aggs = [
-        F.percentile(F.col(c), F.array(*[F.lit(p) for p in ps])).alias(c)
-        for c in value_cols
-    ]
+    ps = (np.arange(q) / (q - 1)).tolist()
+    aggs = [F.percentile(F.col(c), F.lit(ps)).alias(c) for c in value_cols]
     return df.groupBy(part_col, window_col).agg(*aggs)
 
 

@@ -54,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
     ap.add_argument("--ref-windows", type=int, default=4, help="windows forming the drift reference")
     ap.add_argument("--decode", action="store_true", help="run decode/PSNR/phash checks (needs --ref)")
+    ap.add_argument(
+        "--regimes", action="store_true",
+        help="assign drift-regime ids (new vs recurring) per window — the "
+        "reference's orbit->drift_id verdict contract",
+    )
     ap.add_argument("--resume", action="store_true", help="skip partitions already passed in checkpoint")
     ap.add_argument("--run-id", default="run1")
     args = ap.parse_args(argv)
@@ -107,6 +112,26 @@ def main(argv: list[str] | None = None) -> int:
     drift.orderBy("part", "window_id", "column", "kernel").write.mode("overwrite").parquet(
         f"{args.out}/drift"
     )
+
+    if args.regimes:
+        import os
+
+        from al_drift_detection_spark.regimes import (
+            assign_drift_regimes,
+            catalog_from_df,
+            catalog_to_df,
+        )
+
+        catalog: dict = {}
+        if args.resume and os.path.exists(f"{args.out}/regime_catalog"):
+            catalog = catalog_from_df(spark.read.parquet(f"{args.out}/regime_catalog"))
+        regimes = assign_drift_regimes(images_full, ["w", "h"], samples, catalog=catalog)
+        regimes.orderBy("window_id").write.mode("overwrite").parquet(f"{args.out}/regimes")
+        # persist the regime catalog next to the checkpoint so a resumed run
+        # recognises previously-seen regimes instead of re-minting ids
+        catalog_to_df(spark, catalog).write.mode("overwrite").parquet(
+            f"{args.out}/regime_catalog"
+        )
 
     if args.decode:
         if ref is None:

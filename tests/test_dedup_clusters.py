@@ -61,3 +61,26 @@ def test_simhash_pairs_hamming_exact(spark):
     )
     rows = simhash_pairs(df, max_distance=3, bands=4).collect()
     assert len(rows) == 1 and rows[0]["hamming"] == 0
+
+
+def test_ngram_doc_freq_cap_drops_boilerplate(spark):
+    from al_drift_detection_spark.functions.dedup import ngram_jaccard_pairs
+
+    boiler = "terms of service apply to this document"
+    rows = [
+        ("a", f"{boiler} alpha beta gamma delta epsilon zeta"),
+        ("b", f"{boiler} alpha beta gamma delta epsilon eta"),   # near-dup of a
+        ("c", f"{boiler} completely unrelated words here now ok"),
+        ("d", f"{boiler} another totally different body of text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    # exact: boilerplate shingles connect everything
+    exact = {(r["a_id"], r["b_id"])
+             for r in ngram_jaccard_pairs(df, threshold=0.1).collect()}
+    assert ("a", "c") in exact or ("a", "d") in exact  # boilerplate noise
+    # capped: shingles in >2 docs (the boilerplate) are dropped pre-join —
+    # the true near-dup pair survives, boilerplate-only pairs vanish
+    capped = {(r["a_id"], r["b_id"])
+              for r in ngram_jaccard_pairs(df, threshold=0.1, max_doc_freq=2).collect()}
+    assert ("a", "b") in capped
+    assert ("a", "c") not in capped and ("c", "d") not in capped

@@ -83,3 +83,30 @@ def test_catalog_roundtrip_and_resume(spark, planted):
     )
     assert out2["regime_id"].tolist() == [3, 1]
     assert out2["is_new"].tolist() == [True, False]
+
+
+def test_runner_regimes_surface(spark, tmp_path_factory):
+    """--regimes writes the orbit->drift_id verdict contract tables: a
+    regimes parquet with inherited/new/recurring ids and a persisted
+    catalog that a resumed run reloads."""
+    from al_drift_detection_spark import runner
+
+    out = str(tmp_path_factory.mktemp("run") / "out")
+    # 12000 rows → 6 windows; datagen plants drift in the last two (4, 5)
+    args = ["--images", "synthetic:12000", "--out", out, "--master", "local[8]",
+            "--regimes"]
+    assert runner.main(args) == 0
+    reg = spark.read.parquet(f"{out}/regimes").toPandas().sort_values("window_id")
+    assert {"part", "window_id", "regime_id", "is_new"} <= set(reg.columns)
+    # the planted drift windows mint exactly one new regime (4 is new, 5 stays)
+    assert reg["regime_id"].tolist() == [1, 1, 1, 1, 2, 2]
+    assert reg["is_new"].tolist() == [False] * 4 + [True, False]
+    # clean head windows inherit the reference regime 1
+    assert (reg[reg["window_id"] < 2]["regime_id"] == 1).all()
+    cat = spark.read.parquet(f"{out}/regime_catalog").toPandas()
+    assert set(cat["regime_id"]) == set(reg["regime_id"])
+
+    # resumed run reloads the catalog: no new ids minted on identical data
+    assert runner.main(args + ["--resume"]) == 0
+    reg2 = spark.read.parquet(f"{out}/regimes").toPandas()
+    assert set(reg2["regime_id"]) <= set(reg["regime_id"])

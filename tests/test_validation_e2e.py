@@ -191,18 +191,23 @@ def test_unique_count_within_and_across_parts(spark):
 
 
 def test_reference_sample_built_spark_side(spark, images):
-    """The Spark-side percentile subsample must equal the old driver-side
-    collect → sort → even-stride subsample, without collecting the full
-    reference projection to the driver."""
-    from al_drift_detection_spark.kernels import subsample
-
+    """The Spark-side percentile pass must equal numpy's linear-interpolation
+    quantiles at p_j = j/(k−1) — the bounded sorted sample the kernels
+    consume — without collecting the full reference projection to the driver."""
     ref_rows = images.filter(F.col("window_id") < 4)
     got = build_reference_sample(ref_rows, ["w", "h"], max_n=512)
     pdf = ref_rows.select("w", "h").toPandas()
+    ps = np.arange(512) / 511.0
     for c in ("w", "h"):
-        exp = subsample(np.sort(pdf[c].dropna().to_numpy(np.float64)), 512)
-        assert len(got[c]) == len(exp)
+        vals = pdf[c].dropna().to_numpy(np.float64)
+        exp = np.quantile(vals, ps, method="linear")
+        assert len(got[c]) == 512
         assert np.allclose(got[c], exp, rtol=1e-9, atol=1e-9)
+    # n ≤ max_n reproduces the sorted values themselves
+    small = images.filter(F.col("window_id") == 0).limit(100)
+    got_small = build_reference_sample(small, ["w"], max_n=512)
+    exp_small = np.sort(small.select("w").toPandas()["w"].to_numpy(np.float64))
+    assert np.allclose(got_small["w"], exp_small)
 
 
 def test_reference_sample_empty_column_raises(spark):

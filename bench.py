@@ -42,7 +42,11 @@ HEADLINE = [
     "q_quality_features",
     "q_minhash_lsh_pairs",
     "q_simhash",
+    "q_simhash_pairs",
+    "q_dedup_clusters",
     "q_cosine_topk",
+    "q_batch_inference",
+    "q_drift_regimes",
 ]
 
 

@@ -26,15 +26,19 @@ def test_clusters_collapse_planted_chains(spark):
 
 def test_clusters_long_chain_converges(spark):
     # a 12-node path graph needs multiple propagation rounds — exercises the
-    # fixpoint loop, not just one hop
+    # DISTRIBUTED fixpoint loop (driver_edge_limit=0 forces it), not just the
+    # driver union-find fast path
     ids = [f"n{i:02d}" for i in range(12)]
     nodes = spark.createDataFrame([(x,) for x in ids], "doc_id string")
     pairs = spark.createDataFrame(
         [(ids[i], ids[i + 1]) for i in range(11)], "a_id string, b_id string"
     )
-    out = dedup_clusters(nodes, pairs).toPandas()
+    out = dedup_clusters(nodes, pairs, driver_edge_limit=0).toPandas()
     assert (out["canonical_id"] == "n00").all()
     assert out[out["keep"]]["doc_id"].tolist() == ["n00"]
+    # both paths agree exactly
+    fast = dedup_clusters(nodes, pairs).toPandas()
+    assert fast.sort_values("doc_id").values.tolist() == out.sort_values("doc_id").values.tolist()
 
 
 def test_simhash_pairs_planted(spark):

@@ -198,6 +198,26 @@ def cosine_near_dup_pairs(
     ).filter(F.col("cos") >= threshold)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its nearest (max-cosine) centroid cell —
+    the build step of an IVF index. At deployment the result is WRITTEN
+    partitioned/bucketed by `cell`, so ivf_topk's cell filter becomes
+    partition pruning at the scan: a query touches only n_probe cells' files
+    out of the whole corpus. Cells are 1-based (matching array_position)."""
+    cents = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    dists = F.array(
+        *[_dot(F.col(vec_col), c) / (_norm(F.col(vec_col)) * _norm(c)) for c in cents]
+    )
+    return df.select(
+        id_col, vec_col, F.array_position(dists, F.array_max(dists)).alias("cell")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -206,13 +226,15 @@ def ivf_topk(
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: vectors pre-assigned to nearest centroid; query probes
     the n_probe nearest centroid cells only. Centroids are a small broadcast
-    list; assignment is a built-in argmin over literal arrays."""
-    cents = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    dists = F.array(*[_dot(F.col(vec_col), c) / (_norm(F.col(vec_col)) * _norm(c)) for c in cents])
-    assign = F.array_position(dists, F.array_max(dists))
+    list. Pass `assigned` (an ivf_assign result, ideally read back from a
+    cell-partitioned table) to skip the assignment pass — the cell filter
+    then prunes at the scan."""
+    if assigned is None:
+        assigned = ivf_assign(df, centroids, vec_col, id_col)
     q = np.asarray(query_vec, dtype=np.float64)
     qsims = [
         float(np.dot(q, np.asarray(c)) / (np.linalg.norm(q) * np.linalg.norm(np.asarray(c)) + 1e-12))
@@ -221,8 +243,7 @@ def ivf_topk(
     probe_cells = [i + 1 for i in np.argsort(qsims)[::-1][:n_probe]]  # 1-based
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        df.select(id_col, vec_col, assign.alias("cell"))
-        .filter(F.col("cell").isin(probe_cells))
+        assigned.filter(F.col("cell").isin(probe_cells))
         .select(id_col, F.round(cosine(F.col(vec_col), qcol), 4).alias("cos"))
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)

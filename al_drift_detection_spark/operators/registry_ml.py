@@ -391,6 +391,21 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return D.dedup_clusters(docs.select("doc_id"), pairs)
 
 
+@register(
+    "q_minhash_lsh_clusters",
+    None,
+    "end-to-end SCALE-PATH dedup pipeline: MinHash-LSH candidate pairs "
+    "(est_jaccard >= 0.35) -> connected components -> (doc, canonical, keep) "
+    "— linear candidate generation, bucket-local join, tiny pair graph; "
+    "hash-dependent candidates -> no SQL oracle (the exact-Jaccard twin "
+    "q_dedup_clusters carries the recursive-CTE oracle)",
+)
+def q_minhash_lsh_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.35)
+    return D.dedup_clusters(docs.select("doc_id"), pairs)
+
+
 def _inference_oracle() -> str:
     from al_drift_detection_spark.functions.inference import batch_score_oracle_sql
 

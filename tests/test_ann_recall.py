@@ -76,3 +76,19 @@ def test_trainer_is_deterministic(spark, clustered):
     a = train_ivf_centroids(df, k=4, sample_n=256, seed=7, iters=5)
     b = train_ivf_centroids(df, k=4, sample_n=256, seed=7, iters=5)
     assert a == b
+
+
+def test_ivf_preassigned_parity(spark, clustered):
+    """ivf_topk over a precomputed ivf_assign table (the partition-pruned
+    deployment shape) returns exactly the on-the-fly result."""
+    from al_drift_detection_spark.functions.similarity import ivf_assign
+
+    df, queries = clustered
+    cents = train_ivf_centroids(df, k=N_CLUSTERS, sample_n=512, seed=42, iters=10)
+    assigned = ivf_assign(df, cents).cache()
+    assert assigned.select("cell").distinct().count() <= N_CLUSTERS
+    for q in queries[:2]:
+        a = [r["vec_id"] for r in ivf_topk(df, q, cents, k=10, n_probe=2).collect()]
+        b = [r["vec_id"] for r in
+             ivf_topk(df, q, cents, k=10, n_probe=2, assigned=assigned).collect()]
+        assert a == b

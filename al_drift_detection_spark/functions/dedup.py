@@ -113,6 +113,11 @@ def minhash_lsh_pairs(
 
     Scale shape: candidate generation is linear (explode is bands× rows of
     small longs); the self-join is per (band, bucket) — collision groups only.
+    The banded signature table is PERSISTED before the self-join: both join
+    sides reference the same child plan, but Spark's exchange-reuse cannot
+    unify a broadcast build side with a shuffle probe side, so without the
+    persist the whole shingle→signature pipeline (the dominant stage)
+    executes twice.
     """
     rows_per_band = k // bands
     sig = minhash_signatures(df, k, n, text_col, id_col)
@@ -131,7 +136,9 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select("id", "sig", F.posexplode(band_hashes).alias("band", "bucket"))
+    banded = sig.select(
+        "id", "sig", F.posexplode(band_hashes).alias("band", "bucket")
+    ).persist()
     a = banded.alias("a")
     b_ = banded.alias("b")
     # compute the estimate AT the join row, then dedup on 3 small columns —
@@ -296,9 +303,11 @@ def simhash_pairs(
             for b in range(bands)
         ]
     )
+    # persisted: both self-join sides share the fingerprint pipeline, which
+    # would otherwise execute twice (broadcast + probe sides don't reuse)
     banded = fp.select(
         F.col(id_col).alias("id"), "simhash", F.posexplode(band_vals).alias("band", "bval")
-    )
+    ).persist()
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

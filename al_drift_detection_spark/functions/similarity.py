@@ -183,8 +183,9 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets: bucket-local
-    self-join (candidates), exact cosine filter ≥ threshold."""
-    sigs = hyperplane_signatures(df, dim, n_planes, seed, vec_col, id_col)
+    self-join (candidates), exact cosine filter ≥ threshold. Signatures are
+    persisted so the Arrow-batch matmul runs once, not once per join side."""
+    sigs = hyperplane_signatures(df, dim, n_planes, seed, vec_col, id_col).persist()
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = a.join(
         b,

@@ -61,6 +61,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--resume", action="store_true", help="skip partitions already passed in checkpoint")
     ap.add_argument("--run-id", default="run1")
+    ap.add_argument(
+        "--suite", default=None, metavar="SUITE_JSON",
+        help="path to a declarative suite config (JSON; see "
+        "suite.suite_from_config) — default: the built-in input_hint suite",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="al-drift-validation", master=args.master)
@@ -96,7 +101,7 @@ def main(argv: list[str] | None = None) -> int:
     # input once so synthetic generation / the table scan doesn't re-execute
     images = images.cache()
 
-    suite = default_suite()
+    suite = S.suite_from_json(args.suite) if args.suite else default_suite()
     res = suite.run(images, ref=ref.select("phash") if ref is not None else None)
 
     from al_drift_detection_spark.drift import build_reference_sample, drift_scores

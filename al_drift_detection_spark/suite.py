@@ -117,6 +117,61 @@ def referential(col: str, ref_column: str | None = None, **kw: Any) -> Check:
     return Check(f"referential_{col}", "referential", col, {"ref_column": ref_column or col}, **kw)
 
 
+_KIND_BUILDERS = {
+    "not_null": lambda c: not_null(c["column"], **_ratio(c)),
+    "non_empty": lambda c: non_empty(c["column"], **_ratio(c)),
+    "in_set": lambda c: in_set(c["column"], list(c["values"]), **_ratio(c)),
+    "between": lambda c: between(c["column"], c["lo"], c["hi"], **_ratio(c)),
+    "gt": lambda c: gt(c["column"], c["value"], **_ratio(c)),
+    "predicate": lambda c: predicate(c["name"], c["expr"], c.get("column"), **_ratio(c)),
+    "unique": lambda c: unique(c["column"], **_ratio(c)),
+    "referential": lambda c: referential(
+        c["column"], c.get("ref_column"), **_ratio(c)
+    ),
+}
+
+
+def _ratio(c: dict) -> dict:
+    return (
+        {"max_violation_ratio": float(c["max_violation_ratio"])}
+        if "max_violation_ratio" in c
+        else {}
+    )
+
+
+def suite_from_config(cfg: dict) -> "CheckSuite":
+    """Build a CheckSuite from a plain dict (the JSON file the CLI's --suite
+    flag loads) — the generalization of the reference's feature-file
+    configuration (/root/reference/util.py:74-76, SURVEY §2.1 S6) into a
+    declarative constraint/metric spec.
+
+    Shape: {"checks": [{"kind": ..., "column": ..., ...}, ...],
+            "part_col"?, "row_id_col"?, "numeric_stat_cols"?,
+            "id_stat_cols"?, "violation_cap_per_check"?}
+    """
+    checks = []
+    for c in cfg["checks"]:
+        kind = c["kind"]
+        if kind not in _KIND_BUILDERS:
+            raise ValueError(f"unknown check kind {kind!r} in suite config")
+        checks.append(_KIND_BUILDERS[kind](c))
+    return CheckSuite(
+        checks=checks,
+        part_col=cfg.get("part_col", "part"),
+        row_id_col=cfg.get("row_id_col", "image_id"),
+        numeric_stat_cols=cfg.get("numeric_stat_cols"),
+        id_stat_cols=cfg.get("id_stat_cols"),
+        violation_cap_per_check=cfg.get("violation_cap_per_check", 100),
+    )
+
+
+def suite_from_json(path: str) -> "CheckSuite":
+    import json
+
+    with open(path) as f:
+        return suite_from_config(json.load(f))
+
+
 @dataclass
 class ValidationResult:
     """Output contract (FIXTURES.md §4): the structured replacement for the

@@ -214,3 +214,34 @@ def test_reference_sample_empty_column_raises(spark):
     df = spark.createDataFrame([(None,), (None,)], "w double")
     with pytest.raises(ValueError, match="empty"):
         build_reference_sample(df, ["w"])
+
+
+def test_suite_from_json_config(spark, images, ref, tmp_path_factory):
+    """The declarative JSON suite config (S6: the reference's feature-file
+    idea) builds a suite identical to the coded one — same verdicts."""
+    import json
+
+    cfg = {
+        "part_col": "part",
+        "row_id_col": "image_id",
+        "numeric_stat_cols": ["w", "h"],
+        "id_stat_cols": ["image_id", "phash"],
+        "checks": [
+            {"kind": "non_empty", "column": "caption"},
+            {"kind": "in_set", "column": "fmt", "values": ["png", "jpeg"]},
+            {"kind": "between", "column": "w", "lo": 1, "hi": 200},
+            {"kind": "gt", "column": "h", "value": 0},
+            {"kind": "unique", "column": "image_id"},
+            {"kind": "referential", "column": "phash"},
+        ],
+    }
+    p = tmp_path_factory.mktemp("cfg") / "suite.json"
+    p.write_text(json.dumps(cfg))
+    from_json = S.suite_from_json(str(p)).run(images, ref=ref.select("phash"))
+    coded = _suite().run(images, ref=ref.select("phash"))
+    a = from_json.verdicts.toPandas().sort_values(["part", "check_name"]).reset_index(drop=True)
+    b = coded.verdicts.toPandas().sort_values(["part", "check_name"]).reset_index(drop=True)
+    assert a.equals(b)
+    # unknown kinds are rejected loudly
+    with pytest.raises(ValueError, match="unknown check kind"):
+        S.suite_from_config({"checks": [{"kind": "nope", "column": "x"}]})

@@ -57,6 +57,14 @@ def window_sketches(
     subsample (same contract as drift.build_reference_sample) computed
     entirely JVM-side with partial aggregation — one shuffle of the pruned
     value columns, output O(windows) tiny array rows.
+
+    Memory note: exact percentile buffers a value→count map per group, so
+    per-task state is bounded by the DISTINCT values in one window — windows
+    are fixed row ranges by construction (rows_per_window), so this holds at
+    any table size. If a deployment made windows unbounded, swap in
+    approx_percentile (bounded t-digest) — the regime matcher only needs a
+    faithful ECDF, not exact quantiles; kept exact here for deterministic
+    goldens.
     """
     ps = (np.arange(q) / (q - 1)).tolist()
     aggs = [F.percentile(F.col(c), F.lit(ps)).alias(c) for c in value_cols]

@@ -1,0 +1,84 @@
+"""Edge-case hardening: tolerance ratios, all-null drift columns, unicode
+text in dedup, empty inputs — the inputs a 100 TB corpus WILL contain."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from al_drift_detection_spark import suite as S
+
+
+def test_max_violation_ratio_tolerance(spark):
+    """A partition passes while violations/rows ≤ ratio; strict (0.0) fails
+    on the first violation."""
+    rows = [(0, f"r{i}", "" if i < 2 else "ok") for i in range(10)]  # 20% empty
+    df = spark.createDataFrame(rows, "part int, image_id string, caption string")
+
+    strict = S.CheckSuite([S.non_empty("caption")]).run(df).verdicts.first()
+    assert strict["verdict"] == "fail" and strict["n_violations"] == 2
+
+    tolerant = (
+        S.CheckSuite([S.non_empty("caption", max_violation_ratio=0.25)])
+        .run(df).verdicts.first()
+    )
+    assert tolerant["verdict"] == "pass" and tolerant["n_violations"] == 2
+
+    tight = (
+        S.CheckSuite([S.non_empty("caption", max_violation_ratio=0.1)])
+        .run(df).verdicts.first()
+    )
+    assert tight["verdict"] == "fail"
+
+
+def test_drift_scores_all_null_window(spark):
+    """A window whose value column is entirely null must score as a clean
+    pass (empty current sample → kernels return 0/1), not crash."""
+    from al_drift_detection_spark.drift import drift_scores
+
+    rows = [(0, 0, float(v)) for v in np.arange(100.0)]
+    rows += [(0, 1, None)] * 50  # all-null window
+    df = spark.createDataFrame(rows, "part int, window_id int, v double")
+    ref = {"v": np.arange(100.0)}
+    out = drift_scores(df, ["v"], ref).toPandas()
+    w1 = out[(out["window_id"] == 1) & (out["kernel"] == "vote")]
+    assert (w1["verdict"] == "pass").all()
+
+
+def test_dedup_unicode_text(spark):
+    """Tokenization/hashing must survive non-ASCII corpora."""
+    from al_drift_detection_spark.functions.dedup import exact_dedup, simhash
+
+    rows = [
+        ("u1", "давні орбіти магнітного поля Меркурія та сонячний вітер"),
+        ("u2", "давні орбіти магнітного поля Меркурія та сонячний вітер"),
+        ("u3", "地磁気の境界層を横切る衛星の軌道データ と 太陽風"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    groups = exact_dedup(df).toPandas()
+    assert len(groups) == 2  # u1==u2 collapse, u3 alone
+    assert groups["n_copies"].max() == 2
+    fps = simhash(df).toPandas()
+    assert fps["simhash"].nunique() == 2
+
+
+def test_suite_on_empty_dataframe(spark):
+    """Zero input rows → zero verdict rows (no partitions), empty violations,
+    no crash."""
+    df = spark.createDataFrame([], "part int, image_id string, caption string")
+    res = S.CheckSuite([S.non_empty("caption"), S.unique("image_id")]).run(df)
+    assert res.verdicts.count() == 0
+    assert res.violations.count() == 0
+
+
+def test_global_cumulative_single_bucket(spark):
+    """Degenerate bucketing (everything in one bucket) still produces the
+    correct global row numbers."""
+    from al_drift_detection_spark.operators.windows import global_cumulative
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, v double")
+    out = global_cumulative(
+        df, bucket=F.lit(0), order_cols=["v"], row_number_col="rn"
+    ).toPandas().sort_values("v")
+    assert out["rn"].tolist() == list(range(1, 101))

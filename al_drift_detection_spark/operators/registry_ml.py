@@ -222,6 +222,140 @@ def q_psi_fixed_bins(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q_ks_pvalue",
+    """
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS r,
+             CASE WHEN event_id % 2 = 1 THEN 1.0 ELSE 0.0 END AS c
+      FROM events
+    ),
+    tot AS (SELECT sum(r) AS nr, sum(c) AS nc FROM s),
+    e AS (
+      SELECT sum(r) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+             sum(c) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM s
+    ),
+    d AS (SELECT max(abs(cr / nr - cc / nc)) AS ks FROM e, tot),
+    lam AS (
+      SELECT ks,
+             (sqrt(nr * nc / (nr + nc)) + 0.12 + 0.11 / sqrt(nr * nc / (nr + nc))) * ks AS l
+      FROM d, tot
+    )
+    SELECT round(ks, 6) AS ks_stat,
+           round(least(greatest(
+             2 * sum(CASE WHEN k % 2 = 1 THEN 1 ELSE -1 END * exp(-2 * k * k * l * l)),
+             0), 1), 6) AS p_value
+    FROM lam, range(1, 101) AS t(k)
+    GROUP BY ks, l
+    """,
+    "full KS kernel cross-engine: statistic (merged-ECDF sup) + ASYMPTOTIC "
+    "p-value (Kolmogorov survival series, NR small-sample correction — the "
+    "exact formula kernels.kolmogorov_sf implements) re-derived relationally "
+    "in both engines; north_star requires drift p-value outputs verified",
+)
+def q_ks_pvalue(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.operators.windows import global_cumulative
+
+    s = _t(spark, sf, "events").select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_id") % 2 == 0, 1.0).otherwise(0.0).alias("r"),
+        F.when(F.col("event_id") % 2 == 1, 1.0).otherwise(0.0).alias("c"),
+    )
+    tot = s.agg(F.sum("r").alias("nr"), F.sum("c").alias("nc"))
+    e = global_cumulative(
+        s, bucket=F.floor(F.col("v") / 10), order_cols=["v"], sums={"cr": "r", "cc": "c"}
+    ).select("cr", "cc")
+    d = (
+        e.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(F.abs(F.col("cr") / F.col("nr") - F.col("cc") / F.col("nc"))).alias("ks"),
+            F.first("nr").alias("nr"),
+            F.first("nc").alias("nc"),
+        )
+    )
+    ne = F.sqrt(F.col("nr") * F.col("nc") / (F.col("nr") + F.col("nc")))
+    lam = d.select("ks", ((ne + 0.12 + 0.11 / ne) * F.col("ks")).alias("l"))
+    series = lam.select(
+        "ks", "l", F.explode(F.sequence(F.lit(1), F.lit(100))).alias("k")
+    )
+    term = (
+        F.when(F.col("k") % 2 == 1, 1).otherwise(-1)
+        * F.exp(-2 * F.col("k") * F.col("k") * F.col("l") * F.col("l"))
+    )
+    return series.groupBy("ks", "l").agg(
+        F.round(F.col("ks"), 6).alias("ks_stat"),
+        F.round(F.least(F.greatest(2 * F.sum(term), F.lit(0.0)), F.lit(1.0)), 6).alias(
+            "p_value"
+        ),
+    ).select("ks_stat", "p_value")
+
+
+@register(
+    "q_mmd_rbf",
+    """
+    WITH r AS (SELECT event_id AS i, value AS x FROM events WHERE event_id < 400 AND event_id % 2 = 0),
+    c AS (SELECT event_id AS i, value AS x FROM events WHERE event_id < 400 AND event_id % 2 = 1),
+    kxx AS (
+      SELECT sum(exp(-0.001 * (a.x - b.x) * (a.x - b.x))) / (count(*)) AS term
+      FROM r a JOIN r b ON a.i <> b.i
+    ),
+    kyy AS (
+      SELECT sum(exp(-0.001 * (a.x - b.x) * (a.x - b.x))) / (count(*)) AS term
+      FROM c a JOIN c b ON a.i <> b.i
+    ),
+    kxy AS (
+      SELECT avg(exp(-0.001 * (a.x - b.x) * (a.x - b.x))) AS term
+      FROM r a, c b
+    )
+    SELECT round(kxx.term + kyy.term - 2 * kxy.term, 6) AS mmd2
+    FROM kxx, kyy, kxy
+    """,
+    "unbiased MMD²-RBF cross-engine (the third north_star kernel): exact "
+    "pairwise Gram sums via self-joins on a BOUNDED sample (200 ref / 200 "
+    "cur rows, fixed gamma — the median heuristic is data-dependent and "
+    "belongs to the vectorized kernel), diagonal excluded per the unbiased "
+    "estimator; oracle twin of kernels.mmd_rbf (pytest-verified vs numpy)",
+)
+def q_mmd_rbf(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 400)
+    r = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("i"), F.col("value").alias("x")
+    )
+    c = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("i"), F.col("value").alias("x")
+    )
+    gamma = 0.001
+
+    def gram_offdiag(df):
+        a, b = df.alias("a"), df.alias("b")
+        k = F.exp(-gamma * (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")))
+        return (
+            a.join(b, F.col("a.i") != F.col("b.i"))
+            .agg((F.sum(k) / F.count(F.lit(1))).alias("term"))
+        )
+
+    kxy = (
+        r.alias("a").crossJoin(c.alias("b"))
+        .agg(
+            F.avg(
+                F.exp(-gamma * (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")))
+            ).alias("term")
+        )
+    )
+    kxx, kyy = gram_offdiag(r), gram_offdiag(c)
+    return (
+        kxx.crossJoin(kyy.withColumnRenamed("term", "term_y"))
+        .crossJoin(kxy.withColumnRenamed("term", "term_xy"))
+        .select(
+            F.round(
+                F.col("term") + F.col("term_y") - 2 * F.col("term_xy"), 6
+            ).alias("mmd2")
+        )
+    )
+
+
 # =====================================================================
 # Dedup / text / similarity (training-data pipeline operators)
 # =====================================================================

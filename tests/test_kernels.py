@@ -124,3 +124,30 @@ def test_subsample_deterministic_and_bounded():
     assert len(s1) == 100
     assert np.array_equal(s1, s2)
     assert s1[0] == 0.0 and s1[-1] == 9999.0
+
+
+def test_relational_kernels_match_numpy(spark):
+    """Close the verification triangle: the RELATIONAL q_ks_pvalue / q_mmd_rbf
+    (already hash-checked vs DuckDB) must equal the NUMPY kernels on the same
+    split of the events fixture."""
+    import numpy as np
+
+    from al_drift_detection_spark.kernels import ks_2samp, mmd_rbf
+    from al_drift_detection_spark.operators import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("event_id", "value").toPandas()
+    r = ev[ev["event_id"] % 2 == 0]["value"].to_numpy(np.float64)
+    c = ev[ev["event_id"] % 2 == 1]["value"].to_numpy(np.float64)
+
+    got = REGISTRY["q_ks_pvalue"].fn(spark, sf).first()
+    d, p = ks_2samp(r, c)
+    assert got["ks_stat"] == pytest.approx(d, abs=1e-6)
+    assert got["p_value"] == pytest.approx(p, abs=1e-6)
+
+    small = ev[ev["event_id"] < 400]
+    r2 = small[small["event_id"] % 2 == 0]["value"].to_numpy(np.float64)
+    c2 = small[small["event_id"] % 2 == 1]["value"].to_numpy(np.float64)
+    got2 = REGISTRY["q_mmd_rbf"].fn(spark, sf).first()
+    exp2 = mmd_rbf(r2, c2, gamma=0.001, max_n=10_000)  # no subsample
+    assert got2["mmd2"] == pytest.approx(exp2, abs=1e-6)

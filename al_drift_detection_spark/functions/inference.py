@@ -45,7 +45,6 @@ def batch_score(
     """Score every row with the frozen linear model: one matmul per Arrow
     batch → (id[, label], label_pred, score). Ties break to the lowest class
     index (numpy argmax), matching the oracle's ordered CASE."""
-    dim = None  # inferred from the first batch
     keep_label = label_col is not None and label_col in df.columns
     schema = f"{id_col} long" + (f", {label_col} int" if keep_label else "")
     schema += ", label_pred int, score double"

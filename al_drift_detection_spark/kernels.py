@@ -24,12 +24,25 @@ def kolmogorov_sf(lam: float, terms: int = 101) -> float:
     """Kolmogorov distribution survival function Q(λ) = 2 Σ_{k≥1} (−1)^{k−1} e^{−2k²λ²}.
 
     Matches scipy.stats.kstwobign.sf; the standard asymptotic two-sided KS
-    p-value (Press et al., Numerical Recipes §14.3).
+    p-value (Press et al., Numerical Recipes §14.3). The alternating series
+    converges slowly for small λ (a 101-term truncation leaves ~1e-9 error
+    and even breaks monotonicity — caught by the hypothesis property test),
+    so λ < 1 uses the Jacobi-theta dual form
+    Q = 1 − (√(2π)/λ) Σ_{k≥1} e^{−(2k−1)²π²/(8λ²)}, which converges in a
+    couple of terms there; the two branches agree to ~1e-15 at the switch.
     """
-    if lam <= 0.0:
+    if lam < 0.05:
+        # Q(0.05) = 1 − √(2π)/λ·e^{−π²/(8λ²)} ≈ 1 − 1e−212: exactly 1.0 in
+        # float64, and √(2π)/λ overflows for denormal λ — short-circuit
         return 1.0
     k = np.arange(1, terms, dtype=np.float64)
-    s = 2.0 * np.sum((-1.0) ** (k - 1) * np.exp(-2.0 * (k * lam) ** 2))
+    if lam < 1.0:
+        cdf = (np.sqrt(2.0 * np.pi) / lam) * np.sum(
+            np.exp(-((2.0 * k - 1.0) ** 2) * np.pi**2 / (8.0 * lam**2))
+        )
+        s = 1.0 - cdf
+    else:
+        s = 2.0 * np.sum((-1.0) ** (k - 1) * np.exp(-2.0 * (k * lam) ** 2))
     return float(min(max(s, 0.0), 1.0))
 
 

@@ -38,8 +38,14 @@ def global_cumulative(
 
     sums: {out_col: in_col} running sums over the global order (RANGE frame —
     ties share the cumulative value, matching SQL RANGE BETWEEN UNBOUNDED
-    PRECEDING AND CURRENT ROW). row_number_col: 1-based global row number
-    (ROWS frame, ties broken by order_cols which must be unique).
+    PRECEDING AND CURRENT ROW; requires a single numeric order col).
+    row_number_col: 1-based global row number (ROWS frame, ties broken by
+    order_cols which must be unique).
+
+    Order keys (and therefore buckets) must be NON-NULL: a null bucket never
+    equi-joins its offset row, which would silently drop those rows — filter
+    or coalesce nulls upstream (a null order key has no defined global
+    position anyway).
     """
     sums = sums or {}
     d = df.withColumn("_bkt", bucket.cast("long"))

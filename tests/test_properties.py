@@ -1,0 +1,111 @@
+"""Property-based hardening (hypothesis): kernel invariants that must hold
+for ANY input, and union-find vs an independent reachability oracle on random
+graphs. Pure-numpy/driver properties — no Spark session needed, so these run
+in milliseconds and catch boundary inputs the fixtures never produce."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from al_drift_detection_spark.kernels import kolmogorov_sf, ks_2samp, mmd_rbf, psi
+
+floats = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False)
+samples = st.lists(floats, min_size=0, max_size=200)
+
+
+@given(samples, samples)
+@settings(max_examples=60, deadline=None)
+def test_ks_bounds_and_symmetry(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    d, p = ks_2samp(a, b)
+    assert 0.0 <= d <= 1.0 and 0.0 <= p <= 1.0
+    d2, p2 = ks_2samp(b, a)  # two-sided KS is symmetric
+    assert d == d2 and p == p2
+
+
+@given(st.lists(floats, min_size=1, max_size=200))
+@settings(max_examples=40, deadline=None)
+def test_ks_identical_samples_is_zero(a):
+    d, p = ks_2samp(np.asarray(a), np.asarray(a))
+    assert d == 0.0 and p == 1.0
+
+
+@given(st.floats(min_value=0.0, max_value=10.0))
+@settings(max_examples=50, deadline=None)
+def test_kolmogorov_sf_monotone_and_bounded(lam):
+    p = kolmogorov_sf(lam)
+    assert 0.0 <= p <= 1.0
+    assert kolmogorov_sf(lam + 0.1) <= p + 1e-12  # survival fn is decreasing
+
+
+@given(samples, samples)
+@settings(max_examples=60, deadline=None)
+def test_psi_finite_and_zero_on_identical(a, b):
+    v = psi(np.asarray(a), np.asarray(b))
+    assert np.isfinite(v)
+    if len(a) > 0:
+        assert psi(np.asarray(a), np.asarray(a)) == 0.0 or len(set(a)) <= 2
+
+
+@given(st.lists(floats, min_size=2, max_size=100), st.lists(floats, min_size=2, max_size=100))
+@settings(max_examples=40, deadline=None)
+def test_mmd_symmetric_and_near_zero_on_identical(a, b):
+    x, y = np.asarray(a), np.asarray(b)
+    assert np.isfinite(mmd_rbf(x, y))
+    # unbiased estimator on identical samples concentrates near 0
+    m = mmd_rbf(x, x)
+    assert m <= 1e-9
+
+
+# ---- union-find (dedup_clusters driver path) vs reachability oracle ----
+def _reference_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Independent O(n·m) reachability: repeatedly relax labels to min."""
+    lbl = {i: i for i in range(n_nodes)}
+    for _ in range(n_nodes):
+        changed = False
+        for a, b in edges:
+            m = min(lbl[a], lbl[b])
+            if lbl[a] != m or lbl[b] != m:
+                lbl[a] = lbl[b] = m
+                changed = True
+        if not changed:
+            break
+    return lbl
+
+
+@given(
+    st.integers(min_value=1, max_value=30),
+    st.lists(st.tuples(st.integers(0, 29), st.integers(0, 29)), max_size=60),
+)
+@settings(max_examples=60, deadline=None)
+def test_union_find_matches_reachability(n, raw_edges):
+    edges = [(a % n, b % n) for a, b in raw_edges if a % n != b % n]
+    # the same union-find used by dedup_clusters' driver path
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp: dict = {}
+    for x in set(parent) | {find(x) for x in parent}:
+        comp.setdefault(find(x), set()).add(x)
+    canon = {}
+    for root, members in comp.items():
+        members.add(root)
+        m = min(members)
+        for x in members:
+            canon[x] = m
+    expected = _reference_components(n, edges)
+    for x in range(n):
+        assert canon.get(x, x) == expected[x]

@@ -173,6 +173,36 @@ def q_sequence_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_sequence_checksum",
+    """
+    SELECT event_id,
+           round(coalesce(lag(value, 5) OVER w, 0) + coalesce(lag(value, 4) OVER w, 0)
+               + coalesce(lag(value, 3) OVER w, 0) + coalesce(lag(value, 2) OVER w, 0)
+               + coalesce(lag(value, 1) OVER w, 0) + value, 4) AS feat_sum,
+           round(coalesce(lead(value) OVER w, -1), 4) AS target
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "oracle twin of q_sequence_features (W2, ref gan.py:348-385): the lag-"
+    "array construction cross-checked via a scalar checksum (sum of the "
+    "zero-padded k=5 feature window) + the lead target — array-valued "
+    "outputs don't hash stably across engines, scalars do",
+)
+def q_sequence_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.operators.windows import sequence_features
+
+    feats = sequence_features(
+        _t(spark, sf, "events"), group_col="user_id",
+        order_cols=["ts", "event_id"], value_col="value", k=5,
+    )
+    return feats.select(
+        "event_id",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 4).alias("feat_sum"),
+        F.round(F.coalesce(F.col("target"), F.lit(-1.0)), 4).alias("target"),
+    )
+
+
+@register(
     "q_drift_regimes",
     None,
     "drift-regime identity (ref gan.py:785-811, golden drifts_set1.txt): "

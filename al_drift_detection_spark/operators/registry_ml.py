@@ -569,10 +569,33 @@ def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return T.fingerprint(_t(spark, sf, "documents"))
 
 
+def _langid_oracle() -> str:
+    from al_drift_detection_spark.functions.text import LANG_STOPWORDS
+
+    langs = list(LANG_STOPWORDS)
+    score_cols = ", ".join(
+        f"len(list_intersect(toks, [{', '.join(repr(w) for w in ws)}])) AS score_{g}"
+        for g, ws in LANG_STOPWORDS.items()
+    )
+    best = f"greatest({', '.join(f'score_{g}' for g in langs)})"
+    cases = " ".join(f"WHEN score_{g} = {best} THEN '{g}'" for g in langs)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+    ),
+    s AS (SELECT doc_id, {score_cols} FROM t)
+    SELECT doc_id,
+           CASE WHEN {best} = 0 THEN 'und' {cases} END AS lang_pred
+    FROM s
+    """
+
+
 @register(
     "q_langid",
-    None,
-    "stopword-overlap language-ID heuristic (pure array built-ins)",
+    _langid_oracle(),
+    "stopword-overlap language-ID heuristic (pure array built-ins: "
+    "array_intersect scores + first-wins argmax cascade); oracle generated "
+    "from the SAME LANG_STOPWORDS table via DuckDB list_intersect",
 )
 def q_langid(spark: SparkSession, sf: str) -> DataFrame:
     return T.langid(_t(spark, sf, "documents"))

@@ -130,8 +130,10 @@ def main() -> None:
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # images table sized to SF: sf0.1 → 100k rows
-    n_images = max(2000, int(float(sf) * 1_000_000))
+    # images table sized to SF: sf0.1 → 1M rows. At 100k rows the full pass
+    # is fixed-job-overhead-dominated (~11k rows/s); at 1M the number
+    # reflects the engine (cf. 10M-row run: 84.7k rows/s, BASELINE.md)
+    n_images = max(2000, int(float(sf) * 10_000_000))
     images_path = f"/tmp/bench_images_{n_images}"
     ensure_images(spark, n_images, images_path)
 

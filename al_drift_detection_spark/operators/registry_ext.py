@@ -229,6 +229,20 @@ def q_drift_regimes(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_regime_segments",
+    None,
+    "consecutive same-regime windows collapsed into segments — the verdict "
+    "unit the reference emits ('2 segments over 4 orbits', "
+    "logs/gan/log_set1.txt:30-31, gan.py:806-811); composes the (driver-"
+    "stateful) regime assignment, so no ANSI oracle — golden-tested",
+)
+def q_regime_segments(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.regimes import regime_segments
+
+    return regime_segments(q_drift_regimes(spark, sf))
+
+
+@register(
     "q_ivf_topk",
     None,
     "IVF-style ANN: seeded spherical k-means trains the cell centroids "

@@ -450,6 +450,40 @@ def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return brute_force_topk(emb.filter(F.col("vec_id") > 0), qvec, k=10)
 
 
+@register(
+    "q_topk_per_query",
+    """
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < 3
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 4) AS cos
+      FROM embeddings e, q
+      WHERE e.vec_id >= 3
+    )
+    SELECT * FROM (
+      SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    "batch top-k per query: broadcast the (small) query set, score all "
+    "pairs JVM-side, window top-k per query — the corpus never shuffles "
+    "pre-ranking (similarity.topk_per_query)",
+)
+def q_topk_per_query(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.similarity import topk_per_query
+
+    emb = _t(spark, sf, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return topk_per_query(emb.filter(F.col("vec_id") >= 3), queries, k=5)
+
+
 # ---- rows-only entries (not ANSI-SQL-expressible; driver records weaker check)
 @register(
     "q_minhash_lsh_pairs",

@@ -35,6 +35,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from al_drift_detection_spark.kernels import ks_2samp, subsample
 
@@ -172,3 +173,38 @@ def catalog_from_df(df: DataFrame) -> dict[int, dict[str, np.ndarray]]:
             r["sketch"], dtype=np.float64
         )
     return out
+
+
+def regime_segments(
+    regimes: DataFrame,
+    window_col: str = "window_id",
+) -> DataFrame:
+    """Collapse consecutive same-regime windows into SEGMENTS — the unit the
+    reference actually emits ("{i}/{n} orbits {a} - {b} ({k}) -- drift {d}",
+    /root/reference/gan.py:806-811; golden log: "2 segments over 4 orbits",
+    logs/gan/log_set1.txt:30-31).
+
+    Input is the already-reduced window-verdict table (O(windows) tiny rows),
+    so the global-order window here is cheap by construction — this operator
+    never sees raw data. Output: (segment_id, regime_id, window_start,
+    window_end, n_windows) ordered by segment.
+    """
+    w = Window.orderBy(window_col)
+    run = Window.orderBy(window_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("regime_id").over(w)
+    flagged = regimes.select(
+        window_col,
+        "regime_id",
+        F.when(prev.isNull() | (prev != F.col("regime_id")), 1).otherwise(0).alias("_new"),
+    )
+    seg = flagged.withColumn("segment_id", F.sum("_new").over(run))
+    return (
+        seg.groupBy("segment_id")
+        .agg(
+            F.min("regime_id").alias("regime_id"),
+            F.min(window_col).alias("window_start"),
+            F.max(window_col).alias("window_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .orderBy("segment_id")
+    )

@@ -131,7 +131,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.resume and os.path.exists(f"{args.out}/regime_catalog"):
             catalog = catalog_from_df(spark.read.parquet(f"{args.out}/regime_catalog"))
         regimes = assign_drift_regimes(images_full, ["w", "h"], samples, catalog=catalog)
+        regimes = regimes.cache()
         regimes.orderBy("window_id").write.mode("overwrite").parquet(f"{args.out}/regimes")
+        from al_drift_detection_spark.regimes import regime_segments
+
+        regime_segments(regimes).write.mode("overwrite").parquet(
+            f"{args.out}/regime_segments"
+        )
         # persist the regime catalog next to the checkpoint so a resumed run
         # recognises previously-seen regimes instead of re-minting ids
         catalog_to_df(spark, catalog).write.mode("overwrite").parquet(

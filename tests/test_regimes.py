@@ -105,6 +105,11 @@ def test_runner_regimes_surface(spark, tmp_path_factory):
     assert (reg[reg["window_id"] < 2]["regime_id"] == 1).all()
     cat = spark.read.parquet(f"{out}/regime_catalog").toPandas()
     assert set(cat["regime_id"]) == set(reg["regime_id"])
+    # the segment verdict table: clean head segment + one drifted segment
+    segs = spark.read.parquet(f"{out}/regime_segments").toPandas().sort_values("segment_id")
+    assert segs[["regime_id", "window_start", "window_end"]].values.tolist() == [
+        [1, 0, 3], [2, 4, 5],
+    ]
 
     # resumed run reloads the catalog: no new ids minted on identical data
     assert runner.main(args + ["--resume"]) == 0

@@ -173,6 +173,47 @@ def q_sequence_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_salted_agg",
+    """
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "salted two-level aggregation over a skewed low-cardinality key "
+    "(north_star: 'skew on fmt/size handled via salted repartitioning'): "
+    "level 1 fans each hot key over 16 salt reducers, level 2 merges the "
+    "partials — the oracle is the PLAIN group-by, proving the salted "
+    "rewrite is semantics-preserving (skew.salted_agg)",
+)
+def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.skew import salted_agg
+
+    li = _t(spark, sf, "lineitem")
+    out = salted_agg(
+        li,
+        group_cols=["l_returnflag"],
+        aggs={
+            "sum_qty": F.sum("l_quantity"),
+            "n": F.count(F.lit(1)),
+            "min_price": F.min("l_extendedprice"),
+            "max_price": F.max("l_extendedprice"),
+        },
+        row_key="l_orderkey",
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.col("n").cast("long").alias("n"),
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+@register(
     "q_sequence_checksum",
     """
     SELECT event_id,

@@ -685,6 +685,54 @@ def q_image_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_image_resize",
+    None,
+    "multimodal resize path: block-mean thumbnail per image over binary "
+    "blobs, one mapInPandas Arrow batch at a time (the Image.resize slot in "
+    "a PIL-backed deployment; plumbing + batch shape real, kernel "
+    "self-contained — no imaging lib in this container)",
+)
+def q_image_resize(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.datagen import generate_images
+    from al_drift_detection_spark.functions.multimodal import resize_images
+
+    return resize_images(generate_images(spark, 1000, rows_per_window=500))
+
+
+@register(
+    "q_video_frames",
+    None,
+    "multimodal fan-out dataflow: one media row in -> N frame rows out via "
+    "mapInPandas (frame sampler is a documented deterministic stub; the "
+    "schema/batching/fan-out shape is the real operator)",
+)
+def q_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.datagen import generate_images
+    from al_drift_detection_spark.functions.multimodal import video_frame_sample
+
+    media = generate_images(spark, 200, rows_per_window=100).select(
+        F.col("image_id").alias("media_id"), "bytes"
+    )
+    return video_frame_sample(media)
+
+
+@register(
+    "q_cosine_neardup_pairs",
+    None,
+    "embedding-cosine near-duplicate pairs: hyperplane-LSH buckets -> "
+    "bucket-local self-join -> exact cosine filter (signatures persisted, "
+    "computed once); pandas-UDF signatures -> no SQL oracle, pytest-pinned",
+)
+def q_cosine_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    # the synthetic embeddings are near-orthogonal, so the "near-dup"
+    # threshold is set low enough to emit a non-degenerate pair set
+    return cosine_near_dup_pairs(emb, dim=64, threshold=0.25, n_planes=6)
+
+
+@register(
     "q_validation_verdicts",
     None,
     "full constraint-suite verdicts on the synthetic images fixture "

@@ -240,59 +240,33 @@ class CheckSuite:
                     f"stack({len(row_checks)}, {stack_args}) as (check_name, n_violations, threshold)",
                 ).select(part, "check_name", "n_violations", "n_rows", "threshold")
             )
-        # unique: n_violations per part = rows whose key occurs >1 time
-        # ANYWHERE (all copies count, matching the violation-rows contract).
-        # One global groupBy(key) finds dup keys; a broadcast join back counts
-        # each row exactly once — no local/cross double counting for keys
-        # duplicated both within and across partitions, and n_violations can
-        # never exceed n_rows.
+        # unique / referential: the offending-row frames are MATERIALIZED
+        # ONCE (persist) and feed BOTH the verdict counts (uncapped groupBy)
+        # and the violation-row samples — without sharing, run() and
+        # violation_rows() would each re-run the global dup-key groupBy and
+        # the broadcast anti-join (two extra full-table scans per check).
+        # Count semantics: every row whose key occurs >1 time ANYWHERE counts
+        # once (all copies; never exceeds n_rows; no local/cross double
+        # counting for keys duplicated both within and across partitions).
+        table_rows: dict[str, DataFrame] = {}
         for chk in self.checks:
-            if chk.kind != "unique":
+            if chk.kind == "unique":
+                frame = self._dup_rows(df, chk).persist()
+            elif chk.kind == "referential":
+                if ref is None:
+                    raise ValueError(f"check {chk.name} needs a reference DataFrame")
+                frame = self._miss_rows(df, ref, chk).persist()
+            else:
                 continue
-            key = chk.column
-            dup_keys = (
-                df.groupBy(key)
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .filter(F.col("_n") > 1)
-                .select(key)
-            )
-            dup_per_part = (
-                df.select(part, key)
-                .join(F.broadcast(dup_keys), key)
-                .groupBy(part)
-                .agg(F.count(F.lit(1)).alias("_dups"))
-            )
+            table_rows[chk.name] = frame
+            per_part = frame.groupBy(part).agg(F.count(F.lit(1)).alias("_viol"))
             verdict_rows.append(
                 counts.select(part, "n_rows")
-                .join(dup_per_part, part, "left")
+                .join(per_part, part, "left")
                 .select(
                     F.col(part),
                     F.lit(chk.name).alias("check_name"),
-                    F.coalesce(F.col("_dups"), F.lit(0)).alias("n_violations"),
-                    F.col("n_rows"),
-                    F.lit(chk.max_violation_ratio).alias("threshold"),
-                )
-            )
-        # referential: broadcast anti join, count misses per part
-        for chk in self.checks:
-            if chk.kind != "referential":
-                continue
-            refcol = chk.params["ref_column"]
-            if ref is None:
-                raise ValueError(f"check {chk.name} needs a reference DataFrame")
-            misses = (
-                df.select(part, F.col(chk.column).alias(refcol))
-                .join(F.broadcast(ref.select(refcol).distinct()), refcol, "left_anti")
-                .groupBy(part)
-                .agg(F.count(F.lit(1)).alias("_misses"))
-            )
-            verdict_rows.append(
-                counts.select(part, "n_rows")
-                .join(misses, part, "left")
-                .select(
-                    F.col(part),
-                    F.lit(chk.name).alias("check_name"),
-                    F.coalesce(F.col("_misses"), F.lit(0)).alias("n_violations"),
+                    F.coalesce(F.col("_viol"), F.lit(0)).alias("n_violations"),
                     F.col("n_rows"),
                     F.lit(chk.max_violation_ratio).alias("threshold"),
                 )
@@ -308,7 +282,7 @@ class CheckSuite:
             ).otherwise(F.lit("fail")),
         )
 
-        violations = self.violation_rows(df, ref)
+        violations = self.violation_rows(df, ref, table_rows)
 
         stats_long = None
         if self.numeric_stat_cols or self.id_stat_cols:
@@ -317,12 +291,59 @@ class CheckSuite:
 
         return ValidationResult(verdicts=verdicts, violations=violations, stats=stats_long)
 
-    def violation_rows(self, df: DataFrame, ref: DataFrame | None = None) -> DataFrame:
+    def _dup_rows(self, df: DataFrame, chk: Check) -> DataFrame:
+        """All rows whose key occurs >1 time anywhere, in violation-row shape
+        (one global groupBy(key) + one broadcast join-back)."""
+        part, rid, key = self.part_col, self.row_id_col, chk.column
+        dup_keys = (
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .select(key)
+        )
+        return (
+            df.select(part, rid, key)
+            .join(F.broadcast(dup_keys), key)
+            .select(
+                part,
+                F.col(rid).alias("row_id"),
+                F.lit(chk.name).alias("check_name"),
+                F.lit(key).alias("column"),
+                F.col(key).cast("string").alias("observed"),
+                F.lit(chk.expected_desc()).alias("expected"),
+            )
+        )
+
+    def _miss_rows(self, df: DataFrame, ref: DataFrame, chk: Check) -> DataFrame:
+        """Referential misses in violation-row shape (broadcast anti join)."""
+        part, rid = self.part_col, self.row_id_col
+        refcol = chk.params["ref_column"]
+        return (
+            df.select(part, rid, F.col(chk.column).alias(refcol))
+            .join(F.broadcast(ref.select(refcol).distinct()), refcol, "left_anti")
+            .select(
+                part,
+                F.col(rid).alias("row_id"),
+                F.lit(chk.name).alias("check_name"),
+                F.lit(chk.column).alias("column"),
+                F.col(refcol).cast("string").alias("observed"),
+                F.lit(chk.expected_desc()).alias("expected"),
+            )
+        )
+
+    def violation_rows(
+        self,
+        df: DataFrame,
+        ref: DataFrame | None = None,
+        table_rows: dict[str, DataFrame] | None = None,
+    ) -> DataFrame:
         """ONE scan → capped per-(part, check) violation-row samples.
 
         Builds an array of failed-check structs per row, filters to rows with
         ≥1 failure (pushes down — passing rows never shuffle), explodes, and
         caps with a row_number window over only the violating rows.
+        table_rows: per-check precomputed dup/miss frames from run() — reused
+        so the global groupBys/anti-joins execute once, not twice.
         """
         part, rid = self.part_col, self.row_id_col
         structs = [
@@ -352,49 +373,17 @@ class CheckSuite:
                     F.col("f.expected"),
                 )
             )
-        # duplicate-key rows become violation rows (rows whose key occurs >1
-        # time anywhere); the duplicate-key set is small → broadcast join back
-        for chk in self.checks:
-            if chk.kind != "unique":
-                continue
-            key = chk.column
-            dup_keys = (
-                df.groupBy(key)
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .filter(F.col("_n") > 1)
-                .select(key)
-            )
-            dup_rows = (
-                df.select(part, rid, key)
-                .join(F.broadcast(dup_keys), key)
-                .select(
-                    part,
-                    F.col(rid).alias("row_id"),
-                    F.lit(chk.name).alias("check_name"),
-                    F.lit(key).alias("column"),
-                    F.col(key).cast("string").alias("observed"),
-                    F.lit(chk.expected_desc()).alias("expected"),
-                )
-            )
-            base = dup_rows if base is None else base.unionByName(dup_rows)
-        # referential misses become violation rows too
-        for chk in self.checks:
-            if chk.kind != "referential" or ref is None:
-                continue
-            refcol = chk.params["ref_column"]
-            miss_rows = (
-                df.select(part, rid, F.col(chk.column).alias(refcol))
-                .join(F.broadcast(ref.select(refcol).distinct()), refcol, "left_anti")
-                .select(
-                    part,
-                    F.col(rid).alias("row_id"),
-                    F.lit(chk.name).alias("check_name"),
-                    F.lit(chk.column).alias("column"),
-                    F.col(refcol).cast("string").alias("observed"),
-                    F.lit(chk.expected_desc()).alias("expected"),
-                )
-            )
-            base = miss_rows if base is None else base.unionByName(miss_rows)
+        # duplicate-key / referential-miss rows (shared with run()'s verdict
+        # counts when table_rows is passed; recomputed standalone otherwise)
+        if table_rows is None:
+            table_rows = {}
+            for chk in self.checks:
+                if chk.kind == "unique":
+                    table_rows[chk.name] = self._dup_rows(df, chk)
+                elif chk.kind == "referential" and ref is not None:
+                    table_rows[chk.name] = self._miss_rows(df, ref, chk)
+        for frame in table_rows.values():
+            base = frame if base is None else base.unionByName(frame)
         from pyspark.sql.window import Window
 
         if base is None:  # suite with no violation-producing checks

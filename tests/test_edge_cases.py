@@ -82,3 +82,30 @@ def test_global_cumulative_single_bucket(spark):
         df, bucket=F.lit(0), order_cols=["v"], row_number_col="rn"
     ).toPandas().sort_values("v")
     assert out["rn"].tolist() == list(range(1, 101))
+
+
+def test_read_orbit_csvs_filename_derivation(spark, tmp_path_factory):
+    """S1-S3: multi-file CSV scan derives ORBIT from df_<N>.csv names when
+    the column is absent, drops null rows, and unions all files in one scan
+    (ref util.py:37-58, 53-55)."""
+    from al_drift_detection_spark.sources import read_orbit_csvs
+
+    d = tmp_path_factory.mktemp("orbits")
+    (d / "df_233.csv").write_text("DATE,BX\n2024-01-01 00:00:00,1.5\n2024-01-01 00:00:01,2.5\n")
+    (d / "df_380.csv").write_text("DATE,BX\n2024-01-02 00:00:00,3.5\n,\n")  # null row dropped
+    df = read_orbit_csvs(spark, f"{d}/df_*.csv", "DATE timestamp, BX double")
+    got = df.toPandas().sort_values(["ORBIT", "BX"])
+    assert got["ORBIT"].tolist() == [233, 233, 380]
+    assert got["BX"].tolist() == [1.5, 2.5, 3.5]
+
+
+def test_decode_audio_stub_deterministic():
+    from al_drift_detection_spark.functions.multimodal import decode_audio_stub
+
+    a = decode_audio_stub(b"\x00\x80\xff" * 400)
+    b = decode_audio_stub(b"\x00\x80\xff" * 400)
+    import numpy as np
+
+    assert np.array_equal(a, b)
+    assert a.dtype == np.float32 and len(a) == 1024
+    assert float(a.min()) >= -1.0 and float(a.max()) <= 1.0

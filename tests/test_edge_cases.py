@@ -109,3 +109,29 @@ def test_decode_audio_stub_deterministic():
     assert np.array_equal(a, b)
     assert a.dtype == np.float32 and len(a) == 1024
     assert float(a.min()) >= -1.0 and float(a.max()) <= 1.0
+
+
+def test_predicate_check_cross_column(spark):
+    """Free-form SQL predicate constraints (the most general check kind):
+    cross-column expression, coded AND via the JSON config path."""
+    rows = [
+        (0, "a", 10, 100), (0, "b", 10, 5),   # b violates w <= h * 10? 10 <= 50 ok
+        (1, "c", 200, 10), (1, "d", 5, 100),  # c violates (200 > 100)
+    ]
+    df = spark.createDataFrame(rows, "part int, image_id string, w int, h int")
+    suite = S.CheckSuite(
+        [S.predicate("w_le_10h", "w <= h * 10", column="w")],
+        part_col="part",
+    )
+    res = suite.run(df)
+    verd = {r["part"]: (r["verdict"], r["n_violations"]) for r in res.verdicts.collect()}
+    assert verd == {0: ("pass", 0), 1: ("fail", 1)}
+    viol = res.violations.toPandas()
+    assert viol["row_id"].tolist() == ["c"]
+    assert viol["observed"].tolist() == ["200"]
+
+    cfg = {"part_col": "part", "checks": [
+        {"kind": "predicate", "name": "w_le_10h", "expr": "w <= h * 10", "column": "w"}
+    ]}
+    res2 = S.suite_from_config(cfg).run(df)
+    assert {r["part"]: r["n_violations"] for r in res2.verdicts.collect()} == {0: 0, 1: 1}

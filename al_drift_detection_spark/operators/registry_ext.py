@@ -173,6 +173,53 @@ def q_sequence_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_split_assignment",
+    """
+    WITH g AS (SELECT vec_id // 20 AS grp, label FROM embeddings),
+    cnt AS (SELECT grp, label, count(*)::DOUBLE AS n FROM g GROUP BY 1, 2),
+    ent AS (
+      SELECT grp, sum(-(n / t) * ln(n / t)) AS entropy
+      FROM (SELECT grp, n, sum(n) OVER (PARTITION BY grp) AS t FROM cnt)
+      GROUP BY grp
+    ),
+    gs AS (SELECT grp, entropy, grp % 3 AS drift FROM ent),
+    staged AS (
+      SELECT grp, drift, entropy,
+             greatest(count(*) OVER (PARTITION BY drift) // 5, 1) AS _take,
+             row_number() OVER (PARTITION BY drift ORDER BY grp) AS _pos
+      FROM gs
+    ),
+    staged2 AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY drift, (_pos > 2 * _take)
+                                ORDER BY round(entropy, 9) DESC, grp) AS _rest_rank
+      FROM staged
+    )
+    SELECT grp, drift, round(entropy, 6) AS entropy,
+           CASE WHEN _pos <= _take THEN 'test'
+                WHEN _pos <= 2 * _take THEN 'valid'
+                WHEN _rest_rank <= 8 THEN 'train'
+                ELSE 'unused' END AS split
+    FROM staged2
+    """,
+    "dataset split assembly (SURVEY §3.2 steps 3-4, ref cnn.py:503-560): "
+    "per-drift 20%%-or-1 test (M5), next-block valid (M3 made "
+    "deterministic), entropy-top-k train (A5+W6) — one composed operator, "
+    "full DuckDB oracle",
+)
+def q_split_assignment(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.operators.splits import split_assignment
+
+    emb = _t(spark, sf, "embeddings").select(
+        F.floor(F.col("vec_id") / 20).alias("grp"), "label"
+    )
+    drift_map = emb.select("grp").distinct().select(
+        "grp", (F.col("grp") % 3).alias("drift")
+    )
+    return split_assignment(emb, drift_map, max_orbits=8)
+
+
+@register(
     "q_salted_agg",
     """
     SELECT l_returnflag,

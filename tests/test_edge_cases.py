@@ -135,3 +135,28 @@ def test_predicate_check_cross_column(spark):
     ]}
     res2 = S.suite_from_config(cfg).run(df)
     assert {r["part"]: r["n_violations"] for r in res2.verdicts.collect()} == {0: 0, 1: 1}
+
+
+def test_split_assignment_reference_rules(spark):
+    """SURVEY §3.2 steps 3-4 (ref cnn.py:503-560): per drift — 20%-or-1
+    test, next-block valid, entropy-top-k train, overflow unused."""
+    from al_drift_detection_spark.operators.splits import split_assignment
+
+    # one drift, 7 groups (g0..g6): take = max(7//5,1) = 1 → g0 test, g1 valid;
+    # remaining g2..g6 ranked by label entropy — g2 has 3 labels (highest),
+    # g3/g4 two labels, g5/g6 one label (zero entropy)
+    rows = []
+    labels_by_group = {
+        0: [0, 0, 0], 1: [1, 1, 1],
+        2: [0, 1, 2], 3: [0, 1, 1], 4: [2, 0, 0], 5: [3, 3, 3], 6: [4, 4, 4],
+    }
+    for g, labs in labels_by_group.items():
+        rows += [(g, l) for l in labs]
+    df = spark.createDataFrame(rows, "grp long, label int")
+    dmap = spark.createDataFrame([(g, 1) for g in range(7)], "grp long, drift int")
+    out = {r["grp"]: r["split"]
+           for r in split_assignment(df, dmap, max_orbits=3).collect()}
+    assert out[0] == "test" and out[1] == "valid"
+    assert out[2] == "train"            # highest entropy
+    assert out[3] == "train" and out[4] == "train"  # two-label groups
+    assert out[5] == "unused" and out[6] == "unused"  # zero entropy, past cap

@@ -79,20 +79,28 @@ def test_drift_scan_prunes_to_value_cols(spark):
     rs = p.split("ReadSchema")[1][:300]
     assert "bytes" not in rs and "caption" not in rs  # blobs never scanned
 
-def test_no_unpartitioned_windows(spark):
-    """Every Window in the order-dependent queries must carry a non-empty
-    partition spec (the two-pass bucketed form) — an unpartitioned
-    Window.orderBy moves the whole table through ONE task at scale.
-    An empty partition spec prints as `], [], [` in the Window node."""
+def test_no_unpartitioned_windows_anywhere(spark):
+    """Every Window in EVERY registry query must carry a non-empty partition
+    spec (the two-pass bucketed form) — an unpartitioned Window.orderBy moves
+    the whole table through ONE task at scale. Detection: in
+    `windowspecdefinition(part..., order ASC/DESC ..., frame)` the partition
+    columns come first, so a spec whose FIRST argument is an order column
+    (carries ASC/DESC) is unpartitioned. Allowlist: q_regime_segments runs
+    its window over the already-reduced O(windows) regime table (built from
+    a driver collect) — a global sort of tiny data by design, documented in
+    regimes.regime_segments."""
     import re
 
     from al_drift_detection_spark.operators import REGISTRY
 
-    for q in ("q_tumbling_vote", "q_ks_statistic", "q_zscore", "q_rolling_mean"):
-        p = plan_of(REGISTRY[q].fn(spark, SF))
-        for line in p.splitlines():
-            if "Window [" in line:
-                assert not re.search(r"\], \[\], \[", line), f"{q}: unpartitioned window: {line}"
+    allow = {"q_regime_segments"}
+    pat = re.compile(r"windowspecdefinition\([^,()]*? (ASC|DESC)")
+    for q, spec in REGISTRY.items():
+        if q in allow:
+            continue
+        p = plan_of(spec.fn(spark, SF))
+        m = pat.search(p)
+        assert not m, f"{q}: unpartitioned window: ...{p[max(0, m.start()-80):m.end()+40]}"
 
 
 def test_zscore_broadcasts_scalars(spark):

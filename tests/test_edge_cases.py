@@ -160,3 +160,39 @@ def test_split_assignment_reference_rules(spark):
     assert out[2] == "train"            # highest entropy
     assert out[3] == "train" and out[4] == "train"  # two-label groups
     assert out[5] == "unused" and out[6] == "unused"  # zero entropy, past cap
+
+
+def test_global_cumulative_matches_pandas_with_ties(spark):
+    """The two-pass bucketed machinery must reproduce exact global running
+    sums (RANGE frame: ties share the cumulative value) and row numbers on
+    data with duplicate order keys and skewed buckets."""
+    import numpy as np
+    import pandas as pd
+
+    from al_drift_detection_spark.operators.windows import global_cumulative
+
+    rng = np.random.default_rng(13)
+    # heavy duplication (values drawn from a small grid) + skew (mostly small)
+    v = np.round(rng.exponential(20.0, 600), 0)
+    r = rng.integers(0, 3, 600).astype(float)
+    ids = np.arange(600)
+    df = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, a, b in zip(ids, v, r)],
+        "id long, v double, r double",
+    )
+    out = global_cumulative(
+        df, bucket=F.floor(F.col("v") / 7), order_cols=["v"], sums={"cr": "r"}
+    ).toPandas()
+
+    pdf = pd.DataFrame({"id": ids, "v": v, "r": r}).sort_values(["v", "id"])
+    # RANGE frame: cumulative sum over all rows with order key <= current
+    totals = pdf.groupby("v")["r"].sum().sort_index().cumsum()
+    expected = pdf["v"].map(totals)
+    got = out.set_index("id").loc[pdf["id"]]["cr"].to_numpy()
+    assert np.allclose(got, expected.to_numpy())
+
+    out2 = global_cumulative(
+        df, bucket=F.floor(F.col("v") / 7), order_cols=["v", "id"],
+        row_number_col="rn",
+    ).toPandas().sort_values(["v", "id"])
+    assert out2["rn"].tolist() == list(range(1, 601))

@@ -268,6 +268,15 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silently-wrong clusters are worse than a loud failure: an
+        # unconverged fixpoint leaves chain tails with intermediate labels,
+        # splitting true clusters (duplicate docs would survive dedup)
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not converge in "
+            f"{max_iter} rounds ({changed} labels still changing) — raise "
+            "max_iter (long dup chains) or lower driver_edge_limit"
+        )
     return labels.select(
         F.col("node").alias(id_col),
         F.col("lbl").alias("canonical_id"),

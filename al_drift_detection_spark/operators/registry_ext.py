@@ -230,7 +230,8 @@ def q_split_assignment(spark: SparkSession, sf: str) -> DataFrame:
     FROM lineitem GROUP BY l_returnflag
     """,
     "salted two-level aggregation over a skewed low-cardinality key "
-    "(north_star: 'skew on fmt/size handled via salted repartitioning'): "
+    "(SURVEY §4 explicit engine logic; north_star: 'skew on fmt/size "
+    "handled via salted repartitioning'): "
     "level 1 fans each hot key over 16 salt reducers, level 2 merges the "
     "partials — the oracle is the PLAIN group-by, proving the salted "
     "rewrite is semantics-preserving (skew.salted_agg)",
@@ -311,7 +312,7 @@ def q_drift_regimes(spark: SparkSession, sf: str) -> DataFrame:
     out = assign_drift_regimes(ev, ["value"], ref)
     return out.select(
         "part", "window_id", "regime_id", "is_new",
-        F.round("ks_vs_current", 6).alias("ks_vs_current"),
+        F.round("p_vs_current", 6).alias("p_vs_current"),
         F.round("matched_p", 6).alias("matched_p"),
     )
 

@@ -469,9 +469,10 @@ def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
       FROM scored
     ) WHERE rk <= 5
     """,
-    "batch top-k per query: broadcast the (small) query set, score all "
-    "pairs JVM-side, window top-k per query — the corpus never shuffles "
-    "pre-ranking (similarity.topk_per_query)",
+    "batch top-k per query (brief: similarity search over embeddings; "
+    "SURVEY §2.6 O2 generalized to a query set): broadcast the (small) "
+    "query set, score all pairs JVM-side, window top-k per query — the "
+    "corpus never shuffles pre-ranking (similarity.topk_per_query)",
 )
 def q_topk_per_query(spark: SparkSession, sf: str) -> DataFrame:
     from al_drift_detection_spark.functions.similarity import topk_per_query

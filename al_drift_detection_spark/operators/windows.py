@@ -42,10 +42,11 @@ def global_cumulative(
     row_number_col: 1-based global row number (ROWS frame, ties broken by
     order_cols which must be unique).
 
-    Order keys (and therefore buckets) must be NON-NULL: a null bucket never
-    equi-joins its offset row, which would silently drop those rows — filter
-    or coalesce nulls upstream (a null order key has no defined global
-    position anyway).
+    Order keys (and therefore buckets) must be NON-NULL — a null order key
+    has no defined global position. Null buckets are REJECTED loudly: they
+    would not just drop their own rows (nulls never equi-join their offset
+    row), their counts/sums would fold into the running offsets and shift
+    every other row's result.
     """
     sums = sums or {}
     d = df.withColumn("_bkt", bucket.cast("long"))
@@ -53,6 +54,13 @@ def global_cumulative(
         F.sum(c).alias(f"_s_{o}") for o, c in sums.items()
     ]
     per_bucket = d.groupBy("_bkt").agg(*aggs).orderBy("_bkt").collect()
+    if any(r["_bkt"] is None for r in per_bucket):
+        n_null = next(r["_cnt"] for r in per_bucket if r["_bkt"] is None)
+        raise ValueError(
+            f"global_cumulative: {n_null} rows have a NULL bucket/order key — "
+            "they have no defined global position and would corrupt every "
+            "other row's offset; filter or coalesce nulls upstream"
+        )
     offsets, run = [], {"_cnt": 0, **{f"_s_{o}": 0.0 for o in sums}}
     for r in per_bucket:
         offsets.append((r["_bkt"], run["_cnt"], *[run[f"_s_{o}"] for o in sums]))

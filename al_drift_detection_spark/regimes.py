@@ -41,7 +41,7 @@ from al_drift_detection_spark.kernels import ks_2samp, subsample
 
 REGIME_SCHEMA = (
     "part int, window_id int, regime_id int, is_new boolean, "
-    "ks_vs_current double, matched_p double"
+    "p_vs_current double, matched_p double"
 )
 
 
@@ -74,6 +74,41 @@ def window_sketches(
 
 def _sketchify(sample: np.ndarray, q: int) -> np.ndarray:
     return subsample(np.sort(np.asarray(sample, dtype=np.float64)), q)
+
+
+def match_against_catalog(
+    catalog: dict[int, dict[str, np.ndarray]],
+    cur_sketch: dict[str, np.ndarray],
+    current: int,
+    next_id: int,
+    value_cols: list[str],
+    ks_alpha: float,
+    match_alpha: float,
+) -> tuple[int, bool, float, float, int, int]:
+    """The pure driver-side regime-matching step, SHARED by the batch
+    assigner and the streaming catalog-as-state operator (so the drift /
+    recurring / novel semantics cannot diverge between them).
+
+    Returns (regime_id, is_new, p_vs_current, matched_p, new_current,
+    new_next_id); mutates `catalog` only when a novel regime is minted.
+    """
+
+    def worst_p(regime_sketch: dict[str, np.ndarray]) -> float:
+        return min(ks_2samp(regime_sketch[c], cur_sketch[c])[1] for c in value_cols)
+
+    p_current = worst_p(catalog[current])
+    if p_current >= ks_alpha:  # no drift: inherit the current regime
+        return current, False, p_current, p_current, current, next_id
+    # confirmed drift: match against the whole catalog (gan.py:785-801)
+    best_id, best_p = None, -1.0
+    for rid, sketch in catalog.items():
+        p = worst_p(sketch)
+        if p > best_p:
+            best_id, best_p = rid, p
+    if best_p >= match_alpha:  # recurring regime
+        return best_id, False, p_current, best_p, best_id, next_id
+    catalog[next_id] = cur_sketch  # novel: mint and remember
+    return next_id, True, p_current, best_p, next_id, next_id + 1
 
 
 def assign_drift_regimes(
@@ -118,35 +153,12 @@ def assign_drift_regimes(
     out = []
     for r in sk_rows:
         cur_sketch = {c: np.asarray(r[c], dtype=np.float64) for c in value_cols}
-
-        def worst_p(regime_sketch: dict[str, np.ndarray]) -> float:
-            return min(
-                ks_2samp(regime_sketch[c], cur_sketch[c])[1] for c in value_cols
-            )
-
-        p_current = worst_p(catalog[current])
-        drifted = p_current < ks_alpha
-        if not drifted:
-            out.append(
-                (int(r[part_col]), int(r[window_col]), current, False,
-                 float(1.0 - p_current), float(p_current))
-            )
-            continue
-        # confirmed drift: match against the whole catalog
-        best_id, best_p = None, -1.0
-        for rid, sketch in catalog.items():
-            p = worst_p(sketch)
-            if p > best_p:
-                best_id, best_p = rid, p
-        if best_p >= match_alpha:  # recurring regime
-            current, is_new = best_id, False
-        else:  # novel regime: mint the next id, remember its sketch
-            current, is_new = next_id, True
-            catalog[next_id] = cur_sketch
-            next_id += 1
+        regime, is_new, p_cur, matched_p, current, next_id = match_against_catalog(
+            catalog, cur_sketch, current, next_id, value_cols, ks_alpha, match_alpha
+        )
         out.append(
-            (int(r[part_col]), int(r[window_col]), current, is_new,
-             float(1.0 - p_current), float(best_p))
+            (int(r[part_col]), int(r[window_col]), regime, is_new,
+             float(p_cur), float(matched_p))
         )
     spark = df.sparkSession
     return spark.createDataFrame(out, REGIME_SCHEMA)

@@ -84,22 +84,22 @@ def main(argv: list[str] | None = None) -> int:
     from al_drift_detection_spark.checkpoint import Checkpoint
 
     ckpt = Checkpoint(f"{args.out}/checkpoint", run_id=args.run_id)
-    # the drift REFERENCE must come from the full table, not the resume-
-    # filtered remainder: once the reference windows' partitions have passed
-    # and are skipped, a post-filter reference would be empty and every kernel
-    # would silently return 0.0 / 'pass' (drift detection disabled on resume)
-    images_full = images
+    # Cache the FULL input once: it feeds the resume counts, the drift
+    # reference (which must come from the full table — once the reference
+    # windows' partitions have passed and are skipped, a post-filter
+    # reference would be empty and every kernel would silently return
+    # 0.0/'pass'), the regime sketches, and (via the resume filter) the
+    # suite/decode stages — each triggers its own actions, and without the
+    # cache synthetic generation / the table scan re-executes per action.
+    images_full = images.cache()
+    images = images_full
     if args.resume:
-        images = ckpt.filter_pending(images)
+        images = ckpt.filter_pending(images_full)
         skipped = (
             images_full.select("part").distinct().count()
             - images.select("part").distinct().count()
         )
         print(f"resume: skipping {skipped} already-passed partitions", file=sys.stderr)
-
-    # the suite/drift/decode stages each trigger actions; cache the (pruned)
-    # input once so synthetic generation / the table scan doesn't re-execute
-    images = images.cache()
 
     suite = S.suite_from_json(args.suite) if args.suite else default_suite()
     res = suite.run(images, ref=ref.select("phash") if ref is not None else None)
@@ -114,6 +114,7 @@ def main(argv: list[str] | None = None) -> int:
     res.violations.write.mode("overwrite").parquet(f"{args.out}/violations")
     if res.stats is not None:
         res.stats.write.mode("overwrite").parquet(f"{args.out}/stats")
+    res.unpersist()  # free the suite's shared dup/miss frames (now written)
     drift.orderBy("part", "window_id", "column", "kernel").write.mode("overwrite").parquet(
         f"{args.out}/drift"
     )

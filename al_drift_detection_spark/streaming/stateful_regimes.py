@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from al_drift_detection_spark.kernels import ks_2samp
+from al_drift_detection_spark.regimes import match_against_catalog
 
 OUT_SCHEMA = (
     "scope int, batch_rows long, regime_id int, is_new boolean, "
@@ -84,25 +84,11 @@ def stateful_regimes(
             )
             return
 
-        def worst_p(regime_sketch):
-            return min(ks_2samp(regime_sketch[c], sketch[c])[1] for c in value_cols)
-
-        p_current = worst_p(catalog[current])
-        if p_current >= ks_alpha:  # no drift: inherit the current regime
-            regime, is_new, best_p = current, False, p_current
-        else:
-            best_id, best_p = None, -1.0
-            for rid, rs in catalog.items():
-                p = worst_p(rs)
-                if p > best_p:
-                    best_id, best_p = rid, p
-            if best_p >= match_alpha:  # recurring
-                regime, is_new = best_id, False
-            else:  # novel: mint and remember
-                regime, is_new = next_id, True
-                catalog[next_id] = sketch
-                next_id += 1
-            current = regime
+        # the SAME matching step as the batch assigner (regimes.py) — the
+        # drift / recurring / novel semantics cannot diverge between them
+        regime, is_new, p_current, best_p, current, next_id = match_against_catalog(
+            catalog, sketch, current, next_id, value_cols, ks_alpha, match_alpha
+        )
 
         state.update(
             (

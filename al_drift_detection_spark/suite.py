@@ -176,11 +176,19 @@ def suite_from_json(path: str) -> "CheckSuite":
 class ValidationResult:
     """Output contract (FIXTURES.md §4): the structured replacement for the
     reference's drifts_setN.txt verdict file (/root/reference/gan.py:971-974)
-    and log metric rows."""
+    and log metric rows. Call unpersist() once verdicts/violations have been
+    materialized — run() persists shared dup/miss frames that would
+    otherwise occupy executor storage for the session lifetime."""
 
     verdicts: DataFrame
     violations: DataFrame
     stats: DataFrame  # long metrics rows (part, column, metric, value)
+    cached: list[DataFrame] = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        for frame in self.cached:
+            frame.unpersist()
+        self.cached = []
 
 
 class CheckSuite:
@@ -289,7 +297,12 @@ class CheckSuite:
             wide = stats_pass(df, self.numeric_stat_cols, self.id_stat_cols, part)
             stats_long = melt_stats(wide, part)
 
-        return ValidationResult(verdicts=verdicts, violations=violations, stats=stats_long)
+        return ValidationResult(
+            verdicts=verdicts,
+            violations=violations,
+            stats=stats_long,
+            cached=list(table_rows.values()),
+        )
 
     def _dup_rows(self, df: DataFrame, chk: Check) -> DataFrame:
         """All rows whose key occurs >1 time anywhere, in violation-row shape
@@ -387,11 +400,21 @@ class CheckSuite:
         from pyspark.sql.window import Window
 
         if base is None:  # suite with no violation-producing checks
-            return df.sparkSession.createDataFrame(
-                [],
-                f"{part} int, row_id string, check_name string, column string, "
-                "observed string, expected string",
+            # derive part/row_id types from the source so the empty frame
+            # unions/appends cleanly with non-empty results
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField(part, df.schema[part].dataType),
+                    StructField("row_id", df.schema[rid].dataType),
+                    StructField("check_name", StringType()),
+                    StructField("column", StringType()),
+                    StructField("observed", StringType()),
+                    StructField("expected", StringType()),
+                ]
             )
+            return df.sparkSession.createDataFrame([], schema)
 
         w = Window.partitionBy(part, "check_name").orderBy("row_id")
         return (

@@ -196,3 +196,48 @@ def test_global_cumulative_matches_pandas_with_ties(spark):
         row_number_col="rn",
     ).toPandas().sort_values(["v", "id"])
     assert out2["rn"].tolist() == list(range(1, 601))
+
+
+def test_q_salted_agg_equals_plain_groupby(spark):
+    """The salted two-level rewrite is semantics-preserving: identical to the
+    plain groupBy on the same fixture (registry q_salted_agg)."""
+    from al_drift_detection_spark.operators import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = REGISTRY["q_salted_agg"].fn(spark, sf).toPandas().set_index("l_returnflag").sort_index()
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    exp = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .toPandas().set_index("l_returnflag").sort_index()
+    )
+    assert got["sum_qty"].tolist() == exp["sum_qty"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    assert got["min_price"].tolist() == exp["min_price"].tolist()
+    assert got["max_price"].tolist() == exp["max_price"].tolist()
+
+
+def test_q_topk_per_query_matches_bruteforce(spark):
+    """Registry q_topk_per_query equals a per-query numpy brute-force rank."""
+    import numpy as np
+
+    from al_drift_detection_spark.operators import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = REGISTRY["q_topk_per_query"].fn(spark, sf).toPandas()
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").toPandas()
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    corpus = ids >= 3
+    for q_id in (0, 1, 2):
+        sims = Xn[corpus] @ Xn[ids == q_id][0]
+        order = np.lexsort((ids[corpus], -np.round(sims, 4)))[:5]
+        exp_ids = ids[corpus][order].tolist()
+        got_ids = got[got["q_id"] == q_id].sort_values("rk")["vec_id"].tolist()
+        assert got_ids == exp_ids, q_id

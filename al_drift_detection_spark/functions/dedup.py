@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from al_drift_detection_spark.functions._persist import attach_persisted, release  # noqa: F401
 from al_drift_detection_spark.functions.text import shingle_rows
 
 
@@ -163,7 +164,10 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"), est.alias("est_jaccard"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    return cand.filter(F.col("est_jaccard") >= threshold)
+    # caller releases the persisted signature frame after materializing
+    # (functions._persist.release) — otherwise it holds executor storage for
+    # the session lifetime
+    return attach_persisted(cand.filter(F.col("est_jaccard") >= threshold), banded)
 
 
 def dedup_clusters(
@@ -319,7 +323,7 @@ def simhash_pairs(
     ).persist()
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -334,6 +338,8 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_distance)
         .dropDuplicates(["a_id", "b_id"])
     )
+    # caller releases the persisted fingerprint frame (functions._persist)
+    return attach_persisted(out, banded)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
+from al_drift_detection_spark.functions._persist import attach_persisted, release  # noqa: F401
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -160,8 +162,15 @@ def train_ivf_centroids(
         d2 = np.min(
             np.stack([np.sum((X - c) ** 2, axis=1) for c in cents]), axis=0
         )
-        p = d2 / max(d2.sum(), 1e-12)
-        cents.append(X[rng.choice(len(X), p=p)])
+        s = float(d2.sum())
+        if s <= 0.0:
+            # every sampled vector coincides with a chosen centroid (e.g. a
+            # corpus of exact-duplicate embeddings): d²-weighted choice is
+            # undefined — fall back to uniform so the trainer still returns k
+            # centroids instead of raising
+            cents.append(X[rng.integers(len(X))])
+            continue
+        cents.append(X[rng.choice(len(X), p=d2 / s)])
     C = np.stack(cents)
     for _ in range(iters):
         assign = np.argmax(X @ C.T, axis=1)  # cosine on unit vectors
@@ -192,11 +201,13 @@ def cosine_near_dup_pairs(
         (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
     cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-    return cand.select(
+    out = cand.select(
         F.col(f"a.{id_col}").alias("a_id"),
         F.col(f"b.{id_col}").alias("b_id"),
         F.round(cos, 4).alias("cos"),
     ).filter(F.col("cos") >= threshold)
+    # caller releases the persisted signature frame (functions._persist)
+    return attach_persisted(out, sigs)
 
 
 def ivf_assign(

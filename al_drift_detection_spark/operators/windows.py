@@ -47,11 +47,20 @@ def global_cumulative(
     would not just drop their own rows (nulls never equi-join their offset
     row), their counts/sums would fold into the running offsets and shift
     every other row's result.
+
+    NULL values in the SUM columns are allowed and follow SQL RANGE-window
+    semantics: the running sum is NULL only while the global frame has seen
+    no non-null value at all, then ignores nulls. (A bucket-local
+    `sum + offset` alone would re-NULL rows whose bucket starts with nulls
+    even though a prior bucket already contributed — so the offsets also
+    carry a running non-null count.)
     """
     sums = sums or {}
     d = df.withColumn("_bkt", bucket.cast("long"))
     aggs = [F.count(F.lit(1)).alias("_cnt")] + [
-        F.sum(c).alias(f"_s_{o}") for o, c in sums.items()
+        x
+        for o, c in sums.items()
+        for x in (F.sum(c).alias(f"_s_{o}"), F.count(c).alias(f"_n_{o}"))
     ]
     per_bucket = d.groupBy("_bkt").agg(*aggs).orderBy("_bkt").collect()
     if any(r["_bkt"] is None for r in per_bucket):
@@ -61,13 +70,22 @@ def global_cumulative(
             "they have no defined global position and would corrupt every "
             "other row's offset; filter or coalesce nulls upstream"
         )
-    offsets, run = [], {"_cnt": 0, **{f"_s_{o}": 0.0 for o in sums}}
+    offsets, run = [], {"_cnt": 0, **{f"_s_{o}": 0.0 for o in sums}, **{f"_n_{o}": 0 for o in sums}}
     for r in per_bucket:
-        offsets.append((r["_bkt"], run["_cnt"], *[run[f"_s_{o}"] for o in sums]))
+        offsets.append(
+            (
+                r["_bkt"],
+                run["_cnt"],
+                *[v for o in sums for v in (run[f"_s_{o}"], run[f"_n_{o}"])],
+            )
+        )
         run["_cnt"] += r["_cnt"]
         for o in sums:
             run[f"_s_{o}"] += r[f"_s_{o}"] or 0.0
-    schema = "_bkt long, _off_cnt long" + "".join(f", _off_{o} double" for o in sums)
+            run[f"_n_{o}"] += r[f"_n_{o}"]
+    schema = "_bkt long, _off_cnt long" + "".join(
+        f", _off_{o} double, _offn_{o} long" for o in sums
+    )
     off_df = d.sparkSession.createDataFrame(offsets, schema)
     joined = d.join(F.broadcast(off_df), "_bkt")
     out_cols = []
@@ -83,7 +101,14 @@ def global_cumulative(
             .rangeBetween(Window.unboundedPreceding, Window.currentRow)
         )
         for o, c in sums.items():
-            out_cols.append((F.sum(c).over(w_range) + F.col(f"_off_{o}")).alias(o))
+            local = F.sum(c).over(w_range)
+            out_cols.append(
+                F.when(
+                    local.isNull() & (F.col(f"_offn_{o}") == 0), F.lit(None).cast("double")
+                )
+                .otherwise(F.coalesce(local, F.lit(0.0)) + F.col(f"_off_{o}"))
+                .alias(o)
+            )
     keep = [x for x in df.columns]
     return joined.select(*keep, *out_cols)
 

@@ -152,7 +152,15 @@ def assign_drift_regimes(
     next_id = max(catalog) + 1
     out = []
     for r in sk_rows:
-        cur_sketch = {c: np.asarray(r[c], dtype=np.float64) for c in value_cols}
+        # percentile over an all-NULL window group returns NULL — normalize to
+        # an EMPTY sketch so ks_2samp yields (0.0, 1.0) and the window inherits
+        # the current regime, exactly like the streaming form
+        # (stateful_regimes builds np.empty(0) for valueless batches); without
+        # this np.asarray(None) is a 0-d nan array and searchsorted raises
+        cur_sketch = {
+            c: np.asarray(r[c] if r[c] is not None else [], dtype=np.float64)
+            for c in value_cols
+        }
         regime, is_new, p_cur, matched_p, current, next_id = match_against_catalog(
             catalog, cur_sketch, current, next_id, value_cols, ks_alpha, match_alpha
         )

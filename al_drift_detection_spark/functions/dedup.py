@@ -88,13 +88,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per document.
 
-    explode(distinct shingles) → k flat `min(xxhash64(shingle, seed))` hash
+    explode(shingles) → k flat `min(xxhash64(shingle, seed))` hash
     aggregations grouped by doc. Flat aggs get map-side partial combine and
     whole-stage codegen; an array-lambda formulation re-evaluates the shingle
     pipeline k times per row because Catalyst's project-collapse inlines
     projections into lambda bodies. Returns (id, sig array<long>).
     """
-    exploded = shingle_rows(df, text_col, id_col, n)
+    # multiplicity-invariant: min(hash) over repeated shingles equals min over
+    # the distinct set, so the dedup exchange is skipped (distinct=False)
+    exploded = shingle_rows(df, text_col, id_col, n, distinct=False)
     mins = [F.min(F.xxhash64(F.col("g"), F.lit(s))).alias(f"m{s}") for s in range(k)]
     agg = exploded.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[F.col(f"m{s}") for s in range(k)]).alias("sig"))

@@ -77,8 +77,14 @@ def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     return out.select(id_col, pred.alias("lang_pred"))
 
 
-def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """DISTINCT word n-gram shingles as exploded rows (id, g).
+def shingle_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles as exploded rows (id, g), DISTINCT by default.
 
     posexplode(tokens) once, then n−1 lead() windows per doc assemble each
     n-gram. An array-lambda formulation (transform over sequence with
@@ -86,6 +92,11 @@ def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     into every element_at, re-tokenizing the document n× per shingle. The
     window shuffle here moves only small (id, pos, token) rows, partitioned
     by doc id — well distributed at any scale.
+
+    distinct=False skips the dedup shuffle for consumers that are invariant
+    under shingle multiplicity (MinHash / min-fingerprint: min of hashes over
+    a multiset equals min over its set) — one full exchange of the shingle
+    rows saved. Jaccard set semantics (sizes/intersections) NEED distinct.
     """
     from pyspark.sql.window import Window
 
@@ -95,12 +106,12 @@ def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     w = Window.partitionBy("id").orderBy("pos")
     parts = [F.col("t")] + [F.lead("t", k).over(w) for k in range(1, n)]
     g = F.concat_ws(" ", *parts)
-    return (
+    rows = (
         tok.select("id", g.alias("g"), F.lead("t", n - 1).over(w).alias("_tail"))
         .filter(F.col("_tail").isNotNull())
         .select("id", "g")
-        .distinct()
     )
+    return rows.distinct() if distinct else rows
 
 
 def shingled(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
@@ -113,9 +124,10 @@ def shingled(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: min of 64-bit hashes over word 3-gram shingles —
-    a winnowing-style rolling-hash fingerprint using the built-in xxhash64."""
+    a winnowing-style rolling-hash fingerprint using the built-in xxhash64.
+    min() is multiplicity-invariant → the shingle dedup shuffle is skipped."""
     return (
-        shingle_rows(df, text_col, id_col)
+        shingle_rows(df, text_col, id_col, distinct=False)
         .groupBy(F.col("id").alias(id_col))
         .agg(F.min(F.xxhash64("g")).alias("fingerprint"))
     )

@@ -83,7 +83,18 @@ def main() -> int:
             n_fail += 1
             continue
         print(f"OK    {name}: {len(g)} rows")
-    print(f"\n{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    # the AUTHORITATIVE registry counts (docs reference this artifact —
+    # CLAUDE.md / README / COVERAGE quote numbers from here, not by hand)
+    from al_drift_detection_spark.operators import GATE_WINDOW
+
+    window = list(qs)[:GATE_WINDOW]
+    print(
+        f"\nregistry: {len(qs)} entries, {len(sqls)} with DuckDB oracles; "
+        f"gate window = first {GATE_WINDOW} "
+        f"({sum(1 for n in window if n in sqls)} oracle + "
+        f"{sum(1 for n in window if n not in sqls)} rows-only)"
+    )
+    print(f"{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
     return 1 if n_fail else 0
 
 

@@ -210,6 +210,10 @@ def dedup_clusters(
         # pairs may be an expensive plan (shingle join / LSH); materialize once
         .localCheckpoint(eager=True)
     )
+    # the pair plan is now materialized into the checkpoint — release any
+    # persisted self-join child it carried (attach_persisted survives only on
+    # the original frame, so composition points like this one must release)
+    release(pairs)
     if edges.count() <= driver_edge_limit:
         parent: dict = {}
 

@@ -99,11 +99,19 @@ GATE_FRONT: list[str] = [
 ]
 
 
-def _curated(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
+def _curate_in_place(reg: dict[str, QuerySpec]) -> None:
+    """Reorder the registry dict IN PLACE (clear + re-insert): rebinding a
+    new dict here would silently diverge operators.REGISTRY from
+    operators.registry.REGISTRY — a later `register()` call (the documented
+    pattern in registry*.py) would then mutate only the original and its
+    entry would never reach the driver gate or check_oracles."""
     missing = [n for n in GATE_FRONT if n not in reg]
-    assert not missing, f"GATE_FRONT names not registered: {missing}"
-    back = [n for n in reg if n not in set(GATE_FRONT)]
-    return {n: reg[n] for n in [*GATE_FRONT, *back]}
+    if missing:
+        raise RuntimeError(f"GATE_FRONT names not registered: {missing}")
+    ordered = [*GATE_FRONT, *[n for n in reg if n not in set(GATE_FRONT)]]
+    snapshot = {n: reg[n] for n in ordered}
+    reg.clear()
+    reg.update(snapshot)
 
 
-REGISTRY = _curated(REGISTRY)
+_curate_in_place(REGISTRY)

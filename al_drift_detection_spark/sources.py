@@ -85,18 +85,23 @@ def write_table(
     path: str,
     bucket_col: str = "image_id",
     buckets: int = 64,
-    fmt: str = "parquet",
+    fmt: str | None = None,
 ) -> None:
     """Format-dispatching table writer — the SURVEY §1.3 input_hint contract
     (Iceberg image+caption tables) as code, not prose.
+
+    fmt=None (default) auto-dispatches: "iceberg" when the session has an
+    Iceberg catalog configured (iceberg_available), else "parquet" — so the
+    same call sites work in-sandbox and on an Iceberg deployment.
 
     fmt="iceberg": `writeTo(name).partitionedBy(bucket(N, col)).createOrReplace()`
     — Iceberg's bucket transform is the managed equivalent of the
     Spark-bucketed layout below (co-located joins via storage-partitioned
     join on the bucket transform; hidden partitioning prunes at the scan).
-    fmt="parquet" (sandbox default): bucketed+sorted external parquet via
-    write_bucketed.
+    fmt="parquet": bucketed+sorted external parquet via write_bucketed.
     """
+    if fmt is None:
+        fmt = "iceberg" if iceberg_available(df.sparkSession) else "parquet"
     if fmt == "iceberg":
         from pyspark.sql.functions import partitioning
 

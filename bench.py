@@ -165,7 +165,7 @@ def main() -> None:
     # ~5 s of JVM init (each query still pays its own codegen, which IS
     # engine-shape-specific and stays timed)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
-    warm_page_cache(sf_dir, images_path, images_path + "_ref")
+    warm_page_cache(sf_dir)  # corpus warmed separately, right before its pass
 
     queries: dict[str, float] = {}
     queries_warm: dict[str, float] = {}
@@ -195,8 +195,11 @@ def main() -> None:
 
     # corpus generation AFTER the query loop: writing the 1M-row blob corpus
     # first (r2 ordering) filled the page cache + JVM heap before the timed
-    # queries ran — the other half of the r2 regression
+    # queries ran — the other half of the r2 regression. Warm the corpus
+    # pages immediately before its timed pass (the query loop may have
+    # evicted them; warming earlier would be undone by then)
     ensure_images(spark, n_images, images_path)
+    warm_page_cache(images_path, images_path + "_ref")
 
     val = validation_pass(spark, images_path)
     queries["validation_pass"] = round(val["wall"], 3)

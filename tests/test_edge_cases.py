@@ -360,3 +360,23 @@ def test_build_reference_sample_bounded_sketch(spark):
     # agg selection: bounded sketch above the threshold, exact below
     assert "percentile_approx" in str(_grid_agg("v", 10**7, 1024, 100_000, 10_000))
     assert "percentile_approx" not in str(_grid_agg("v", 10**4, 1024, 100_000, 10_000))
+
+
+def test_dedup_clusters_releases_composed_persist(spark):
+    """Composition point: dedup_clusters materializes the pair plan into a
+    localCheckpoint and must release() the persisted self-join child the
+    pairs frame carried — derived frames lose the attachment, so the
+    composition point is the last place it can be freed."""
+    from al_drift_detection_spark.functions.dedup import dedup_clusters, minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"alpha beta gamma delta epsilon zeta {i % 3}") for i in range(30)],
+        "doc_id string, text string",
+    )
+    pairs = minhash_lsh_pairs(docs)
+    assert getattr(pairs, "_persisted_children") != []
+    out = dedup_clusters(docs.select("doc_id"), pairs)
+    # release happened inside dedup_clusters (post-checkpoint), before any
+    # action on the result
+    assert getattr(pairs, "_persisted_children") == []
+    assert out.count() == 30

@@ -50,3 +50,13 @@ def test_demoted_twins_still_registered_with_oracles():
     for name in DEMOTED_ORACLE_TWINS:
         assert name in REGISTRY, name
         assert REGISTRY[name].sql is not None, name
+
+
+def test_registry_single_object():
+    """operators.REGISTRY must BE operators.registry.REGISTRY (curated in
+    place): a rebound copy would let later register() calls mutate only the
+    original, silently dropping new operators from the driver surface."""
+    from al_drift_detection_spark.operators import REGISTRY as pkg_reg
+    from al_drift_detection_spark.operators.registry import REGISTRY as mod_reg
+
+    assert pkg_reg is mod_reg

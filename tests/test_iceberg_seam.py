@@ -14,11 +14,12 @@ def test_iceberg_detection_false_in_sandbox(spark):
 
 
 def test_write_table_parquet_fallback(spark, tmp_path_factory):
+    """fmt=None auto-dispatches on iceberg_available → parquet in-sandbox."""
     d = tmp_path_factory.mktemp("wt")
     df = spark.createDataFrame(
         [(f"i{n}", n) for n in range(20)], "image_id string, v int"
     )
-    write_table(df, "wt_images", str(d / "t"), buckets=4, fmt="parquet")
+    write_table(df, "wt_images", str(d / "t"), buckets=4)
     back = spark.table("wt_images")
     assert back.count() == 20
     # bucket spec declared on the attached table (co-located join layout)

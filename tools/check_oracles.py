@@ -50,6 +50,7 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        spark.catalog.clearCache()  # no cross-query persisted-frame buildup
         try:
             got = fn(spark, sf).toPandas()
         except Exception as ex:

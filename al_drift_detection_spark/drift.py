@@ -222,3 +222,56 @@ def sliding_window_scores(
         )
 
     return both.groupBy("_pair").applyInPandas(score, SCORE_SCHEMA)
+
+
+EMB_SCORE_SCHEMA = (
+    "window_id int, n_vectors long, mmd double, threshold double, verdict string"
+)
+
+
+def embedding_drift(
+    df: DataFrame,
+    ref_vectors: np.ndarray,
+    vec_col: str = "embedding",
+    window_col: str = "window_id",
+    mmd_threshold: float = 0.05,
+    mmd_max_n: int = 512,
+) -> DataFrame:
+    """Multivariate drift on an EMBEDDING column: per-window MMD-RBF between
+    the window's vectors and a bounded broadcast reference matrix — the
+    representation-space analog of the scalar KS/PSI/MMD pass (a caption/image
+    distribution can shift in embedding space while every scalar stat stays
+    flat; corpus pipelines gate ingest batches on exactly this signal).
+
+    Scale shape: one shuffle of (window, vector) pruned columns; each window
+    group runs ONE vectorized Gram computation inside applyInPandas
+    (kernels.mmd_rbf accepts (n, d) inputs and subsamples to mmd_max_n per
+    side, so per-task cost is bounded O(mmd_max_n² · d) regardless of window
+    size). The reference matrix is a bounded driver-side sample (≤ mmd_max_n
+    rows — callers subsample before passing), broadcast once.
+    """
+    ref = np.asarray(ref_vectors, dtype=np.float64)
+    if ref.ndim != 2 or len(ref) == 0:
+        raise ValueError("ref_vectors must be a non-empty (n, d) matrix")
+    ref = subsample(ref, mmd_max_n)
+    spark = SparkSession.getActiveSession()
+    bc_ref = spark.sparkContext.broadcast(ref)
+
+    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        window = int(key[0])
+        vecs = [v for v in pdf[vec_col] if v is not None and len(v)]
+        if not vecs:
+            return pd.DataFrame(
+                [(window, 0, 0.0, mmd_threshold, "pass")],
+                columns=["window_id", "n_vectors", "mmd", "threshold", "verdict"],
+            )
+        cur = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = mmd_rbf(bc_ref.value, cur, max_n=mmd_max_n)
+        return pd.DataFrame(
+            [(window, len(cur), float(m), mmd_threshold,
+              "fail" if m > mmd_threshold else "pass")],
+            columns=["window_id", "n_vectors", "mmd", "threshold", "verdict"],
+        )
+
+    pruned = df.select(F.col(window_col).alias("window_id"), vec_col)
+    return pruned.groupBy("window_id").applyInPandas(score, EMB_SCORE_SCHEMA)

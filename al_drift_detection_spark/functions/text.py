@@ -131,3 +131,43 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .groupBy(F.col("id").alias(id_col))
         .agg(F.min(F.xxhash64("g")).alias("fingerprint"))
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (the classic relevance/keyword
+    operator a corpus pipeline runs before quality filtering or topic
+    bucketing). Smooth IDF: tfidf = tf · (ln((1+N)/(1+df)) + 1).
+
+    Scale shape: explode is linear; term frequencies aggregate with map-side
+    combine on the high-cardinality (doc, term) key; document frequencies
+    reduce the SAME aggregate again by term (no second scan of the corpus);
+    the df join is shuffle-on-term (well distributed — hot terms are a
+    single-row build side after the df agg, not a row explosion); top-k is a
+    per-doc partitioned window. No global sort, no UDF, no driver state.
+
+    Ties break on term (ascending) so the row_number rank is total and the
+    result is deterministic / oracle-hashable.
+    """
+    from pyspark.sql.window import Window
+
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.count()  # one tiny job; N is a literal in the idf expression
+    idf = F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + F.lit(1.0)
+    scored = tf.join(dfreq, "term").select(
+        F.col("id").alias(id_col),
+        "term",
+        F.round(F.col("tf") * idf, 4).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tfidf", "rk")
+    )

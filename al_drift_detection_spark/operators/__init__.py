@@ -20,6 +20,10 @@ order is therefore CURATED, not accidental:
   They all still carry oracles and run in tools/check_oracles.py (the
   full-registry replica) and the pytest suite.
 
+Oracle-bearing EXTENSIONS beyond the SURVEY §2 inventory (e.g. q_tfidf_topk)
+run past the window as local-pass oracles — the 50 slots are reserved for
+SURVEY families + the ANN trio.
+
 tests/test_gate_order.py pins this contract so new registrations cannot
 silently push an oracle family past the window again (the r2 regression:
 q_grouping_sets lost its r1 driver-green row that way).

@@ -346,3 +346,61 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     cents = train_ivf_centroids(emb, k=8, sample_n=512, seed=42, iters=8)
     q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return ivf_topk(emb.filter(F.col("vec_id") > 0), q, cents, k=10, n_probe=3)
+
+
+@register(
+    "q_tfidf_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0), 4) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 3
+    """,
+    "top-3 TF-IDF terms per document (smooth idf, deterministic term "
+    "tie-break): explode -> (doc,term) tf agg -> term df agg over the SAME "
+    "aggregate -> shuffle-on-term join -> per-doc top-k window; the keyword/"
+    "relevance operator of a corpus pipeline (SURVEY.md §2.9 text block "
+    "generalization, ref util.py feature selection analog)",
+)
+def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf, "documents"), k=3)
+
+
+@register(
+    "q_embedding_drift",
+    None,
+    "per-window multivariate MMD-RBF on the embedding column vs a bounded "
+    "broadcast reference matrix — representation-space drift the scalar "
+    "KS/PSI pass cannot see; Gram matrices bounded to mmd_max_n^2 per window "
+    "(kernels.mmd_rbf 2-D path); no ANSI oracle (kernel math) — pytest vs "
+    "direct numpy on planted shift",
+)
+def q_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    from al_drift_detection_spark.drift import embedding_drift
+
+    emb = _t(spark, sf, "embeddings")
+    ref_rows = emb.filter(F.col("vec_id") < 64).select("embedding").collect()
+    ref = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in ref_rows])
+    windows = emb.select((F.col("vec_id") % 4).cast("int").alias("window_id"), "embedding")
+    out = embedding_drift(windows, ref)
+    return out.select(
+        "window_id", "n_vectors", F.round("mmd", 6).alias("mmd"), "threshold", "verdict"
+    )

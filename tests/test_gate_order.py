@@ -23,6 +23,13 @@ DEMOTED_ORACLE_TWINS = {
     "q_minmax_class_counts",
 }
 
+# oracle-bearing EXTENSIONS beyond the SURVEY §2 inventory: the 50 window
+# slots are reserved for SURVEY operator families + the ANN trio, so these
+# run as local-pass oracles (tools/check_oracles.py) rather than driver rows
+ORACLE_EXTENSIONS_PAST_WINDOW = {
+    "q_tfidf_topk",
+}
+
 
 def test_gate_front_is_the_window():
     names = list(REGISTRY)
@@ -37,7 +44,7 @@ def test_every_oracle_family_in_window():
     out_of_window_oracles = {
         n for n, spec in REGISTRY.items() if spec.sql is not None and n not in window
     }
-    assert out_of_window_oracles == DEMOTED_ORACLE_TWINS
+    assert out_of_window_oracles == DEMOTED_ORACLE_TWINS | ORACLE_EXTENSIONS_PAST_WINDOW
 
 
 def test_ann_rows_only_entries_in_window():

@@ -1,0 +1,92 @@
+"""TF-IDF top-terms and embedding-space MMD drift (round-3 additions to the
+training-data-pipeline operator set)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_tfidf_top_terms_matches_direct(spark):
+    """Exact parity with a direct python computation on a small corpus,
+    including the smooth-idf formula and the term tie-break."""
+    from al_drift_detection_spark.functions.text import tfidf_top_terms
+
+    corpus = {
+        "a": "spark spark hadoop data",
+        "b": "hadoop data data lake",
+        "c": "spark lake unique",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id string, text string")
+    got = tfidf_top_terms(df, k=2).toPandas()
+
+    n = len(corpus)
+    tf: dict[tuple[str, str], int] = {}
+    for d, text in corpus.items():
+        for t in text.split():
+            tf[(d, t)] = tf.get((d, t), 0) + 1
+    dfreq: dict[str, int] = {}
+    for (_d, t) in tf:
+        dfreq[t] = dfreq.get(t, 0) + 1
+    scored = [
+        (d, t, round(c * (math.log((1.0 + n) / (1.0 + dfreq[t])) + 1.0), 4))
+        for (d, t), c in tf.items()
+    ]
+    for d in corpus:
+        mine = sorted(
+            [(s, t) for (dd, t, s) in scored if dd == d], key=lambda x: (-x[0], x[1])
+        )[:2]
+        rows = got[got["doc_id"] == d].sort_values("rk")
+        assert [(r.tfidf, r.term) for r in rows.itertuples()] == mine, d
+
+
+def test_tfidf_idf_downweights_ubiquitous_terms(spark):
+    """A term present in every doc never outranks an equally-frequent rare
+    term (the property that makes TF-IDF a quality/keyword signal)."""
+    from al_drift_detection_spark.functions.text import tfidf_top_terms
+
+    rows = [(f"d{i}", f"common rare{i} filler") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = tfidf_top_terms(df, k=1).toPandas()
+    assert (got["term"] != "common").all()
+
+
+def test_embedding_drift_planted_shift(spark):
+    """A shifted-cluster window fails, unshifted windows pass, and the MMD
+    values match a direct numpy mmd_rbf call on the same groups."""
+    from al_drift_detection_spark.drift import embedding_drift
+    from al_drift_detection_spark.kernels import mmd_rbf
+
+    rng = np.random.default_rng(7)
+    d = 8
+    ref = rng.standard_normal((200, d))
+    win0 = rng.standard_normal((150, d))          # same distribution → pass
+    win1 = rng.standard_normal((150, d)) + 3.0    # planted shift → fail
+    rows = [(0, [float(x) for x in v]) for v in win0]
+    rows += [(1, [float(x) for x in v]) for v in win1]
+    df = spark.createDataFrame(rows, "window_id int, embedding array<float>")
+    got = embedding_drift(df, ref).toPandas().set_index("window_id").sort_index()
+    assert got.loc[0, "verdict"] == "pass"
+    assert got.loc[1, "verdict"] == "fail"
+    # value parity vs direct numpy (float32 round-trip through the array<float>
+    # column is the only difference → loose tolerance)
+    direct1 = mmd_rbf(ref, win1.astype(np.float32).astype(np.float64), max_n=512)
+    assert got.loc[1, "mmd"] == pytest.approx(direct1, rel=1e-6)
+    assert got.loc[0, "n_vectors"] == 150
+
+
+def test_embedding_drift_empty_window_passes(spark):
+    """A window whose vectors are all NULL scores 0.0/'pass' (consistent with
+    the scalar drift pass on all-null windows)."""
+    from al_drift_detection_spark.drift import embedding_drift
+
+    rng = np.random.default_rng(3)
+    ref = rng.standard_normal((50, 4))
+    rows = [(0, [float(x) for x in v]) for v in rng.standard_normal((40, 4))]
+    rows += [(1, None)] * 10
+    df = spark.createDataFrame(rows, "window_id int, embedding array<float>")
+    got = embedding_drift(df, ref).toPandas().set_index("window_id").sort_index()
+    assert got.loc[1, "verdict"] == "pass" and got.loc[1, "n_vectors"] == 0

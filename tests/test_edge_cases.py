@@ -380,3 +380,43 @@ def test_dedup_clusters_releases_composed_persist(spark):
     # action on the result
     assert getattr(pairs, "_persisted_children") == []
     assert out.count() == 30
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.one_of(st.none(), st.integers(-5, 5))),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_global_cumulative_null_sums_property(spark, rows):
+    """Property form of the NULL-sum RANGE semantics: arbitrary mixes of
+    ties, skewed buckets and nulls must match the pandas oracle — cumulative
+    ignores nulls, NULL only while no non-null value exists anywhere in the
+    frame (ties share the cumulative value)."""
+    import pandas as pd
+
+    from al_drift_detection_spark.operators.windows import global_cumulative
+
+    data = [(i, float(v), None if r is None else float(r)) for i, (v, r) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, v double, r double")
+    out = (
+        global_cumulative(df, bucket=F.floor(F.col("v") / 7), order_cols=["v"], sums={"cr": "r"})
+        .toPandas().set_index("id").sort_index()
+    )
+    pdf = pd.DataFrame(data, columns=["id", "v", "r"])
+    per_v = pdf.groupby("v")["r"].agg(
+        s=lambda x: x.dropna().sum(), n=lambda x: x.notna().sum()
+    ).sort_index()
+    cums, cumn = per_v["s"].cumsum(), per_v["n"].cumsum()
+    for _, row in pdf.iterrows():
+        got = out.loc[row["id"], "cr"]
+        if cumn[row["v"]] > 0:
+            assert got == pytest.approx(cums[row["v"]]), (row["v"], got)
+        else:
+            assert pd.isna(got), (row["v"], got)

@@ -375,3 +375,53 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         term = F.shiftleft(F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(0), i)
         packed = term if packed is None else packed.bitwiseOR(term)
     return agg.select(id_col, packed.alias("simhash"))
+
+
+def near_dup_rate(
+    df: DataFrame,
+    window_col: str = "window_id",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-window NEAR-DUPLICATE RATE — the corpus-quality time series a
+    training-data pipeline alarms on (a sudden dup-rate jump in an ingest
+    window usually means a crawler loop or a re-ingested shard; the drift
+    engine's windowed-verdict pattern applied to the dedup signal).
+
+    Composition: MinHash-LSH candidate pairs (est_jaccard ≥ threshold) →
+    distinct flagged doc ids (materialized once via localCheckpoint, so the
+    persisted signature frame can be released immediately) → left join back
+    to the pruned (window, id) projection → one per-window count aggregate.
+    Output: (window_id, n_docs, n_near_dup, dup_rate).
+    """
+    pairs = minhash_lsh_pairs(
+        df, k=k, bands=bands, n=n, threshold=threshold,
+        text_col=text_col, id_col=id_col,
+    )
+    dup_ids = (
+        pairs.select(F.col("a_id").alias("_dup_id"))
+        .unionByName(pairs.select(F.col("b_id").alias("_dup_id")))
+        .distinct()
+        .localCheckpoint(eager=True)  # tiny: only near-dup ids survive
+    )
+    release(pairs)
+    flagged = df.select(window_col, id_col).join(
+        dup_ids, F.col(id_col) == F.col("_dup_id"), "left"
+    )
+    return (
+        flagged.groupBy(window_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_dup_id").alias("n_near_dup"),
+        )
+        .select(
+            window_col,
+            "n_docs",
+            "n_near_dup",
+            F.round(F.col("n_near_dup") / F.col("n_docs"), 6).alias("dup_rate"),
+        )
+    )

@@ -404,3 +404,25 @@ def q_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "window_id", "n_vectors", F.round("mmd", 6).alias("mmd"), "threshold", "verdict"
     )
+
+
+@register(
+    "q_positional_project",
+    """
+    SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS c2
+    FROM lineitem
+    WHERE l_orderkey <= 2000
+    """,
+    "P4 positional projection (ref util.py iloc column selection): columns "
+    "picked by ORDINAL from df.columns — Catalyst still prunes the scan to "
+    "exactly those positions' names (the positional surface is resolved at "
+    "plan build, not at runtime)",
+)
+def q_positional_project(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    # lineitem columns: 0=l_orderkey ... 3=l_linenumber, 4=l_quantity
+    cols = li.columns
+    picked = [cols[0], cols[3], cols[4]]
+    return li.select(
+        picked[0], picked[1], F.round(F.col(picked[2]), 2).alias("c2")
+    )

@@ -762,3 +762,19 @@ def q_drift_scores(spark: SparkSession, sf: str) -> DataFrame:
     ref_rows = imgs.filter(F.col("window_id") < 4)
     samples = build_reference_sample(ref_rows, ["w", "h"])
     return drift_scores(imgs, ["w", "h"], samples)
+
+
+@register(
+    "q_near_dup_rate",
+    None,
+    "per-window near-duplicate RATE (MinHash-LSH flagged ids -> windowed "
+    "count agg) — the corpus-quality time series a pipeline alarms on; "
+    "engine-hash-dependent -> no SQL oracle; planted-duplicate pytest",
+)
+def q_near_dup_rate(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.dedup import near_dup_rate
+
+    docs = _t(spark, sf, "documents").select(
+        (F.col("doc_id") % 4).cast("int").alias("window_id"), "doc_id", "text"
+    )
+    return near_dup_rate(docs)

@@ -47,6 +47,10 @@ HEADLINE = [
     "q_cosine_topk",
     "q_batch_inference",
     "q_drift_regimes",
+    # round-3 additions (absent from r1/r2 artifacts; keys are additive)
+    "q_tfidf_topk",
+    "q_embedding_drift",
+    "q_near_dup_rate",
 ]
 
 

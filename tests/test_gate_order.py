@@ -23,11 +23,13 @@ DEMOTED_ORACLE_TWINS = {
     "q_minmax_class_counts",
 }
 
-# oracle-bearing EXTENSIONS beyond the SURVEY §2 inventory: the 50 window
-# slots are reserved for SURVEY operator families + the ANN trio, so these
-# run as local-pass oracles (tools/check_oracles.py) rather than driver rows
+# oracle-bearing EXTENSIONS beyond the SURVEY §2 inventory, plus explicit
+# family twins added after the window froze: the 50 slots are reserved for
+# distinct SURVEY operator families + the ANN trio, so these run as
+# local-pass oracles (tools/check_oracles.py) rather than driver rows
 ORACLE_EXTENSIONS_PAST_WINDOW = {
     "q_tfidf_topk",
+    "q_positional_project",  # P4 evidence; projection family is in-window via q_filter_project
 }
 
 

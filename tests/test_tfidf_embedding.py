@@ -90,3 +90,26 @@ def test_embedding_drift_empty_window_passes(spark):
     df = spark.createDataFrame(rows, "window_id int, embedding array<float>")
     got = embedding_drift(df, ref).toPandas().set_index("window_id").sort_index()
     assert got.loc[1, "verdict"] == "pass" and got.loc[1, "n_vectors"] == 0
+
+
+def test_near_dup_rate_planted(spark):
+    """Windows with planted duplicate docs show the expected dup counts; a
+    clean window shows rate 0."""
+    from al_drift_detection_spark.functions.dedup import near_dup_rate
+
+    uniq = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa {i} {j}".format(i=i, j=i * 7)
+        for i in range(40)
+    ]
+    rows = []
+    # window 0: 10 unique docs; window 1: 5 duplicated pairs (10 docs)
+    for i in range(10):
+        rows.append((0, f"w0_{i}", uniq[i]))
+    for i in range(5):
+        rows.append((1, f"w1a_{i}", uniq[20 + i]))
+        rows.append((1, f"w1b_{i}", uniq[20 + i]))
+    df = spark.createDataFrame(rows, "window_id int, doc_id string, text string")
+    got = near_dup_rate(df, threshold=0.9).toPandas().set_index("window_id").sort_index()
+    assert got.loc[0, "n_near_dup"] == 0 and got.loc[0, "dup_rate"] == 0.0
+    assert got.loc[1, "n_near_dup"] == 10 and got.loc[1, "dup_rate"] == 1.0
+    assert got.loc[1, "n_docs"] == 10

@@ -118,7 +118,10 @@ def drift_scores(
     bc_ref = spark.sparkContext.broadcast(ref_samples)
 
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        part, window = int(key[0]), int(key[1])
+        # NULL part/window keys form their own group — report them as NULL
+        # rather than crashing the executor task on int(None)
+        part = int(key[0]) if key[0] is not None else None
+        window = int(key[1]) if key[1] is not None else None
         ref = bc_ref.value
         rows = []
         for c in value_cols:
@@ -187,7 +190,7 @@ def sliding_window_scores(
     mmd_max_n = kwargs.get("mmd_max_n", 512)
 
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pair = int(key[0])
+        pair = int(key[0]) if key[0] is not None else None
         rows = []
         ref_pdf = pdf[pdf["_role"] == "ref"]
         cur_pdf = pdf[pdf["_role"] == "cur"]
@@ -198,7 +201,8 @@ def sliding_window_scores(
                     "statistic", "p_value", "threshold", "verdict",
                 ]
             )
-        part = int(cur_pdf[part_col].iloc[0])
+        _pv = cur_pdf[part_col].iloc[0]
+        part = int(_pv) if pd.notna(_pv) else None
         for c in value_cols:
             r = subsample(np.sort(ref_pdf[c].dropna().to_numpy(np.float64)), max_n)
             cu = subsample(cur_pdf[c].dropna().to_numpy(np.float64), max_n)
@@ -258,7 +262,7 @@ def embedding_drift(
     bc_ref = spark.sparkContext.broadcast(ref)
 
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        window = int(key[0])
+        window = int(key[0]) if key[0] is not None else None
         vecs = [v for v in pdf[vec_col] if v is not None and len(v)]
         if not vecs:
             return pd.DataFrame(

@@ -403,8 +403,11 @@ def near_dup_rate(
         text_col=text_col, id_col=id_col,
     )
     dup_ids = (
-        pairs.select(F.col("a_id").alias("_dup_id"))
-        .unionByName(pairs.select(F.col("b_id").alias("_dup_id")))
+        # ONE pass over the pair join: explode both endpoints from each pair
+        # row — a union of two selects would execute the candidate self-join
+        # once per branch (exchange reuse does not unify them; verified on
+        # the physical plan: 2 join nodes, 0 ReusedExchange)
+        pairs.select(F.explode(F.array("a_id", "b_id")).alias("_dup_id"))
         .distinct()
         .localCheckpoint(eager=True)  # tiny: only near-dup ids survive
     )

@@ -158,12 +158,19 @@ def tfidf_top_terms(
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
     tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.count()  # one tiny job; N is a literal in the idf expression
-    idf = F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + F.lit(1.0)
-    scored = tf.join(dfreq, "term").select(
-        F.col("id").alias(id_col),
-        "term",
-        F.round(F.col("tf") * idf, 4).alias("tfidf"),
+    # N enters as a LAZY one-row agg crossJoin-broadcast (the oracle's own
+    # `CROSS JOIN n` shape) — an eager df.count() here would run a full
+    # corpus job at plan-construction time, before any caller materializes
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+    idf = F.log((1.0 + F.col("_n_docs")) / (1.0 + F.col("df"))) + F.lit(1.0)
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            F.round(F.col("tf") * idf, 4).alias("tfidf"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
     return (

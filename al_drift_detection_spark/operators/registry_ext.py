@@ -413,10 +413,10 @@ def q_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
     FROM lineitem
     WHERE l_orderkey <= 2000
     """,
-    "P4 positional projection (ref util.py iloc column selection): columns "
-    "picked by ORDINAL from df.columns — Catalyst still prunes the scan to "
-    "exactly those positions' names (the positional surface is resolved at "
-    "plan build, not at runtime)",
+    "SURVEY.md §2.2 P4 positional projection (ref util.py:88-96 iloc column "
+    "selection): columns picked by ORDINAL from df.columns — Catalyst still "
+    "prunes the scan to exactly those positions' names (the positional "
+    "surface is resolved at plan build, not at runtime)",
 )
 def q_positional_project(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 2000)

@@ -91,8 +91,11 @@ def write_table(
     (Iceberg image+caption tables) as code, not prose.
 
     fmt=None (default) auto-dispatches: "iceberg" when the session has an
-    Iceberg catalog configured (iceberg_available), else "parquet" — so the
-    same call sites work in-sandbox and on an Iceberg deployment.
+    Iceberg catalog configured (iceberg_available) AND `name` is
+    catalog-qualified (contains '.'), else "parquet". The qualification guard
+    matters: an unqualified name would resolve in the V1 session catalog,
+    which rejects partition transforms — detection and write target must
+    agree, so bare names always take the parquet path.
 
     fmt="iceberg": `writeTo(name).partitionedBy(bucket(N, col)).createOrReplace()`
     — Iceberg's bucket transform is the managed equivalent of the
@@ -101,7 +104,11 @@ def write_table(
     fmt="parquet": bucketed+sorted external parquet via write_bucketed.
     """
     if fmt is None:
-        fmt = "iceberg" if iceberg_available(df.sparkSession) else "parquet"
+        fmt = (
+            "iceberg"
+            if iceberg_available(df.sparkSession) and "." in name
+            else "parquet"
+        )
     if fmt == "iceberg":
         from pyspark.sql.functions import partitioning
 

@@ -420,3 +420,25 @@ def test_global_cumulative_null_sums_property(spark, rows):
             assert got == pytest.approx(cums[row["v"]]), (row["v"], got)
         else:
             assert pd.isna(got), (row["v"], got)
+
+
+def test_q_positional_project_matches_named_select(spark):
+    """P4 ordinal projection equals the equivalent named-column select and
+    survives a hypothetical column reorder only via position (ref util.py
+    iloc semantics)."""
+    from al_drift_detection_spark.operators import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = REGISTRY["q_positional_project"].fn(spark, sf).toPandas()
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    cols = li.columns
+    assert (cols[0], cols[3], cols[4]) == ("l_orderkey", "l_linenumber", "l_quantity")
+    exp = (
+        li.filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_linenumber", F.round("l_quantity", 2).alias("c2"))
+        .toPandas()
+    )
+    key = ["l_orderkey", "l_linenumber", "c2"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        exp.sort_values(key).reset_index(drop=True)
+    )

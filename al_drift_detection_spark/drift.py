@@ -120,8 +120,8 @@ def drift_scores(
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         # NULL part/window keys form their own group — report them as NULL
         # rather than crashing the executor task on int(None)
-        part = int(key[0]) if key[0] is not None else None
-        window = int(key[1]) if key[1] is not None else None
+        part = int(key[0]) if pd.notna(key[0]) else None
+        window = int(key[1]) if pd.notna(key[1]) else None
         ref = bc_ref.value
         rows = []
         for c in value_cols:
@@ -190,7 +190,7 @@ def sliding_window_scores(
     mmd_max_n = kwargs.get("mmd_max_n", 512)
 
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        pair = int(key[0]) if key[0] is not None else None
+        pair = int(key[0]) if pd.notna(key[0]) else None
         rows = []
         ref_pdf = pdf[pdf["_role"] == "ref"]
         cur_pdf = pdf[pdf["_role"] == "cur"]
@@ -262,7 +262,7 @@ def embedding_drift(
     bc_ref = spark.sparkContext.broadcast(ref)
 
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        window = int(key[0]) if key[0] is not None else None
+        window = int(key[0]) if pd.notna(key[0]) else None
         vecs = [v for v in pdf[vec_col] if v is not None and len(v)]
         if not vecs:
             return pd.DataFrame(

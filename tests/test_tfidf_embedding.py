@@ -113,3 +113,30 @@ def test_near_dup_rate_planted(spark):
     assert got.loc[0, "n_near_dup"] == 0 and got.loc[0, "dup_rate"] == 0.0
     assert got.loc[1, "n_near_dup"] == 10 and got.loc[1, "dup_rate"] == 1.0
     assert got.loc[1, "n_docs"] == 10
+
+
+def test_drift_null_group_keys_reported_not_crashed(spark):
+    """NULL part/window grouping keys form their own reported group (NULL
+    columns in the verdict rows) instead of failing the executor task on
+    int(None) — malformed window assignment must not abort a 100 TB job."""
+    import pandas as pd
+
+    from al_drift_detection_spark.drift import drift_scores, embedding_drift
+
+    rows = [(0, 0, float(v)) for v in np.arange(50.0)]
+    rows += [(None, None, 1.0)] * 5  # rows that never got a window assigned
+    df = spark.createDataFrame(rows, "part int, window_id int, v double")
+    out = drift_scores(df, ["v"], {"v": np.arange(50.0)}).toPandas()
+    null_rows = out[out["window_id"].isna()]
+    assert len(null_rows) == 4  # ks/psi/mmd/vote for the null group
+    assert not out.empty
+
+    rng = np.random.default_rng(5)
+    ref = rng.standard_normal((30, 4))
+    erows = [(0, [float(x) for x in v]) for v in rng.standard_normal((20, 4))]
+    erows += [(None, [float(x) for x in v]) for v in rng.standard_normal((5, 4))]
+    edf = spark.createDataFrame(erows, "window_id int, embedding array<float>")
+    eout = embedding_drift(edf, ref).toPandas()
+    assert len(eout) == 2
+    assert eout["window_id"].isna().sum() == 1
+    assert pd.notna(eout["mmd"]).all()

@@ -48,7 +48,8 @@ def stateful_drift(
     """
 
     def fn(key, pdfs, state: GroupState):
-        part = int(key[0])
+        # NULL keys arrive as NaN; report them as NULL instead of crashing
+        part = int(key[0]) if pd.notna(key[0]) else None
         batches = list(pdfs)
         pdf = pd.concat(batches) if len(batches) > 1 else batches[0]
 

@@ -56,7 +56,8 @@ def stateful_regimes(
     ps = np.arange(q) / (q - 1)
 
     def fn(key, pdfs, state: GroupState):
-        scope = int(key[0])
+        # NULL keys arrive as NaN; report them as NULL instead of crashing
+        scope = int(key[0]) if pd.notna(key[0]) else None
         batches = list(pdfs)
         pdf = pd.concat(batches) if len(batches) > 1 else batches[0]
         sketch = {}

@@ -332,7 +332,14 @@ class CheckSuite:
         )
 
     def _miss_rows(self, df: DataFrame, ref: DataFrame, chk: Check) -> DataFrame:
-        """Referential misses in violation-row shape (broadcast anti join)."""
+        """Referential misses in violation-row shape (broadcast anti join).
+
+        The broadcast here is the DESIGN contract (north_star: "referential
+        checks against a broadcast reference set") — the reference is a
+        curated dimension-like table, bounded by construction, unlike the
+        data-derived dup-key set in _dup_rows whose forced broadcast was
+        removed. A deployment whose reference outgrows broadcast size should
+        pre-bucket both sides instead (sources.write_bucketed)."""
         part, rid = self.part_col, self.row_id_col
         refcol = chk.params["ref_column"]
         return (

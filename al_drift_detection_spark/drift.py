@@ -261,9 +261,14 @@ def embedding_drift(
     spark = SparkSession.getActiveSession()
     bc_ref = spark.sparkContext.broadcast(ref)
 
+    dim = ref.shape[1]
+
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         window = int(key[0]) if pd.notna(key[0]) else None
-        vecs = [v for v in pdf[vec_col] if v is not None and len(v)]
+        # drop NULL, empty, and RAGGED/wrong-dimension vectors: one truncated
+        # embedding must not abort the job via np.stack/Gram shape errors —
+        # n_vectors reports only the vectors actually scored
+        vecs = [v for v in pdf[vec_col] if v is not None and len(v) == dim]
         if not vecs:
             return pd.DataFrame(
                 [(window, 0, 0.0, mmd_threshold, "pass")],

@@ -204,6 +204,13 @@ def dedup_clusters(
 
     Output: (id_col, canonical_id, keep) for EVERY node (singletons keep
     themselves); keep ⇔ the node is its cluster's minimum id.
+
+    CONTRACT NOTE: `pairs` is consumed — its plan is materialized into a
+    localCheckpoint here and any persisted self-join child it carried
+    (functions._persist) is RELEASED as part of that. A caller that wants to
+    reuse `pairs` for further queries afterwards will silently recompute its
+    pipeline (twice, for the self-join); materialize your own copy first if
+    you need it again.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))

@@ -155,8 +155,16 @@ def tfidf_top_terms(
     """
     from pyspark.sql.window import Window
 
+    from al_drift_detection_spark.functions._persist import attach_persisted
+
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
-    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the per-term document-frequency aggregate (broadcast
+    # build side) and the scoring join probe side — a broadcast build cannot
+    # reuse the probe's exchange, so without the persist the tokenize +
+    # explode + tf aggregation (the dominant stage) executes twice (verified:
+    # 2 Generate-explode nodes, 0 ReusedExchange). Caller releases via
+    # functions._persist.release after materializing.
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # N enters as a LAZY one-row agg crossJoin-broadcast (the oracle's own
     # `CROSS JOIN n` shape) — an eager df.count() here would run a full
@@ -173,8 +181,9 @@ def tfidf_top_terms(
         )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
-    return (
+    out = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "tfidf", "rk")
     )
+    return attach_persisted(out, tf)

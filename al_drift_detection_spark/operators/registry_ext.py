@@ -385,9 +385,11 @@ def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q_embedding_drift",
     None,
-    "per-window multivariate MMD-RBF on the embedding column vs a bounded "
-    "broadcast reference matrix — representation-space drift the scalar "
-    "KS/PSI pass cannot see; Gram matrices bounded to mmd_max_n^2 per window "
+    "SURVEY.md §2.10 drift family, embedding-space form (ref gan.py:723-860 "
+    "window-vs-reference scoring generalized to vectors): per-window "
+    "multivariate MMD-RBF on the embedding column vs a bounded broadcast "
+    "reference matrix — representation-space drift the scalar KS/PSI pass "
+    "cannot see; Gram matrices bounded to mmd_max_n^2 per window "
     "(kernels.mmd_rbf 2-D path); no ANSI oracle (kernel math) — pytest vs "
     "direct numpy on planted shift",
 )

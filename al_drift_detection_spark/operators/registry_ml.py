@@ -767,9 +767,11 @@ def q_drift_scores(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q_near_dup_rate",
     None,
-    "per-window near-duplicate RATE (MinHash-LSH flagged ids -> windowed "
-    "count agg) — the corpus-quality time series a pipeline alarms on; "
-    "engine-hash-dependent -> no SQL oracle; planted-duplicate pytest",
+    "SURVEY.md §2.5 W8 windowed-verdict pattern applied to the dedup signal "
+    "(ref gan.py:723-757 per-window vote analog): per-window near-duplicate "
+    "RATE (MinHash-LSH flagged ids -> windowed count agg) — the "
+    "corpus-quality time series a pipeline alarms on; engine-hash-dependent "
+    "-> no SQL oracle; planted-duplicate pytest",
 )
 def q_near_dup_rate(spark: SparkSession, sf: str) -> DataFrame:
     from al_drift_detection_spark.functions.dedup import near_dup_rate

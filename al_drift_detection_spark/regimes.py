@@ -139,8 +139,14 @@ def assign_drift_regimes(
     (catalog_from_df); it is mutated in place so callers can persist it after
     the run.
     """
+    # rows with a NULL window/part key have no position in the window ORDER,
+    # so they carry no regime identity: exclude them from the sequential
+    # assignment instead of crashing on int(None) (the drift pass still
+    # REPORTS null-key groups — regime identity is the one surface where an
+    # unordered window is meaningless, not just malformed)
     sk_rows = (
         window_sketches(df, value_cols, part_col, window_col, q)
+        .filter(F.col(window_col).isNotNull() & F.col(part_col).isNotNull())
         .orderBy(window_col, part_col)
         .collect()
     )

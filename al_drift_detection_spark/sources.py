@@ -131,18 +131,28 @@ def merge_upsert(
     resumable-checkpoint table keyed by partition). Targets any catalog table
     supporting row-level MERGE (Iceberg/Delta); the sandbox stand-in is
     checkpoint.py's atomic tmp-rename parquet rewrite — same upsert contract
-    (update matched keys, insert new ones), exercised by test_checkpoint."""
-    source.createOrReplaceTempView("_merge_src")
+    (update matched keys, insert new ones), exercised by test_checkpoint.
+
+    The source view name is unique per call and dropped afterwards: a fixed
+    session-global name would let two concurrent upserts (two checkpoint
+    tables on one SparkSession) clobber each other's source rows."""
+    import uuid
+
+    view = f"_merge_src_{uuid.uuid4().hex}"
+    source.createOrReplaceTempView(view)
     on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
-    spark.sql(
-        f"""
-        MERGE INTO {target} t
-        USING _merge_src s
-        ON {on}
-        WHEN MATCHED THEN UPDATE SET *
-        WHEN NOT MATCHED THEN INSERT *
-        """
-    )
+    try:
+        spark.sql(
+            f"""
+            MERGE INTO {target} t
+            USING {view} s
+            ON {on}
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def read_orbit_csvs(spark: SparkSession, path_glob: str, schema: str) -> DataFrame:

@@ -57,7 +57,12 @@ HEADLINE = [
 # the r1/r2 definition (same query set) so headline_suite_sec stays
 # cross-round comparable — the exact metric-drift class VERDICT r2 item 6
 # flagged. Excluded keys are listed in the JSON as total_excludes.
-TOTAL_EXCLUDED = {"q_tfidf_topk", "q_embedding_drift", "q_near_dup_rate"}
+TOTAL_EXCLUDED = {
+    "q_tfidf_topk",
+    "q_embedding_drift",
+    "q_near_dup_rate",
+    "validation_pass_decode",  # reported in queries but never summed either
+}
 
 
 IMAGES_DDL = (

@@ -140,3 +140,50 @@ def test_drift_null_group_keys_reported_not_crashed(spark):
     assert len(eout) == 2
     assert eout["window_id"].isna().sum() == 1
     assert pd.notna(eout["mmd"]).all()
+
+
+def test_assign_drift_regimes_null_window_key_excluded(spark):
+    """Rows whose window/part key is NULL have no position in the window
+    order → excluded from regime assignment (not a crash, not a bogus
+    regime); assigned windows are unaffected."""
+    from al_drift_detection_spark.regimes import assign_drift_regimes
+
+    rows = [(0, 0, float(v)) for v in np.arange(80.0)]
+    rows += [(None, None, 1.0)] * 7
+    df = spark.createDataFrame(rows, "part int, window_id int, v double")
+    out = assign_drift_regimes(df, ["v"], {"v": np.arange(80.0)}).toPandas()
+    assert out["window_id"].tolist() == [0]
+    assert out["regime_id"].tolist() == [1]
+
+
+def test_tfidf_releases_persisted_tf(spark):
+    """tfidf_top_terms persists the shared tf aggregate (broadcast build +
+    probe sides cannot reuse an exchange); release() must free it."""
+    from al_drift_detection_spark.functions._persist import release
+    from al_drift_detection_spark.functions.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(f"d{i}", f"alpha beta gamma {i}") for i in range(20)],
+        "doc_id string, text string",
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = tfidf_top_terms(df, k=2)
+    out.count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > before
+    release(out)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+def test_embedding_drift_ragged_vectors_skipped(spark):
+    """A truncated/wrong-dimension embedding row is skipped, not a job
+    abort; n_vectors counts only scored vectors."""
+    from al_drift_detection_spark.drift import embedding_drift
+
+    rng = np.random.default_rng(11)
+    ref = rng.standard_normal((30, 4))
+    rows = [(0, [float(x) for x in v]) for v in rng.standard_normal((25, 4))]
+    rows += [(0, [1.0, 2.0])]          # ragged: wrong dimension
+    rows += [(0, [float(x) for x in rng.standard_normal(5)])]  # too long
+    df = spark.createDataFrame(rows, "window_id int, embedding array<float>")
+    got = embedding_drift(df, ref).toPandas()
+    assert len(got) == 1 and got.loc[0, "n_vectors"] == 25

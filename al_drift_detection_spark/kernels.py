@@ -17,7 +17,17 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["ks_2samp", "kolmogorov_sf", "psi", "mmd_rbf", "subsample"]
+__all__ = [
+    "ks_2samp",
+    "kolmogorov_sf",
+    "psi",
+    "mmd_rbf",
+    "subsample",
+    "chi2_sf",
+    "chi2_2samp",
+    "js_divergence",
+    "wasserstein_1d",
+]
 
 
 def kolmogorov_sf(lam: float, terms: int = 101) -> float:
@@ -121,6 +131,154 @@ def mmd_rbf(ref: np.ndarray, cur: np.ndarray, gamma: float | None = None, max_n:
     term_x = (kxx.sum() - np.trace(kxx)) / (n * (n - 1))
     term_y = (kyy.sum() - np.trace(kyy)) / (m * (m - 1))
     return float(term_x + term_y - 2.0 * kxy.mean())
+
+
+def chi2_sf(x: float, k: int) -> float:
+    """Chi-square survival function P(X ≥ x) for k degrees of freedom.
+
+    Q(k/2, x/2) — the regularized UPPER incomplete gamma function, computed
+    with the standard Numerical Recipes §6.2 pair (no scipy in the container,
+    same situation as kolmogorov_sf): the series form of P(a,x) for x < a+1,
+    the Lentz continued fraction of Q(a,x) otherwise. Golden-value tested
+    against the classic chi-square table (e.g. Q(3.841;1) ≈ 0.05) and a
+    hypothesis monotonicity property.
+    """
+    if x <= 0.0:
+        return 1.0
+    if k <= 0:
+        raise ValueError(f"chi2_sf: dof must be positive, got {k}")
+    a, xx = 0.5 * k, 0.5 * x
+    lg = _lgamma(a)
+    if xx < a + 1.0:
+        # series for the lower P(a,x); Q = 1 - P
+        ap, s, d = a, 1.0 / a, 1.0 / a
+        for _ in range(500):
+            ap += 1.0
+            d *= xx / ap
+            s += d
+            if abs(d) < abs(s) * 1e-15:
+                break
+        p = s * np.exp(-xx + a * np.log(xx) - lg)
+        return float(min(max(1.0 - p, 0.0), 1.0))
+    # modified-Lentz continued fraction for Q(a,x) directly
+    tiny = 1e-300
+    b, c, d = xx + 1.0 - a, 1.0 / tiny, 1.0 / (xx + 1.0 - a)
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        d = tiny if abs(d) < tiny else d
+        c = b + an / c
+        c = tiny if abs(c) < tiny else c
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-15:
+            break
+    q = h * np.exp(-xx + a * np.log(xx) - lg)
+    return float(min(max(q, 0.0), 1.0))
+
+
+def _lgamma(a: float) -> float:
+    """log Γ(a) — Lanczos g=7 n=9 (double-precision standard coefficients)."""
+    g = 7
+    coef = np.array(
+        [
+            0.99999999999980993,
+            676.5203681218851,
+            -1259.1392167224028,
+            771.32342877765313,
+            -176.61502916214059,
+            12.507343278686905,
+            -0.13857109526572012,
+            9.9843695780195716e-6,
+            1.5056327351493116e-7,
+        ]
+    )
+    if a < 0.5:
+        # reflection; not hit for chi-square (a = k/2 ≥ 0.5) but keep it total
+        return float(np.log(np.pi / np.sin(np.pi * a)) - _lgamma(1.0 - a))
+    a -= 1.0
+    x = coef[0] + np.sum(coef[1:] / (a + np.arange(1, g + 2)))
+    t = a + g + 0.5
+    return float(0.5 * np.log(2.0 * np.pi) + (a + 0.5) * np.log(t) - t + np.log(x))
+
+
+def chi2_2samp(ref_cats: np.ndarray, cur_cats: np.ndarray) -> tuple[float, int, float]:
+    """Chi-square homogeneity test between two categorical samples.
+
+    Builds the 2×K contingency table over the UNION of observed categories,
+    stat = Σ (o − e)²/e with e = row_total·col_total/grand_total (zero
+    observed cells still contribute their expected mass — the classic
+    mistake relational ports make is summing only observed cells), dof =
+    K − 1, p = chi2_sf(stat, dof). Returns (stat, dof, p).
+
+    Replaces the reference's single-distribution drift alarm for CATEGORICAL
+    columns (fmt, lang) where KS on ranks is ill-defined; north_star names
+    the fmt-whitelist/shift check. Oracle twin: q_chi2_drift.
+    """
+    ref_cats = np.asarray(ref_cats)
+    cur_cats = np.asarray(cur_cats)
+    if len(ref_cats) == 0 or len(cur_cats) == 0:
+        return 0.0, 0, 1.0
+    cats = np.unique(np.concatenate([ref_cats, cur_cats]))
+    if len(cats) < 2:
+        return 0.0, 0, 1.0
+    o_r = np.array([(ref_cats == c).sum() for c in cats], dtype=np.float64)
+    o_c = np.array([(cur_cats == c).sum() for c in cats], dtype=np.float64)
+    col = o_r + o_c
+    tot = col.sum()
+    e_r = len(ref_cats) * col / tot
+    e_c = len(cur_cats) * col / tot
+    stat = float(np.sum((o_r - e_r) ** 2 / e_r) + np.sum((o_c - e_c) ** 2 / e_c))
+    dof = len(cats) - 1
+    return stat, dof, chi2_sf(stat, dof)
+
+
+def js_divergence(ref: np.ndarray, cur: np.ndarray, bins: int = 10) -> float:
+    """Jensen-Shannon divergence (natural log, so ∈ [0, ln 2]) between the two
+    samples' histograms on reference-quantile bins (same binning policy as
+    psi(); JS is the bounded/symmetric alternative when PSI's log-ratio blows
+    up on near-empty bins). Zero bins contribute exactly 0 — no eps clipping
+    needed because m = (p+q)/2 > 0 wherever p > 0 or q > 0.
+    """
+    ref = np.asarray(ref, dtype=np.float64)
+    cur = np.asarray(cur, dtype=np.float64)
+    if len(ref) == 0 or len(cur) == 0:
+        return 0.0
+    qs = np.quantile(ref, np.linspace(0.0, 1.0, bins + 1))
+    qs[0], qs[-1] = -np.inf, np.inf
+    qs = np.unique(qs)
+    if len(qs) <= 2:
+        return 0.0
+    p = np.histogram(ref, qs)[0] / len(ref)
+    q = np.histogram(cur, qs)[0] / len(cur)
+    m = 0.5 * (p + q)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        kl_pm = np.where(p > 0, p * np.log(p / m), 0.0)
+        kl_qm = np.where(q > 0, q * np.log(q / m), 0.0)
+    return float(0.5 * kl_pm.sum() + 0.5 * kl_qm.sum())
+
+
+def wasserstein_1d(ref: np.ndarray, cur: np.ndarray) -> float:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between the two
+    empirical distributions: ∫ |ECDF_ref − ECDF_cur| dx over the merged
+    support. Unlike KS (sup-norm) this is mass-weighted — a small shift of
+    the whole distribution scores ∝ the shift, the property the drift-regime
+    catalog wants for "how far", not just "is different". Matches
+    mean|sorted_ref − sorted_cur| when n == m (tested). Oracle twin:
+    q_wasserstein.
+    """
+    ref = np.asarray(ref, dtype=np.float64)
+    cur = np.asarray(cur, dtype=np.float64)
+    if len(ref) == 0 or len(cur) == 0:
+        return 0.0
+    all_v = np.sort(np.concatenate([ref, cur]))
+    deltas = np.diff(all_v)
+    cdf_r = np.searchsorted(np.sort(ref), all_v[:-1], side="right") / len(ref)
+    cdf_c = np.searchsorted(np.sort(cur), all_v[:-1], side="right") / len(cur)
+    return float(np.sum(np.abs(cdf_r - cdf_c) * deltas))
 
 
 def subsample(x: np.ndarray, max_n: int) -> np.ndarray:

@@ -356,6 +356,177 @@ def q_mmd_rbf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q_chi2_drift",
+    """
+    WITH b AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS side,
+             least(greatest(CAST(floor(value / 10) AS BIGINT), 0), 9) AS bin
+      FROM events
+    ),
+    c AS (SELECT side, bin, count(*)::DOUBLE AS n FROM b GROUP BY 1, 2),
+    rt AS (SELECT side, sum(n) AS r FROM c GROUP BY 1),
+    ct AS (SELECT bin, sum(n) AS col FROM c GROUP BY 1),
+    g AS (SELECT sum(n) AS tot FROM c),
+    grid AS (SELECT side, r, bin, col FROM rt CROSS JOIN ct)
+    SELECT round(sum(pow(coalesce(n, 0) - r * col / tot, 2) / (r * col / tot)), 6)
+             AS chi2_stat,
+           CAST((SELECT count(*) - 1 FROM ct) AS BIGINT) AS dof
+    FROM grid LEFT JOIN c USING (side, bin), g
+    """,
+    "chi-square homogeneity drift on a CATEGORICAL column (the fmt/lang "
+    "whitelist-shift alarm KS cannot express) expressed relationally: one "
+    "groupBy(side,bin) over the table, then margins + the FULL side×bin grid "
+    "(zero observed cells still contribute expected mass — LEFT JOIN, not "
+    "inner). Oracle twin of kernels.chi2_2samp (pytest-verified vs a direct "
+    "contingency computation; p-value lives in the numpy kernel — the "
+    "incomplete-gamma SF is not relational)",
+)
+def q_chi2_drift(spark: SparkSession, sf: str) -> DataFrame:
+    b = _t(spark, sf, "events").select(
+        F.when(F.col("event_id") % 2 == 0, "ref").otherwise("cur").alias("side"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 10).cast("long"), F.lit(0)), F.lit(9)
+        ).alias("bin"),
+    )
+    c = b.groupBy("side", "bin").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    rt = c.groupBy("side").agg(F.sum("n").alias("r"))
+    ct = c.groupBy("bin").agg(F.sum("n").alias("col"))
+    g = c.agg(F.sum("n").alias("tot"))
+    dof = ct.agg((F.count(F.lit(1)) - 1).cast("long").alias("dof"))
+    grid = rt.crossJoin(F.broadcast(ct))  # 2 × ≤10 rows — tiny by construction
+    e = F.col("r") * F.col("col") / F.col("tot")
+    return (
+        grid.join(c, ["side", "bin"], "left")
+        .crossJoin(F.broadcast(g))
+        .agg(
+            F.round(
+                F.sum(F.pow(F.coalesce(F.col("n"), F.lit(0.0)) - e, F.lit(2.0)) / e), 6
+            ).alias("chi2_stat")
+        )
+        .crossJoin(F.broadcast(dof))
+    )
+
+
+@register(
+    "q_js_fixed_bins",
+    """
+    WITH b AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS side,
+             least(greatest(CAST(floor(value / 10) AS BIGINT), 0), 9) AS bin
+      FROM events
+    ),
+    c AS (SELECT side, bin, count(*)::DOUBLE AS n FROM b GROUP BY 1, 2),
+    t AS (SELECT side, sum(n) AS tot FROM c GROUP BY 1),
+    p AS (
+      SELECT bin,
+             coalesce(max(CASE WHEN c.side = 'ref' THEN n / tot END), 0) AS pr,
+             coalesce(max(CASE WHEN c.side = 'cur' THEN n / tot END), 0) AS pc
+      FROM c JOIN t USING (side) GROUP BY bin
+    )
+    SELECT round(sum(
+             0.5 * CASE WHEN pr > 0 THEN pr * ln(pr / ((pr + pc) / 2)) ELSE 0 END
+           + 0.5 * CASE WHEN pc > 0 THEN pc * ln(pc / ((pr + pc) / 2)) ELSE 0 END
+           ), 6) AS jsd
+    FROM p
+    """,
+    "Jensen-Shannon divergence with fixed bins — the bounded (≤ ln 2), "
+    "symmetric drift score for bins where PSI's eps-clipped log-ratio "
+    "saturates; zero bins contribute exactly 0 (no eps), m=(p+q)/2 > 0 "
+    "wherever either side has mass. Same one-groupBy scale shape as "
+    "q_psi_fixed_bins. Kernel twin kernels.js_divergence (quantile-bin "
+    "variant) pytest-verified",
+)
+def q_js_fixed_bins(spark: SparkSession, sf: str) -> DataFrame:
+    b = _t(spark, sf, "events").select(
+        F.when(F.col("event_id") % 2 == 0, "ref").otherwise("cur").alias("side"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 10).cast("long"), F.lit(0)), F.lit(9)
+        ).alias("bin"),
+    )
+    c = b.groupBy("side", "bin").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    t = c.groupBy("side").agg(F.sum("n").alias("tot"))
+    p = (
+        c.join(t, "side")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("side") == "ref", F.col("n") / F.col("tot"))), F.lit(0.0)
+            ).alias("pr"),
+            F.coalesce(
+                F.max(F.when(F.col("side") == "cur", F.col("n") / F.col("tot"))), F.lit(0.0)
+            ).alias("pc"),
+        )
+    )
+    m = (F.col("pr") + F.col("pc")) / 2
+    term = (
+        F.lit(0.5)
+        * F.when(F.col("pr") > 0, F.col("pr") * F.log(F.col("pr") / m)).otherwise(0.0)
+        + F.lit(0.5)
+        * F.when(F.col("pc") > 0, F.col("pc") * F.log(F.col("pc") / m)).otherwise(0.0)
+    )
+    return p.agg(F.round(F.sum(term), 6).alias("jsd"))
+
+
+@register(
+    "q_wasserstein",
+    """
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS r,
+             CASE WHEN event_id % 2 = 1 THEN 1.0 ELSE 0.0 END AS c
+      FROM events
+    ),
+    tot AS (SELECT sum(r) AS nr, sum(c) AS nc FROM s),
+    g AS (SELECT v, sum(r) AS dr, sum(c) AS dc FROM s GROUP BY v),
+    e AS (
+      SELECT v,
+             sum(dr) OVER (ORDER BY v) AS cr,
+             sum(dc) OVER (ORDER BY v) AS cc,
+             lead(v) OVER (ORDER BY v) AS nv
+      FROM g
+    )
+    SELECT round(sum(abs(cr / nr - cc / nc) * (nv - v)), 6) AS w1
+    FROM e, tot WHERE nv IS NOT NULL
+    """,
+    "exact 1-D Wasserstein-1 (earth mover's) drift distance, "
+    "∫|ECDF_ref − ECDF_cur| dx over the merged support — the mass-weighted "
+    "'how far did it move' companion to KS's sup-norm. Relational form: "
+    "distinct-value pre-agg (kills ECDF ties), then the scale-safe bucketed "
+    "two-pass cumulative (operators/windows.global_cumulative) + bucketed "
+    "global lead (operators/windows.global_lead) — no single-partition "
+    "sort anywhere. Kernel twin kernels.wasserstein_1d (pytest vs "
+    "mean|sorted−sorted| identity)",
+)
+def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.operators.windows import global_cumulative, global_lead
+
+    s = _t(spark, sf, "events").select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_id") % 2 == 0, 1.0).otherwise(0.0).alias("r"),
+        F.when(F.col("event_id") % 2 == 1, 1.0).otherwise(0.0).alias("c"),
+    )
+    tot = s.agg(F.sum("r").alias("nr"), F.sum("c").alias("nc"))
+    g = s.groupBy("v").agg(F.sum("r").alias("dr"), F.sum("c").alias("dc"))
+    cum = global_cumulative(
+        g, bucket=F.floor(F.col("v") / 10), order_cols=["v"], sums={"cr": "dr", "cc": "dc"}
+    )
+    e = global_lead(cum, bucket=F.floor(F.col("v") / 10), order_col="v", out_col="nv")
+    return (
+        e.filter(F.col("nv").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(F.col("cr") / F.col("nr") - F.col("cc") / F.col("nc"))
+                    * (F.col("nv") - F.col("v"))
+                ),
+                6,
+            ).alias("w1")
+        )
+    )
+
+
 # =====================================================================
 # Dedup / text / similarity (training-data pipeline operators)
 # =====================================================================

@@ -113,6 +113,51 @@ def global_cumulative(
     return joined.select(*keep, *out_cols)
 
 
+def global_lead(
+    df: DataFrame,
+    bucket,
+    order_col: str,
+    out_col: str,
+) -> DataFrame:
+    """lead(order_col) over the GLOBAL order without a single-partition sort
+    (same two-pass shape as global_cumulative): a per-bucket lead (partitioned
+    window → parallel sorts) plus, for each bucket's LAST row, the next
+    non-empty bucket's min(order_col) — a tiny O(buckets) collect re-broadcast
+    as a join. The final global row gets NULL, matching
+    `lead(v) OVER (ORDER BY v)`.
+
+    Same contract as global_cumulative: `bucket` must be a coarse monotone
+    prefix of the order on `order_col`, and order keys must be NON-NULL
+    (rejected loudly). `order_col` values need not be unique, but with ties
+    the row-based lead is only deterministic if the caller has pre-aggregated
+    to distinct values (the W1 caller does). `order_col` must be a DOUBLE —
+    the broadcast boundary frame is typed double.
+    """
+    d = df.withColumn("_bkt", bucket.cast("long"))
+    per_bucket = (
+        d.groupBy("_bkt").agg(F.min(order_col).alias("_min")).orderBy("_bkt").collect()
+    )
+    if any(r["_bkt"] is None for r in per_bucket):
+        raise ValueError(
+            "global_lead: NULL bucket/order keys have no defined global "
+            "position; filter or coalesce nulls upstream"
+        )
+    nxt = [
+        (per_bucket[i]["_bkt"], per_bucket[i + 1]["_min"] if i + 1 < len(per_bucket) else None)
+        for i in range(len(per_bucket))
+    ]
+    nxt_df = d.sparkSession.createDataFrame(nxt, "_bkt long, _next_bucket_min double")
+    w = Window.partitionBy("_bkt").orderBy(order_col)
+    return (
+        d.join(F.broadcast(nxt_df), "_bkt")
+        .withColumn(
+            out_col,
+            F.coalesce(F.lead(order_col).over(w), F.col("_next_bucket_min")),
+        )
+        .select(*df.columns, out_col)
+    )
+
+
 def sequence_features(
     df: DataFrame,
     group_col: str,

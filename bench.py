@@ -51,6 +51,9 @@ HEADLINE = [
     "q_tfidf_topk",
     "q_embedding_drift",
     "q_near_dup_rate",
+    "q_chi2_drift",
+    "q_js_fixed_bins",
+    "q_wasserstein",
 ]
 
 # reported per-query but EXCLUDED from the summed `value` metric, which keeps
@@ -61,6 +64,9 @@ TOTAL_EXCLUDED = {
     "q_tfidf_topk",
     "q_embedding_drift",
     "q_near_dup_rate",
+    "q_chi2_drift",
+    "q_js_fixed_bins",
+    "q_wasserstein",
     "validation_pass_decode",  # reported in queries but never summed either
 }
 

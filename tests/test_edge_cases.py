@@ -198,6 +198,34 @@ def test_global_cumulative_matches_pandas_with_ties(spark):
     assert out2["rn"].tolist() == list(range(1, 601))
 
 
+def test_global_lead_matches_pandas_across_bucket_gaps(spark):
+    """Bucketed global lead must equal lead() over the single global order,
+    including across bucket boundaries and EMPTY buckets (value gaps), with
+    NULL for the final global row."""
+    import numpy as np
+    import pandas as pd
+
+    from al_drift_detection_spark.operators.windows import global_lead
+
+    rng = np.random.default_rng(7)
+    # distinct values with big gaps so floor(v/7) leaves empty buckets
+    v = np.unique(np.round(rng.exponential(40.0, 400), 2))
+    df = spark.createDataFrame([(float(x),) for x in v], "v double")
+    out = (
+        global_lead(df, bucket=F.floor(F.col("v") / 7), order_col="v", out_col="nv")
+        .toPandas()
+        .sort_values("v")
+    )
+    expected = pd.Series(v).shift(-1)
+    got = out["nv"].to_numpy()
+    assert np.isnan(got[-1])
+    assert np.allclose(got[:-1], expected.to_numpy()[:-1])
+
+    with pytest.raises(ValueError, match="NULL bucket"):
+        null_df = spark.createDataFrame([(1.0,), (None,)], "v double")
+        global_lead(null_df, bucket=F.floor(F.col("v") / 7), order_col="v", out_col="nv")
+
+
 def test_q_salted_agg_equals_plain_groupby(spark):
     """The salted two-level rewrite is semantics-preserving: identical to the
     plain groupBy on the same fixture (registry q_salted_agg)."""

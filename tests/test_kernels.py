@@ -6,7 +6,17 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from al_drift_detection_spark.kernels import kolmogorov_sf, ks_2samp, mmd_rbf, psi, subsample
+from al_drift_detection_spark.kernels import (
+    chi2_2samp,
+    chi2_sf,
+    js_divergence,
+    kolmogorov_sf,
+    ks_2samp,
+    mmd_rbf,
+    psi,
+    subsample,
+    wasserstein_1d,
+)
 
 RNG = np.random.default_rng(42)
 
@@ -124,6 +134,165 @@ def test_subsample_deterministic_and_bounded():
     assert len(s1) == 100
     assert np.array_equal(s1, s2)
     assert s1[0] == 0.0 and s1[-1] == 9999.0
+
+
+# ---- chi-square ----------------------------------------------------------
+
+# classic chi-square table: (critical value, dof) → upper-tail 0.05 / 0.01
+CHI2_TABLE = [
+    (3.841, 1, 0.05),
+    (5.991, 2, 0.05),
+    (16.919, 9, 0.05),
+    (6.635, 1, 0.01),
+    (21.666, 9, 0.01),
+]
+
+
+def test_chi2_sf_golden_table():
+    for x, k, p in CHI2_TABLE:
+        assert chi2_sf(x, k) == pytest.approx(p, abs=5e-4), (x, k)
+    assert chi2_sf(0.0, 3) == 1.0
+    assert chi2_sf(1e6, 3) == 0.0
+
+
+def test_chi2_sf_monotone_in_x():
+    xs = np.linspace(0.01, 50, 200)
+    for k in (1, 2, 5, 9, 20):
+        vals = [chi2_sf(x, k) for x in xs]
+        assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:])), k
+
+
+def test_chi2_2samp_matches_direct_contingency():
+    a = RNG.integers(0, 6, 500)
+    b = RNG.integers(0, 6, 700)
+    stat, dof, p = chi2_2samp(a, b)
+    # independent direct computation over the 2×K table
+    cats = np.unique(np.concatenate([a, b]))
+    obs = np.array([[(a == c).sum() for c in cats], [(b == c).sum() for c in cats]], float)
+    exp = obs.sum(1)[:, None] * obs.sum(0)[None, :] / obs.sum()
+    assert stat == pytest.approx(((obs - exp) ** 2 / exp).sum(), rel=1e-12)
+    assert dof == len(cats) - 1
+    assert 0.0 <= p <= 1.0
+
+
+def test_chi2_2samp_identical_and_shifted():
+    a = np.repeat(np.arange(5), 200)
+    stat, dof, p = chi2_2samp(a, a)
+    assert stat == pytest.approx(0.0, abs=1e-12)
+    assert p == pytest.approx(1.0, abs=1e-12)
+    b = RNG.integers(0, 5, 1000)
+    c = RNG.integers(2, 7, 1000)  # shifted category support
+    stat2, _, p2 = chi2_2samp(b, c)
+    assert stat2 > 100 and p2 < 1e-6
+
+
+def test_chi2_zero_observed_cell_contributes_expected_mass():
+    # 'cur' never shows category 2 — the zero cell must still add e to stat
+    a = np.array([0, 0, 1, 1, 2, 2])
+    b = np.array([0, 0, 1, 1, 1, 1])
+    stat, dof, _ = chi2_2samp(a, b)
+    assert dof == 2
+    obs = np.array([[2, 2, 2], [2, 4, 0]], float)
+    exp = obs.sum(1)[:, None] * obs.sum(0)[None, :] / obs.sum()
+    assert stat == pytest.approx(((obs - exp) ** 2 / exp).sum(), rel=1e-12)
+
+
+# ---- Jensen-Shannon ------------------------------------------------------
+
+
+def test_js_symmetric_bounded_zero_on_identical():
+    a = RNG.normal(0, 1, 2000)
+    b = RNG.normal(0.8, 1.2, 2000)
+    assert js_divergence(a, a) == pytest.approx(0.0, abs=1e-12)
+    j1, j2 = js_divergence(a, b), js_divergence(b, a)
+    assert 0.0 < j1 <= np.log(2) + 1e-12
+    # not exactly symmetric in sample form (bins come from the first arg's
+    # quantiles) — but both directions must agree on drift vs no drift
+    assert j2 > 0.0
+    c = RNG.normal(0, 1, 2000)
+    assert js_divergence(a, c) < 0.05
+
+
+def ref_js(ref, cur, bins=10):
+    """Independent JS reference: histogram KLs to the mixture, ref-quantile
+    bins with open tails (the same binning policy psi()/js_divergence use)."""
+    qs = np.quantile(ref, np.linspace(0, 1, bins + 1))
+    qs[0], qs[-1] = -np.inf, np.inf
+    qs = np.unique(qs)
+    p = np.histogram(ref, qs)[0] / len(ref)
+    q = np.histogram(cur, qs)[0] / len(cur)
+    m = (p + q) / 2
+    out = 0.0
+    for pi, qi, mi in zip(p, q, m):
+        out += 0.5 * (pi * np.log(pi / mi) if pi > 0 else 0.0)
+        out += 0.5 * (qi * np.log(qi / mi) if qi > 0 else 0.0)
+    return out
+
+
+def test_js_matches_reference_impl():
+    a = RNG.normal(0, 1, 1500)
+    b = RNG.normal(1.0, 2.0, 1100)
+    assert js_divergence(a, b) == pytest.approx(ref_js(a, b), rel=1e-12)
+
+
+def test_js_far_shift_approaches_tail_bound():
+    # a shift past the whole ref support: only the open last quantile bin
+    # overlaps, so JSD is high but (by construction of open tails) < ln 2
+    a = np.linspace(0, 1, 500)
+    b = np.linspace(100, 101, 500)
+    got = js_divergence(a, b)
+    assert got == pytest.approx(ref_js(a, b), rel=1e-12)
+    assert 0.5 < got < np.log(2)
+
+
+# ---- Wasserstein-1 -------------------------------------------------------
+
+
+def test_wasserstein_shift_identity():
+    a = RNG.normal(0, 1, 1000)
+    assert wasserstein_1d(a, a) == 0.0
+    for c in (0.25, 1.0, 3.5):
+        assert wasserstein_1d(a, a + c) == pytest.approx(c, rel=1e-12)
+
+
+def test_wasserstein_equal_n_sorted_mean_identity():
+    a = RNG.normal(0, 1, 800)
+    b = RNG.normal(0.5, 2.0, 800)
+    expect = np.mean(np.abs(np.sort(a) - np.sort(b)))
+    assert wasserstein_1d(a, b) == pytest.approx(expect, rel=1e-10)
+
+
+def test_wasserstein_unequal_n_vs_quadrature():
+    a = RNG.exponential(1.0, 600)
+    b = RNG.exponential(1.5, 411)
+    # independent check: dense quadrature of |ECDF difference|
+    grid = np.linspace(min(a.min(), b.min()) - 1, max(a.max(), b.max()) + 1, 200_001)
+    fa = np.searchsorted(np.sort(a), grid, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), grid, side="right") / len(b)
+    quad = np.trapz(np.abs(fa - fb), grid)
+    assert wasserstein_1d(a, b) == pytest.approx(quad, abs=2e-4)
+
+
+def test_relational_drift_extensions_match_numpy(spark):
+    """q_wasserstein and q_chi2_drift (hash-checked vs DuckDB separately) must
+    also equal the numpy kernels on the same events split — the same
+    verification triangle as test_relational_kernels_match_numpy."""
+    from al_drift_detection_spark.operators import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("event_id", "value").toPandas()
+    r = ev[ev["event_id"] % 2 == 0]["value"].to_numpy(np.float64)
+    c = ev[ev["event_id"] % 2 == 1]["value"].to_numpy(np.float64)
+
+    got_w = REGISTRY["q_wasserstein"].fn(spark, sf).first()
+    assert got_w["w1"] == pytest.approx(wasserstein_1d(r, c), abs=1e-6)
+
+    bins_r = np.clip(np.floor(r / 10).astype(np.int64), 0, 9)
+    bins_c = np.clip(np.floor(c / 10).astype(np.int64), 0, 9)
+    stat, dof, _ = chi2_2samp(bins_r, bins_c)
+    got_x = REGISTRY["q_chi2_drift"].fn(spark, sf).first()
+    assert got_x["chi2_stat"] == pytest.approx(stat, abs=1e-6)
+    assert got_x["dof"] == dof
 
 
 def test_relational_kernels_match_numpy(spark):

@@ -27,7 +27,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from al_drift_detection_spark.kernels import ks_2samp, mmd_rbf, psi, subsample
+from al_drift_detection_spark.kernels import (
+    chi2_sf,
+    js_divergence,
+    ks_2samp,
+    mmd_rbf,
+    psi,
+    subsample,
+    wasserstein_1d,
+)
 
 SCORE_SCHEMA = (
     "part int, window_id int, column string, kernel string, "
@@ -103,6 +111,9 @@ def drift_scores(
     mmd_threshold: float = 0.05,
     max_n: int = 2048,
     mmd_max_n: int = 512,
+    extra_kernels: tuple[str, ...] = (),
+    wasserstein_threshold: float = 0.25,
+    js_threshold: float = 0.1,
 ) -> DataFrame:
     """Score every (part, window) group against the broadcast reference.
 
@@ -113,7 +124,18 @@ def drift_scores(
     mmd_max_n bounds the Gram matrices (O(m²) per window); 512 keeps the MMD
     estimate's standard error well under the detection threshold while being
     ~4× cheaper than 1024 — the dominant per-window cost.
+
+    extra_kernels: opt-in ADVISORY kernels beyond the north_star trio —
+    subset of {"wasserstein", "js"}. They add rows (kernel='wasserstein' /
+    'js') but do NOT join the vote (the vote's ≥2-of-3 semantics and the
+    default output are byte-identical with extra_kernels=()). The
+    Wasserstein statistic is reported as W1 / std(ref) — unitless, so one
+    threshold works across columns of different scales; JS is natural-log
+    (∈ [0, ln 2]).
     """
+    bad = set(extra_kernels) - {"wasserstein", "js"}
+    if bad:
+        raise ValueError(f"unknown extra_kernels: {sorted(bad)}")
     spark = SparkSession.getActiveSession()
     bc_ref = spark.sparkContext.broadcast(ref_samples)
 
@@ -142,6 +164,19 @@ def drift_scores(
                     "fail" if sum(flags) >= 2 else "pass",
                 ),
             ]
+            if "wasserstein" in extra_kernels:
+                sd = float(np.std(r))
+                w1 = wasserstein_1d(r, cur) / sd if sd > 0 else 0.0
+                rows.append(
+                    (part, window, c, "wasserstein", w1, None, wasserstein_threshold,
+                     "fail" if w1 > wasserstein_threshold else "pass")
+                )
+            if "js" in extra_kernels:
+                js_v = js_divergence(r, cur)
+                rows.append(
+                    (part, window, c, "js", js_v, None, js_threshold,
+                     "fail" if js_v > js_threshold else "pass")
+                )
         return pd.DataFrame(
             rows,
             columns=[
@@ -284,3 +319,74 @@ def embedding_drift(
 
     pruned = df.select(F.col(window_col).alias("window_id"), vec_col)
     return pruned.groupBy("window_id").applyInPandas(score, EMB_SCORE_SCHEMA)
+
+
+def categorical_drift(
+    df: DataFrame,
+    cat_col: str,
+    ref_props: dict[str, float],
+    window_col: str = "window_id",
+    alpha: float = 0.01,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Chi-square goodness-of-fit drift for a CATEGORICAL column (fmt, lang —
+    the whitelist-shift alarm KS on ranks cannot express; north_star names
+    the fmt check): each window's category counts vs a reference proportion
+    map, stat = Σ (o_c − n_w·p_c)²/(n_w·p_c), dof = |categories| − 1,
+    p = chi2_sf(stat, dof), verdict fail iff p < alpha.
+
+    Scale shape — everything heavy stays JVM-side: ONE groupBy(window, cat)
+    over the table, then a windows×categories grid built by cross-joining
+    per-window totals with the tiny broadcast category frame (zero OBSERVED
+    cells still contribute their expected mass — the grid, not the observed
+    counts, drives the sum). Python touches only the O(windows) aggregated
+    rows, via a vectorized pandas UDF evaluating the incomplete-gamma
+    survival function (kernels.chi2_sf — not expressible in SQL).
+
+    Categories observed in the data but ABSENT from ref_props get p = eps
+    before renormalising: a brand-new category ("fmt nobody whitelisted")
+    spikes the statistic instead of crashing on expected = 0. Output: one row
+    per window (window_id, n, chi2_stat, dof, p_value, verdict).
+    """
+    if not ref_props:
+        raise ValueError("ref_props is empty — no reference distribution to test against")
+    spark = df.sparkSession
+
+    counts = (
+        df.select(F.col(window_col).alias("window_id"), F.col(cat_col).alias("_cat"))
+        .groupBy("window_id", "_cat")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    observed_cats = [r["_cat"] for r in counts.select("_cat").distinct().collect()]
+    cats = sorted(set(ref_props) | set(observed_cats), key=str)
+    raw = {c: max(float(ref_props.get(c, 0.0)), eps) for c in cats}
+    z = sum(raw.values())
+    cat_rows = [(c, raw[c] / z) for c in cats]
+    cat_df = spark.createDataFrame(cat_rows, "_cat string, p double")
+    dof = len(cats) - 1
+
+    totals = counts.groupBy("window_id").agg(F.sum("o").alias("n"))
+    grid = totals.crossJoin(F.broadcast(cat_df))
+    e = F.col("n") * F.col("p")
+    per_window = (
+        grid.join(counts, ["window_id", "_cat"], "left")
+        .groupBy("window_id")
+        .agg(
+            F.first("n").alias("n"),
+            F.sum(F.pow(F.coalesce(F.col("o"), F.lit(0.0)) - e, F.lit(2.0)) / e).alias(
+                "chi2_stat"
+            ),
+        )
+        .withColumn("n", F.col("n").cast("long"))
+        .withColumn("dof", F.lit(dof).cast("long"))
+    )
+
+    @F.pandas_udf("double")
+    def _sf(stat: pd.Series, k: pd.Series) -> pd.Series:
+        return pd.Series(
+            [chi2_sf(float(s), int(d)) if d > 0 else 1.0 for s, d in zip(stat, k)]
+        )
+
+    return per_window.withColumn("p_value", _sf("chi2_stat", "dof")).withColumn(
+        "verdict", F.when(F.col("p_value") < alpha, "fail").otherwise(F.lit("pass"))
+    )

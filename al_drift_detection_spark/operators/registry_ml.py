@@ -527,6 +527,49 @@ def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q_categorical_drift",
+    """
+    WITH c AS (
+      SELECT CAST(floor(doc_id / 500) AS BIGINT) AS window_id, lang,
+             count(*)::DOUBLE AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    g AS (SELECT lang, sum(o) AS gn FROM c GROUP BY 1),
+    gt AS (SELECT sum(gn) AS tot FROM g),
+    p AS (SELECT lang, gn / tot AS p FROM g, gt),
+    t AS (SELECT window_id, sum(o) AS n FROM c GROUP BY 1),
+    grid AS (SELECT window_id, n, lang, p FROM t CROSS JOIN p)
+    SELECT window_id, CAST(n AS BIGINT) AS n,
+           round(sum(pow(coalesce(o, 0) - n * p, 2) / (n * p)), 6) AS chi2_stat,
+           CAST((SELECT count(*) - 1 FROM p) AS BIGINT) AS dof
+    FROM grid LEFT JOIN c USING (window_id, lang)
+    GROUP BY window_id, n
+    """,
+    "per-WINDOW chi-square goodness-of-fit drift of a categorical column "
+    "(documents.lang, 500-doc windows) against the corpus-level reference "
+    "distribution — the engine surface drift.categorical_drift projected to "
+    "its relational columns (stat + dof; the incomplete-gamma p-value is "
+    "kernel-side, pytest-verified via kernels.chi2_sf goldens). One "
+    "groupBy(window, cat) over the table; the windows×categories grid comes "
+    "from a broadcast of the tiny category frame",
+)
+def q_categorical_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.drift import categorical_drift
+
+    docs = _t(spark, sf, "documents").select(
+        F.floor(F.col("doc_id") / 500).cast("long").alias("window_id"), "lang"
+    )
+    g = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("gn"))
+    rows = g.collect()  # tiny: one row per language
+    tot = sum(r["gn"] for r in rows)
+    props = {r["lang"]: r["gn"] / tot for r in rows}
+    out = categorical_drift(docs, "lang", props, window_col="window_id")
+    return out.select(
+        "window_id", "n", F.round("chi2_stat", 6).alias("chi2_stat"), "dof"
+    )
+
+
 # =====================================================================
 # Dedup / text / similarity (training-data pipeline operators)
 # =====================================================================

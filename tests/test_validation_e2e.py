@@ -147,6 +147,67 @@ def test_drift_flags_planted_windows(spark, images):
     assert (clean_p > 0.001).all()
 
 
+def test_drift_extra_kernels_advisory_rows(spark, images):
+    """extra_kernels adds advisory wasserstein/js rows that flag the planted
+    windows, without touching the default output or the vote."""
+    ref_rows = images.filter(F.col("window_id") < 4)
+    ref_samples = build_reference_sample(ref_rows, ["w"])
+    base = drift_scores(images, ["w"], ref_samples).toPandas()
+    ext = drift_scores(
+        images, ["w"], ref_samples, extra_kernels=("wasserstein", "js")
+    ).toPandas()
+
+    # default kernels + vote byte-identical to the base call
+    assert set(base["kernel"]) == {"ks", "psi", "mmd_rbf", "vote"}
+    core = ext[ext["kernel"].isin(["ks", "psi", "mmd_rbf", "vote"])]
+    key = ["part", "window_id", "column", "kernel"]
+    b = base.sort_values(key).reset_index(drop=True)
+    c = core.sort_values(key).reset_index(drop=True)
+    assert (b["verdict"] == c["verdict"]).all()
+    assert np.allclose(b["statistic"], c["statistic"])
+
+    for k in ("wasserstein", "js"):
+        rows = ext[(ext["kernel"] == k) & (ext["column"] == "w")]
+        flagged = set(rows[rows["verdict"] == "fail"]["window_id"])
+        assert flagged == {6, 7}, (k, flagged)
+
+    with pytest.raises(ValueError, match="unknown extra_kernels"):
+        drift_scores(images, ["w"], ref_samples, extra_kernels=("nope",))
+
+
+def test_categorical_drift_flags_new_category(spark):
+    """A window containing a category absent from the reference map must
+    spike the statistic (eps-floored expected mass), and windows matching the
+    reference must pass."""
+    from al_drift_detection_spark.drift import categorical_drift
+    from al_drift_detection_spark.kernels import chi2_sf
+
+    rows = []
+    # windows 0-2: 60/40 png/jpeg per the reference; window 3: webp appears
+    for w in range(3):
+        rows += [(w, "png")] * 60 + [(w, "jpeg")] * 40
+    rows += [(3, "png")] * 40 + [(3, "jpeg")] * 20 + [(3, "webp")] * 40
+    df = spark.createDataFrame(rows, "window_id int, fmt string")
+    out = (
+        categorical_drift(df, "fmt", {"png": 0.6, "jpeg": 0.4})
+        .toPandas()
+        .set_index("window_id")
+        .sort_index()
+    )
+    assert (out.loc[:2]["verdict"] == "pass").all()
+    assert out.loc[3]["verdict"] == "fail"
+    assert out.loc[3]["chi2_stat"] > 1000  # 40 obs vs ~eps expected
+    # dof covers the union of ref + observed categories
+    assert (out["dof"] == 2).all()
+    assert (out["n"] == 100).all()
+    # p-value column consistent with the kernel SF
+    got = out.loc[0]
+    assert got["p_value"] == pytest.approx(chi2_sf(got["chi2_stat"], int(got["dof"])), abs=1e-9)
+
+    with pytest.raises(ValueError, match="ref_props is empty"):
+        categorical_drift(df, "fmt", {})
+
+
 def test_sliding_window_scores(spark, images):
     scores = sliding_window_scores(images, ["w"], offset=1).toPandas()
     votes = scores[scores["kernel"] == "vote"]

@@ -374,7 +374,7 @@ def q_mmd_rbf(spark: SparkSession, sf: str) -> DataFrame:
            CAST((SELECT count(*) - 1 FROM ct) AS BIGINT) AS dof
     FROM grid LEFT JOIN c USING (side, bin), g
     """,
-    "chi-square homogeneity drift on a CATEGORICAL column (the fmt/lang "
+    "SURVEY.md §2.10 drift-kernel family: chi-square homogeneity drift on a CATEGORICAL column (the fmt/lang "
     "whitelist-shift alarm KS cannot express) expressed relationally: one "
     "groupBy(side,bin) over the table, then margins + the FULL side×bin grid "
     "(zero observed cells still contribute expected mass — LEFT JOIN, not "
@@ -430,7 +430,7 @@ def q_chi2_drift(spark: SparkSession, sf: str) -> DataFrame:
            ), 6) AS jsd
     FROM p
     """,
-    "Jensen-Shannon divergence with fixed bins — the bounded (≤ ln 2), "
+    "SURVEY.md §2.10 drift-kernel family: Jensen-Shannon divergence with fixed bins — the bounded (≤ ln 2), "
     "symmetric drift score for bins where PSI's eps-clipped log-ratio "
     "saturates; zero bins contribute exactly 0 (no eps), m=(p+q)/2 > 0 "
     "wherever either side has mass. Same one-groupBy scale shape as "
@@ -489,7 +489,7 @@ def q_js_fixed_bins(spark: SparkSession, sf: str) -> DataFrame:
     SELECT round(sum(abs(cr / nr - cc / nc) * (nv - v)), 6) AS w1
     FROM e, tot WHERE nv IS NOT NULL
     """,
-    "exact 1-D Wasserstein-1 (earth mover's) drift distance, "
+    "SURVEY.md §2.10 drift-kernel family: exact 1-D Wasserstein-1 (earth mover's) drift distance, "
     "∫|ECDF_ref − ECDF_cur| dx over the merged support — the mass-weighted "
     "'how far did it move' companion to KS's sup-norm. Relational form: "
     "distinct-value pre-agg (kills ECDF ties), then the scale-safe bucketed "
@@ -546,7 +546,7 @@ def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
     FROM grid LEFT JOIN c USING (window_id, lang)
     GROUP BY window_id, n
     """,
-    "per-WINDOW chi-square goodness-of-fit drift of a categorical column "
+    "SURVEY.md §2.10 windowed drift surface: per-WINDOW chi-square goodness-of-fit drift of a categorical column "
     "(documents.lang, 500-doc windows) against the corpus-level reference "
     "distribution — the engine surface drift.categorical_drift projected to "
     "its relational columns (stat + dof; the incomplete-gamma p-value is "

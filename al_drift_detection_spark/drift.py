@@ -345,15 +345,21 @@ def categorical_drift(
 
     Categories observed in the data but ABSENT from ref_props get p = eps
     before renormalising: a brand-new category ("fmt nobody whitelisted")
-    spikes the statistic instead of crashing on expected = 0. Output: one row
-    per window (window_id, n, chi2_stat, dof, p_value, verdict).
+    spikes the statistic instead of crashing on expected = 0. NULL values are
+    a first-class category (coalesced to the sentinel "(null)" — a null fmt
+    shifting in frequency IS categorical drift; silently dropping nulls would
+    also break n vs the grid sum). Output: one row per window
+    (window_id, n, chi2_stat, dof, p_value, verdict).
     """
     if not ref_props:
         raise ValueError("ref_props is empty — no reference distribution to test against")
     spark = df.sparkSession
 
     counts = (
-        df.select(F.col(window_col).alias("window_id"), F.col(cat_col).alias("_cat"))
+        df.select(
+            F.col(window_col).alias("window_id"),
+            F.coalesce(F.col(cat_col).cast("string"), F.lit("(null)")).alias("_cat"),
+        )
         .groupBy("window_id", "_cat")
         .agg(F.count(F.lit(1)).cast("double").alias("o"))
     )

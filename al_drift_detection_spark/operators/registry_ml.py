@@ -508,10 +508,14 @@ def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
     )
     tot = s.agg(F.sum("r").alias("nr"), F.sum("c").alias("nc"))
     g = s.groupBy("v").agg(F.sum("r").alias("dr"), F.sum("c").alias("dc"))
+    # bucket = floor(v) (~560 unit-width buckets on this domain) rather than
+    # the /10 coarsening the KS entries use: W1 pre-aggregates to DISTINCT
+    # values, so finer buckets cost nothing extra in the offsets collect but
+    # multiply the parallel-sort width at 100x scale
     cum = global_cumulative(
-        g, bucket=F.floor(F.col("v") / 10), order_cols=["v"], sums={"cr": "dr", "cc": "dc"}
+        g, bucket=F.floor(F.col("v")), order_cols=["v"], sums={"cr": "dr", "cc": "dc"}
     )
-    e = global_lead(cum, bucket=F.floor(F.col("v") / 10), order_col="v", out_col="nv")
+    e = global_lead(cum, bucket=F.floor(F.col("v")), order_col="v", out_col="nv")
     return (
         e.filter(F.col("nv").isNotNull())
         .crossJoin(F.broadcast(tot))

@@ -59,6 +59,12 @@ def main(argv: list[str] | None = None) -> int:
         help="assign drift-regime ids (new vs recurring) per window — the "
         "reference's orbit->drift_id verdict contract",
     )
+    ap.add_argument(
+        "--cat-drift", action="append", default=None, metavar="COLUMN",
+        help="categorical column(s) to drift-test per window (chi-square "
+        "goodness-of-fit vs the reference windows' distribution; repeatable) "
+        "— writes the cat_drift/ output table",
+    )
     ap.add_argument("--resume", action="store_true", help="skip partitions already passed in checkpoint")
     ap.add_argument("--run-id", default="run1")
     ap.add_argument(
@@ -123,6 +129,30 @@ def main(argv: list[str] | None = None) -> int:
     drift.orderBy("part", "window_id", "column", "kernel").write.mode("overwrite").parquet(
         f"{args.out}/drift"
     )
+
+    if args.cat_drift:
+        from al_drift_detection_spark.drift import categorical_drift
+
+        frames = []
+        for col in args.cat_drift:
+            # reference distribution from the same clean windows the scalar
+            # kernels use; NULLs are a category (matching categorical_drift)
+            cnts = (
+                ref_rows.groupBy(F.coalesce(F.col(col).cast("string"), F.lit("(null)")).alias("c"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            tot = sum(r["n"] for r in cnts)
+            props = {r["c"]: r["n"] / tot for r in cnts}
+            frames.append(
+                categorical_drift(meta, col, props).withColumn("column", F.lit(col))
+            )
+        cat_out = frames[0]
+        for f in frames[1:]:
+            cat_out = cat_out.unionByName(f)
+        cat_out.orderBy("column", "window_id").write.mode("overwrite").parquet(
+            f"{args.out}/cat_drift"
+        )
 
     if args.regimes:
         import os

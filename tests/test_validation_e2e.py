@@ -200,6 +200,21 @@ def test_categorical_drift_flags_new_category(spark):
     # dof covers the union of ref + observed categories
     assert (out["dof"] == 2).all()
     assert (out["n"] == 100).all()
+
+    # NULL values are a first-class category, not silently dropped: a window
+    # suddenly full of nulls must fail, and n must still count every row
+    null_rows = [(0, "png")] * 60 + [(0, "jpeg")] * 40 + [(1, None)] * 50 + [(1, "png")] * 50
+    ndf = spark.createDataFrame(null_rows, "window_id int, fmt string")
+    nout = (
+        categorical_drift(ndf, "fmt", {"png": 0.6, "jpeg": 0.4})
+        .toPandas()
+        .set_index("window_id")
+        .sort_index()
+    )
+    assert nout.loc[0]["verdict"] == "pass"
+    assert nout.loc[1]["verdict"] == "fail"
+    assert (nout["n"] == 100).all()
+    assert (nout["dof"] == 2).all()  # {png, jpeg, (null)} − 1
     # p-value column consistent with the kernel SF
     got = out.loc[0]
     assert got["p_value"] == pytest.approx(chi2_sf(got["chi2_stat"], int(got["dof"])), abs=1e-9)

@@ -57,6 +57,101 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def repetition_ratio(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token-repetition quality signal (the Gopher-rules 'repetition' family,
+    published in Rae et al. 2021 §A1.1): repetition = 1 − distinct/total
+    tokens. Templated/boilerplate/spam documents score high; normal prose
+    low. Pure JVM array functions — no shuffle beyond the scan."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    d = F.size(F.array_distinct(toks))
+    return df.select(
+        id_col,
+        n.alias("n_tokens"),
+        d.alias("n_distinct"),
+        F.round(F.when(n > 0, 1.0 - d / n).otherwise(0.0), 6).alias("repetition_ratio"),
+    )
+
+
+# conservative patterns that parse identically under Java regex (Spark) and
+# RE2 (DuckDB) — no backrefs, no lookaround, no \p classes
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII indicator counts (emails / IPv4 / NANP-style phone
+    numbers) — the redaction-triage scan every training-corpus pipeline runs
+    before release. Counts only (no extraction into output — the matched
+    strings themselves are the sensitive part). regexp_extract_all is
+    JVM-side codegen; one scan, no shuffle."""
+    cols = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), 0)).alias(f"n_{name}")
+        for name, p in PII_PATTERNS.items()
+    ]
+    out = df.select(id_col, *cols)
+    total = sum(F.col(f"n_{name}") for name in PII_PATTERNS)
+    return out.withColumn("has_pii", (total > 0).cast("boolean"))
+
+
+def quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+    min_stopword_ratio: float = 0.0,
+    max_repetition: float = 0.5,
+) -> DataFrame:
+    """Composite keep/drop gate over the scalar quality signals (the
+    Gopher-style document filter: token-count window, mean-word-length
+    window, stopword floor, repetition ceiling). Emits the per-rule booleans
+    plus the conjunction so a pipeline can both filter (`keep`) and audit
+    WHY a document dropped — single scan, all JVM columns. All signals are
+    computed in ONE projection (not a join of quality_features with
+    repetition_ratio — both derive from the same tokenization, and a join of
+    two derivations of the same scan is a gratuitous shuffle + double read,
+    the tfidf-double-scan review class)."""
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]]))
+    )
+    j = df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars / n_tokens, 4).alias("avg_token_len"),
+        F.round(stop / n_tokens, 6).alias("stopword_ratio"),
+        F.round(
+            F.when(n_tokens > 0, 1.0 - n_distinct / n_tokens).otherwise(0.0), 6
+        ).alias("repetition_ratio"),
+    )
+    rules = {
+        "ok_token_count": (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens),
+        "ok_avg_token_len": (F.col("avg_token_len") >= min_avg_token_len)
+        & (F.col("avg_token_len") <= max_avg_token_len),
+        "ok_stopwords": F.col("stopword_ratio") >= min_stopword_ratio,
+        "ok_repetition": F.col("repetition_ratio") <= max_repetition,
+    }
+    out = j.select(
+        id_col, "n_tokens", "avg_token_len", "stopword_ratio", "repetition_ratio",
+        *[c.alias(nme) for nme, c in rules.items()],
+    )
+    keep = F.lit(True)
+    for nme in rules:
+        keep = keep & F.col(nme)
+    return out.withColumn("keep", keep)
+
+
 def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-overlap language heuristic: score = |tokens ∩ stopwords_lang|
     per language, argmax wins ('und' = undetermined on all-zero).

@@ -648,6 +648,85 @@ def q_quality_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_repetition_ratio",
+    r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           round(CASE WHEN len(string_split(text, ' ')) > 0
+                 THEN 1.0 - len(list_distinct(string_split(text, ' ')))
+                            / len(string_split(text, ' '))
+                 ELSE 0 END, 6) AS repetition_ratio
+    FROM documents
+    """,
+    "SURVEY.md §2.9 scalar-feature family / Gopher repetition rules: "
+    "token-repetition quality signal (1 − distinct/total tokens) — "
+    "templated/boilerplate docs score high. Pure JVM array functions",
+)
+def q_repetition_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    return T.repetition_ratio(_t(spark, sf, "documents"))
+
+
+@register(
+    "q_pii_scan",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+           len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone,
+           (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+            + len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))) > 0 AS has_pii
+    FROM documents
+    """,
+    "SURVEY.md §2.9 scalar-feature family: per-document PII indicator counts "
+    "(email / IPv4 / phone) — the redaction-triage scan a corpus pipeline "
+    "runs before release; counts only, matched strings never leave the row. "
+    "Patterns chosen to parse identically under Java regex and RE2 "
+    "(functions/text.PII_PATTERNS); planted-PII behavior pinned in pytest",
+)
+def q_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
+    return T.pii_scan(_t(spark, sf, "documents"))
+
+
+@register(
+    "q_quality_gate",
+    r"""
+    WITH q AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             round(length(text) / len(string_split(text, ' ')), 4) AS avg_token_len,
+             round(len(list_intersect(string_split(text, ' '),
+                   ['the','and','of','to','a','in','is','it','that','was']))
+                   / len(string_split(text, ' ')), 6) AS stopword_ratio,
+             round(CASE WHEN len(string_split(text, ' ')) > 0
+                   THEN 1.0 - len(list_distinct(string_split(text, ' ')))
+                              / len(string_split(text, ' '))
+                   ELSE 0 END, 6) AS repetition_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, repetition_ratio,
+           n_tokens BETWEEN 10 AND 100000 AS ok_token_count,
+           avg_token_len BETWEEN 2.0 AND 12.0 AS ok_avg_token_len,
+           stopword_ratio >= 0.0 AS ok_stopwords,
+           repetition_ratio <= 0.5 AS ok_repetition,
+           (n_tokens BETWEEN 10 AND 100000)
+             AND (avg_token_len BETWEEN 2.0 AND 12.0)
+             AND (stopword_ratio >= 0.0)
+             AND (repetition_ratio <= 0.5) AS keep
+    FROM q
+    """,
+    "SURVEY.md §2.9 / Gopher-style composite document filter: keep/drop gate "
+    "over token-count window, mean-word-length window, stopword floor and "
+    "repetition ceiling — emits the per-rule booleans so a pipeline can audit "
+    "WHY a doc dropped. ONE projection over one scan (no join of same-scan "
+    "derivations)",
+)
+def q_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
+    return T.quality_gate(_t(spark, sf, "documents"))
+
+
+@register(
     "q_cosine_topk",
     """
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)

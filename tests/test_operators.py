@@ -148,3 +148,45 @@ def test_langid_schema_and_determinism(spark):
     assert set(out.columns) == {"doc_id", "lang_pred"}
     assert len(out) == docs.count()
     assert out["lang_pred"].isin(["en", "de", "fr", "es", "zh", "und"]).all()
+
+
+def test_pii_scan_planted(spark):
+    from al_drift_detection_spark.functions.text import pii_scan
+
+    docs = spark.createDataFrame(
+        [
+            (0, "contact me at alice.smith+work@example.co.uk for details"),
+            (1, "server at 192.168.0.1 and backup 10.0.0.254 went down"),
+            (2, "call 555-123-4567 or 555.987.6543 now"),
+            (3, "a perfectly clean document about the weather"),
+            (4, "mixed: bob@test.org from 8.8.8.8 dialed 800-555-0199"),
+        ],
+        "doc_id long, text string",
+    )
+    out = pii_scan(docs).toPandas().set_index("doc_id").sort_index()
+    assert out.loc[0][["n_email", "n_ipv4", "n_phone"]].tolist() == [1, 0, 0]
+    assert out.loc[1][["n_email", "n_ipv4", "n_phone"]].tolist() == [0, 2, 0]
+    assert out.loc[2][["n_email", "n_ipv4", "n_phone"]].tolist() == [0, 0, 2]
+    assert out.loc[3][["n_email", "n_ipv4", "n_phone"]].tolist() == [0, 0, 0]
+    assert out.loc[4][["n_email", "n_ipv4", "n_phone"]].tolist() == [1, 1, 1]
+    assert out["has_pii"].tolist() == [True, True, True, False, True]
+
+
+def test_repetition_ratio_and_quality_gate(spark):
+    from al_drift_detection_spark.functions.text import quality_gate, repetition_ratio
+
+    spam = " ".join(["buy now"] * 50)                      # 100 tokens, 2 distinct
+    prose = "the quick brown fox jumps over a lazy dog while it rains and the sun sets"
+    short = "too short"
+    docs = spark.createDataFrame(
+        [(0, spam), (1, prose), (2, short)], "doc_id long, text string"
+    )
+    rep = repetition_ratio(docs).toPandas().set_index("doc_id").sort_index()
+    assert rep.loc[0]["repetition_ratio"] == pytest.approx(1 - 2 / 100)
+    assert rep.loc[1]["n_distinct"] == rep.loc[1]["n_tokens"] - 1  # 'the' twice
+    assert rep.loc[2]["repetition_ratio"] == 0.0
+
+    gate = quality_gate(docs).toPandas().set_index("doc_id").sort_index()
+    assert not gate.loc[0]["ok_repetition"] and not bool(gate.loc[0]["keep"])
+    assert bool(gate.loc[1]["keep"])
+    assert not gate.loc[2]["ok_token_count"] and not bool(gate.loc[2]["keep"])

@@ -9,7 +9,16 @@ import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from al_drift_detection_spark.kernels import kolmogorov_sf, ks_2samp, mmd_rbf, psi
+from al_drift_detection_spark.kernels import (
+    chi2_2samp,
+    chi2_sf,
+    js_divergence,
+    kolmogorov_sf,
+    ks_2samp,
+    mmd_rbf,
+    psi,
+    wasserstein_1d,
+)
 
 floats = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False)
 samples = st.lists(floats, min_size=0, max_size=200)
@@ -57,6 +66,64 @@ def test_mmd_symmetric_and_near_zero_on_identical(a, b):
     # unbiased estimator on identical samples concentrates near 0
     m = mmd_rbf(x, x)
     assert m <= 1e-9
+
+
+@given(samples, samples)
+@settings(max_examples=60, deadline=None)
+def test_wasserstein_symmetric_nonneg_zero_on_identical(a, b):
+    x, y = np.asarray(a), np.asarray(b)
+    w = wasserstein_1d(x, y)
+    assert np.isfinite(w) and w >= 0.0
+    assert wasserstein_1d(y, x) == w  # symmetric
+    if len(a) > 0:
+        assert wasserstein_1d(x, x) == 0.0
+
+
+@given(samples, samples, st.floats(min_value=0.01, max_value=100.0))
+@settings(max_examples=40, deadline=None)
+def test_wasserstein_scale_equivariant(a, b, s):
+    # W1(s·x, s·y) = s · W1(x, y) — the mass-weighted metric scales with the
+    # data units (KS does not; this is the distinguishing property)
+    x, y = np.asarray(a), np.asarray(b)
+    if len(x) == 0 or len(y) == 0:
+        return
+    assert wasserstein_1d(s * x, s * y) == np.float64(s * wasserstein_1d(x, y)) or np.isclose(
+        wasserstein_1d(s * x, s * y), s * wasserstein_1d(x, y), rtol=1e-9, atol=1e-12
+    )
+
+
+@given(samples, samples)
+@settings(max_examples=60, deadline=None)
+def test_js_bounded_and_finite(a, b):
+    x, y = np.asarray(a), np.asarray(b)
+    v = js_divergence(x, y)
+    assert np.isfinite(v)
+    assert -1e-12 <= v <= np.log(2) + 1e-12
+    if len(a) > 0:
+        assert js_divergence(x, x) <= 1e-12
+
+
+@given(st.floats(min_value=0.0, max_value=1e4), st.integers(min_value=1, max_value=200))
+@settings(max_examples=60, deadline=None)
+def test_chi2_sf_bounded_and_monotone(x, k):
+    p = chi2_sf(x, k)
+    assert 0.0 <= p <= 1.0
+    assert chi2_sf(x + 0.5, k) <= p + 1e-9  # decreasing in the statistic
+    assert chi2_sf(x, k + 1) >= p - 1e-9    # increasing in dof
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=200),
+    st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=200),
+)
+@settings(max_examples=60, deadline=None)
+def test_chi2_2samp_invariants(a, b):
+    stat, dof, p = chi2_2samp(np.asarray(a), np.asarray(b))
+    assert stat >= 0.0 and np.isfinite(stat)
+    assert 0.0 <= p <= 1.0
+    # symmetric in the two samples
+    stat2, dof2, p2 = chi2_2samp(np.asarray(b), np.asarray(a))
+    assert np.isclose(stat, stat2) and dof == dof2
 
 
 # ---- union-find (dedup_clusters driver path) vs reachability oracle ----

@@ -30,6 +30,16 @@ DEMOTED_ORACLE_TWINS = {
 ORACLE_EXTENSIONS_PAST_WINDOW = {
     "q_tfidf_topk",
     "q_positional_project",  # P4 evidence; projection family is in-window via q_filter_project
+    # drift-kernel family extensions (the KS/PSI/MMD representatives are
+    # in-window; these widen the same §2.10 family)
+    "q_chi2_drift",
+    "q_js_fixed_bins",
+    "q_wasserstein",
+    "q_categorical_drift",
+    # corpus-quality extensions of the in-window q_quality_features family
+    "q_repetition_ratio",
+    "q_pii_scan",
+    "q_quality_gate",
 }
 
 

@@ -506,8 +506,13 @@ def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("event_id") % 2 == 0, 1.0).otherwise(0.0).alias("r"),
         F.when(F.col("event_id") % 2 == 1, 1.0).otherwise(0.0).alias("c"),
     )
-    tot = s.agg(F.sum("r").alias("nr"), F.sum("c").alias("nc"))
     g = s.groupBy("v").agg(F.sum("r").alias("dr"), F.sum("c").alias("dc"))
+    # side totals from the distinct-value agg rather than a separate
+    # whole-table agg: the tot branch shares g's canonical groupBy subtree,
+    # so AQE can stage-reuse the exchange at runtime (the bucketed two-pass
+    # itself still reads events once more for its offsets job — inherent to
+    # global_cumulative)
+    tot = g.agg(F.sum("dr").alias("nr"), F.sum("dc").alias("nc"))
     # bucket = floor(v) (~560 unit-width buckets on this domain) rather than
     # the /10 coarsening the KS entries use: W1 pre-aggregates to DISTINCT
     # values, so finer buckets cost nothing extra in the offsets collect but

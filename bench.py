@@ -193,6 +193,14 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = REGISTRY[name].fn
+        # re-warm before EVERY timed run, not just once before the loop: the
+        # host balloon drops the page cache at arbitrary times, and a
+        # mid-loop drop makes whichever query runs next re-read parquet from
+        # this VM's very slow disk (observed: the same query 2 s warm / 37 s
+        # after a drop, migrating between queries run-to-run). When the cache
+        # is intact this pass costs <1 s; when the balloon struck it absorbs
+        # the disk cost UNTIMED — per-query numbers then measure the engine.
+        warm_page_cache(sf_dir)
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()  # materialize the full result
@@ -210,6 +218,7 @@ def main() -> None:
         # 32/64-agg dedup plans); the warm number is the engine's
         # steady-state cost — both are reported, `queries` stays the
         # cross-round-comparable series
+        warm_page_cache(sf_dir)
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         queries_warm[name] = round(time.perf_counter() - t0, 3)

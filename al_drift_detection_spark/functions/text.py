@@ -217,6 +217,49 @@ def shingled(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     )
 
 
+def contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    n: int = 3,
+    min_hits: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-decontamination scan: flag corpus documents sharing ≥min_hits
+    DISTINCT word n-grams with an evaluation/benchmark set — the standard
+    train/test-leakage gate a corpus pipeline runs before a model sees the
+    data (n-gram-overlap decontamination as published for GPT-3 §C /
+    Llama-2 A.6).
+
+    Scale shape: the benchmark side collapses to a distinct shingle SET and
+    is broadcast (a benchmark is bounded by contract — eval suites are
+    thousands of docs, not corpus-scale; pass broadcast_benchmark=False to
+    let AQE decide if yours is unusually large). The corpus side reuses
+    shingle_rows' explode (one doc-partitioned window shuffle), then ONE
+    hash-join + per-doc count — the corpus never shuffles on the benchmark.
+    Output: (id_col, n_contaminated_ngrams, contaminated) for EVERY corpus
+    doc, including zero-shingle shorties (left join back on ids).
+    """
+    bench_sh = (
+        shingle_rows(benchmark, bench_text_col, bench_id_col, n).select("g").distinct()
+    )
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    corp_sh = shingle_rows(df, text_col, id_col, n)  # distinct: hits = set overlap
+    hits = corp_sh.join(bench_sh, "g").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(hits, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_contaminated_ngrams"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: min of 64-bit hashes over word 3-gram shingles —
     a winnowing-style rolling-hash fingerprint using the built-in xxhash64.

@@ -623,6 +623,39 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_decontamination",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
+      FROM tok, UNNEST(range(1, len(ts) - 1)) AS r(i)
+    ),
+    bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 10),
+    hits AS (
+      SELECT s.doc_id, count(*) AS n
+      FROM sh s JOIN bench USING (g) WHERE s.doc_id >= 10 GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(n, 0) AS n_contaminated_ngrams,
+           coalesce(n, 0) >= 1 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+    LEFT JOIN hits USING (doc_id)
+    """,
+    "SURVEY.md §2.9/§2.7 membership family: benchmark DECONTAMINATION — flag "
+    "corpus docs sharing ≥1 distinct word 3-gram with an eval set (docs 0-9 "
+    "as the stand-in benchmark) — the train/test-leakage gate run before "
+    "training. Benchmark shingle set broadcast (bounded by contract); corpus "
+    "side is one explode + hash-join + per-doc count, never shuffled on the "
+    "benchmark",
+)
+def q_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    return T.contamination_flags(
+        docs.filter(F.col("doc_id") >= 10), docs.filter(F.col("doc_id") < 10)
+    )
+
+
+@register(
     "q_token_count",
     "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
     "token counting (whitespace); text-analysis primitive",

@@ -40,6 +40,7 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     "q_repetition_ratio",
     "q_pii_scan",
     "q_quality_gate",
+    "q_decontamination",  # membership family is in-window via q_anti_join
 }
 
 

@@ -172,6 +172,34 @@ def test_pii_scan_planted(spark):
     assert out["has_pii"].tolist() == [True, True, True, False, True]
 
 
+def test_contamination_flags_planted(spark):
+    from al_drift_detection_spark.functions.text import contamination_flags
+
+    bench = spark.createDataFrame(
+        [(0, "the capital of france is paris and everyone knows it")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "quiz answer the capital of france is paris obviously"),  # leaked
+            (11, "a completely unrelated sentence about gardening tools"),
+            (12, "too short"),  # zero shingles — must still get a row
+        ],
+        "doc_id long, text string",
+    )
+    out = contamination_flags(corpus, bench).toPandas().set_index("doc_id").sort_index()
+    assert len(out) == 3
+    assert bool(out.loc[10]["contaminated"]) and out.loc[10]["n_contaminated_ngrams"] >= 4
+    assert not bool(out.loc[11]["contaminated"]) and out.loc[11]["n_contaminated_ngrams"] == 0
+    assert not bool(out.loc[12]["contaminated"]) and out.loc[12]["n_contaminated_ngrams"] == 0
+    # min_hits raises the bar
+    strict = (
+        contamination_flags(corpus, bench, min_hits=100)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert not strict["contaminated"].any()
+
+
 def test_repetition_ratio_and_quality_gate(spark):
     from al_drift_detection_spark.functions.text import quality_gate, repetition_ratio
 

@@ -54,6 +54,9 @@ HEADLINE = [
     "q_chi2_drift",
     "q_js_fixed_bins",
     "q_wasserstein",
+    "q_categorical_drift",
+    "q_quality_gate",
+    "q_decontamination",
 ]
 
 # reported per-query but EXCLUDED from the summed `value` metric, which keeps
@@ -67,6 +70,9 @@ TOTAL_EXCLUDED = {
     "q_chi2_drift",
     "q_js_fixed_bins",
     "q_wasserstein",
+    "q_categorical_drift",
+    "q_quality_gate",
+    "q_decontamination",
     "validation_pass_decode",  # reported in queries but never summed either
 }
 

@@ -540,7 +540,7 @@ def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
     "q_categorical_drift",
     """
     WITH c AS (
-      SELECT CAST(floor(doc_id / 500) AS BIGINT) AS window_id, lang,
+      SELECT CAST(floor(doc_id / 50) AS BIGINT) AS window_id, lang,
              count(*)::DOUBLE AS o
       FROM documents GROUP BY 1, 2
     ),
@@ -556,7 +556,7 @@ def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
     GROUP BY window_id, n
     """,
     "SURVEY.md §2.10 windowed drift surface: per-WINDOW chi-square goodness-of-fit drift of a categorical column "
-    "(documents.lang, 500-doc windows) against the corpus-level reference "
+    "(documents.lang, 50-doc windows) against the corpus-level reference "
     "distribution — the engine surface drift.categorical_drift projected to "
     "its relational columns (stat + dof; the incomplete-gamma p-value is "
     "kernel-side, pytest-verified via kernels.chi2_sf goldens). One "
@@ -567,7 +567,7 @@ def q_categorical_drift(spark: SparkSession, sf: str) -> DataFrame:
     from al_drift_detection_spark.drift import categorical_drift
 
     docs = _t(spark, sf, "documents").select(
-        F.floor(F.col("doc_id") / 500).cast("long").alias("window_id"), "lang"
+        F.floor(F.col("doc_id") / 50).cast("long").alias("window_id"), "lang"
     )
     g = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("gn"))
     rows = g.collect()  # tiny: one row per language

@@ -103,6 +103,42 @@ def test_no_unpartitioned_windows_anywhere(spark):
         assert not m, f"{q}: unpartitioned window: ...{p[max(0, m.start()-80):m.end()+40]}"
 
 
+def test_quality_gate_single_scan_no_shuffle(spark):
+    """quality_gate computes every signal in ONE projection: no Exchange, no
+    join, no Python eval, exactly one parquet scan (joining two derivations
+    of the same scan back together is the tfidf-double-scan review class)."""
+    from al_drift_detection_spark.operators import REGISTRY
+
+    p = plan_of(REGISTRY["q_quality_gate"].fn(spark, SF))
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "Python" not in p and "Arrow" not in p
+    assert p.count("Scan parquet") == 1
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """The benchmark shingle set must reach the corpus join as a broadcast —
+    the corpus side never shuffles on the benchmark."""
+    from al_drift_detection_spark.operators import REGISTRY
+
+    p = plan_of(REGISTRY["q_decontamination"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_categorical_drift_one_table_aggregate(spark):
+    """categorical_drift's only full-table work is the (window, cat) count:
+    margins/grid run on the tiny aggregated frame and the grid side is
+    broadcast. (The registry projection drops p_value, so Catalyst prunes
+    the pandas UDF out of this plan entirely — the engine surface's UDF
+    runs on O(windows) aggregated rows, pinned by the e2e test.)"""
+    from al_drift_detection_spark.operators import REGISTRY
+
+    p = plan_of(REGISTRY["q_categorical_drift"].fn(spark, SF))
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+
+
 def test_zscore_broadcasts_scalars(spark):
     from al_drift_detection_spark.operators import REGISTRY
 

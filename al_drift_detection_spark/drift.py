@@ -223,6 +223,15 @@ def sliding_window_scores(
     mmd_threshold = kwargs.get("mmd_threshold", 0.05)
     max_n = kwargs.get("max_n", 2048)
     mmd_max_n = kwargs.get("mmd_max_n", 512)
+    # same opt-in advisory kernels as drift_scores (wasserstein/js rows that
+    # never join the vote); identical semantics so batch-vs-sliding output
+    # stays comparable column-for-column
+    extra_kernels = tuple(kwargs.get("extra_kernels", ()))
+    wasserstein_threshold = kwargs.get("wasserstein_threshold", 0.25)
+    js_threshold = kwargs.get("js_threshold", 0.1)
+    bad = set(extra_kernels) - {"wasserstein", "js"}
+    if bad:
+        raise ValueError(f"unknown extra_kernels: {sorted(bad)}")
 
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pair = int(key[0]) if pd.notna(key[0]) else None
@@ -252,6 +261,19 @@ def sliding_window_scores(
                 (part, pair, c, "vote", float(sum(flags)), None, 2.0,
                  "fail" if sum(flags) >= 2 else "pass"),
             ]
+            if "wasserstein" in extra_kernels:
+                sd = float(np.std(r))
+                w1 = wasserstein_1d(r, cu) / sd if sd > 0 else 0.0
+                rows.append(
+                    (part, pair, c, "wasserstein", w1, None, wasserstein_threshold,
+                     "fail" if w1 > wasserstein_threshold else "pass")
+                )
+            if "js" in extra_kernels:
+                js_v = js_divergence(r, cu)
+                rows.append(
+                    (part, pair, c, "js", js_v, None, js_threshold,
+                     "fail" if js_v > js_threshold else "pass")
+                )
         return pd.DataFrame(
             rows,
             columns=[

@@ -234,6 +234,21 @@ def test_sliding_window_scores(spark, images):
     assert (interior["verdict"] == "pass").all()
 
 
+def test_sliding_extra_kernels(spark, images):
+    scores = sliding_window_scores(
+        images, ["w"], offset=1, extra_kernels=("wasserstein", "js")
+    ).toPandas()
+    for k in ("wasserstein", "js"):
+        rows = scores[scores["kernel"] == k]
+        assert len(rows) > 0
+        # drift onset (6 vs 5) flagged; interior clean boundary (3 vs 2) not
+        assert (rows[rows["window_id"] == 6]["verdict"] == "fail").any(), k
+        assert (rows[rows["window_id"] == 3]["verdict"] == "pass").all(), k
+    # vote rows unaffected by the advisory kernels
+    votes = scores[scores["kernel"] == "vote"]
+    assert set(votes["statistic"].unique()) <= {0.0, 1.0, 2.0, 3.0}
+
+
 def test_decode_validation(spark, images, ref):
     from al_drift_detection_spark.decode import decode_checks
 

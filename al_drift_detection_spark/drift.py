@@ -365,33 +365,45 @@ def categorical_drift(
     rows, via a vectorized pandas UDF evaluating the incomplete-gamma
     survival function (kernels.chi2_sf — not expressible in SQL).
 
-    Categories observed in the data but ABSENT from ref_props get p = eps
-    before renormalising: a brand-new category ("fmt nobody whitelisted")
-    spikes the statistic instead of crashing on expected = 0. NULL values are
-    a first-class category (coalesced to the sentinel "(null)" — a null fmt
-    shifting in frequency IS categorical drift; silently dropping nulls would
-    also break n vs the grid sum). Output: one row per window
-    (window_id, n, chi2_stat, dof, p_value, verdict).
+    The category universe is DETERMINISTIC: exactly the ref_props keys plus
+    one "(other)" catch-all bucket that absorbs every category the reference
+    never listed (including NULL, coalesced to "(null)" first so a null fmt
+    is distinguishable in ref_props if the caller wants it tracked). The
+    catch-all carries p = eps, so a brand-new category ("fmt nobody
+    whitelisted") spikes the statistic instead of crashing on expected = 0.
+    Two consequences that matter:
+    - batch ≡ streaming EXACTLY: the verdict for a window depends only on
+      that window's rows and ref_props, never on which categories OTHER
+      windows/micro-batches happened to contain (a data-dependent union
+      would shift every window's expected masses when a new category shows
+      up anywhere — pinned by test_stream_cat_drift_matches_batch);
+    - the grid is bounded by |ref_props|+1 regardless of data cardinality: a
+      corrupted high-cardinality column cannot blow up the broadcast frame.
+    Output: one row per window (window_id, n, chi2_stat, dof, p_value,
+    verdict), dof = |ref_props| (constant across windows and batches).
     """
     if not ref_props:
         raise ValueError("ref_props is empty — no reference distribution to test against")
+    if "(other)" in ref_props:
+        raise ValueError('"(other)" is the reserved catch-all bucket name')
     spark = df.sparkSession
 
+    ref_keys = [str(c) for c in ref_props]
+    cat = F.coalesce(F.col(cat_col).cast("string"), F.lit("(null)"))
     counts = (
         df.select(
             F.col(window_col).alias("window_id"),
-            F.coalesce(F.col(cat_col).cast("string"), F.lit("(null)")).alias("_cat"),
+            F.when(cat.isin(ref_keys), cat).otherwise(F.lit("(other)")).alias("_cat"),
         )
         .groupBy("window_id", "_cat")
         .agg(F.count(F.lit(1)).cast("double").alias("o"))
     )
-    observed_cats = [r["_cat"] for r in counts.select("_cat").distinct().collect()]
-    cats = sorted(set(ref_props) | set(observed_cats), key=str)
-    raw = {c: max(float(ref_props.get(c, 0.0)), eps) for c in cats}
+    raw = {str(c): max(float(p), eps) for c, p in ref_props.items()}
+    raw["(other)"] = eps
     z = sum(raw.values())
-    cat_rows = [(c, raw[c] / z) for c in cats]
+    cat_rows = [(c, raw[c] / z) for c in sorted(raw)]
     cat_df = spark.createDataFrame(cat_rows, "_cat string, p double")
-    dof = len(cats) - 1
+    dof = len(raw) - 1
 
     totals = counts.groupBy("window_id").agg(F.sum("o").alias("n"))
     grid = totals.crossJoin(F.broadcast(cat_df))

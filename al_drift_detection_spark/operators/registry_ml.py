@@ -546,18 +546,23 @@ def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
     ),
     g AS (SELECT lang, sum(o) AS gn FROM c GROUP BY 1),
     gt AS (SELECT sum(gn) AS tot FROM g),
-    p AS (SELECT lang, gn / tot AS p FROM g, gt),
+    praw AS (
+      SELECT lang, gn / tot AS pr FROM g, gt
+      UNION ALL SELECT '(other)', 0.000001
+    ),
+    z AS (SELECT sum(pr) AS z FROM praw),
+    p AS (SELECT lang, pr / z AS p FROM praw, z),
     t AS (SELECT window_id, sum(o) AS n FROM c GROUP BY 1),
     grid AS (SELECT window_id, n, lang, p FROM t CROSS JOIN p)
     SELECT window_id, CAST(n AS BIGINT) AS n,
            round(sum(pow(coalesce(o, 0) - n * p, 2) / (n * p)), 6) AS chi2_stat,
-           CAST((SELECT count(*) - 1 FROM p) AS BIGINT) AS dof
+           CAST((SELECT count(*) - 1 FROM praw) AS BIGINT) AS dof
     FROM grid LEFT JOIN c USING (window_id, lang)
     GROUP BY window_id, n
     """,
     "SURVEY.md §2.10 windowed drift surface: per-WINDOW chi-square goodness-of-fit drift of a categorical column "
     "(documents.lang, 50-doc windows) against the corpus-level reference "
-    "distribution — the engine surface drift.categorical_drift projected to "
+    "distribution, with the deterministic '(other)' eps catch-all bucket (dof = |langs|, batch-invariant) — the engine surface drift.categorical_drift projected to "
     "its relational columns (stat + dof; the incomplete-gamma p-value is "
     "kernel-side, pytest-verified via kernels.chi2_sf goldens). One "
     "groupBy(window, cat) over the table; the windows×categories grid comes "

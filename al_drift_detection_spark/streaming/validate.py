@@ -62,6 +62,56 @@ def stream_suite(
     )
 
 
+def stream_cat_drift(
+    spark: SparkSession,
+    input_path: str,
+    schema,
+    cat_col: str,
+    ref_props: dict[str, float],
+    out_path: str,
+    checkpoint_path: str,
+    window_col: str = "window_id",
+    alpha: float = 0.01,
+    max_files_per_trigger: int = 4,
+):
+    """Streaming twin of `runner --cat-drift`: per micro-batch, the SAME
+    drift.categorical_drift (chi-square goodness-of-fit vs the broadcast
+    reference proportions) over the batch's windows, verdict rows appended
+    with a batch_id — identical engine code for batch and streaming, so a
+    window fully contained in one micro-batch gets exactly the batch
+    verdict. (Windows split across micro-batches are scored per fragment —
+    the streaming tradeoff; use the batch runner for closed-window
+    semantics.)
+    """
+    from al_drift_detection_spark.drift import categorical_drift
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = categorical_drift(
+            batch_df, cat_col, ref_props, window_col=window_col, alpha=alpha
+        )
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .withColumn("column", F.lit(cat_col))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_window_stats(
     df: DataFrame,
     ts_col: str,

@@ -302,40 +302,45 @@ def dedup_clusters(
 
 
 
-def simhash_pairs(
-    df: DataFrame,
+def hamming_pairs(
+    fp: DataFrame,
+    fp_col: str,
+    id_col: str,
     max_distance: int = 3,
     bands: int = 4,
-    text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
-    """SimHash near-duplicate retrieval: pairs within Hamming ≤ max_distance.
+    """Near-duplicate pairs within Hamming ≤ max_distance over ANY 64-bit
+    fingerprint column — the band-rotation core shared by SimHash text dedup
+    (simhash_pairs) and perceptual-hash IMAGE dedup (runner --image-dedup on
+    the input_hint `phash` column).
 
-    Band-rotation join over the 64-bit fingerprints: split into `bands`
-    equal bit-bands — by pigeonhole, any pair within distance d < bands
-    agrees EXACTLY on ≥1 band — self-join per (band, band value), then the
-    exact Hamming filter `bit_count(xor) ≤ d`. Candidate generation is
-    linear (bands× rows of small longs); the join is per-bucket. All JVM
-    column expressions, no Python.
+    Split the fingerprint into `bands` equal bit-bands — by pigeonhole, any
+    pair within distance d < bands agrees EXACTLY on ≥1 band — self-join per
+    (band, band value), then the exact Hamming filter `bit_count(xor) ≤ d`.
+    Candidate generation is linear (bands× rows of small longs); the join is
+    per-bucket. All JVM column expressions, no Python. Output:
+    (a_id, b_id, hamming); caller releases the persisted banded frame
+    (functions._persist.release).
     """
     if max_distance >= bands:
         raise ValueError("need bands > max_distance for the pigeonhole guarantee")
-    fp = simhash(df, text_col, id_col)
     width = 64 // bands
     mask = (1 << width) - 1
     band_vals = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+            F.shiftrightunsigned(F.col(fp_col), b * width).bitwiseAND(F.lit(mask))
             for b in range(bands)
         ]
     )
     # persisted: both self-join sides share the fingerprint pipeline, which
     # would otherwise execute twice (broadcast + probe sides don't reuse)
     banded = fp.select(
-        F.col(id_col).alias("id"), "simhash", F.posexplode(band_vals).alias("band", "bval")
+        F.col(id_col).alias("id"),
+        F.col(fp_col).alias("_fp"),
+        F.posexplode(band_vals).alias("band", "bval"),
     ).persist()
     a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp")))
     out = (
         a.join(
             b,
@@ -351,8 +356,22 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_distance)
         .dropDuplicates(["a_id", "b_id"])
     )
-    # caller releases the persisted fingerprint frame (functions._persist)
     return attach_persisted(out, banded)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_distance: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-duplicate retrieval: pairs within Hamming ≤ max_distance
+    (fingerprints from simhash(), band join from hamming_pairs())."""
+    return hamming_pairs(
+        simhash(df, text_col, id_col), "simhash", id_col,
+        max_distance=max_distance, bands=bands,
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:

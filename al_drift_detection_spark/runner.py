@@ -65,6 +65,12 @@ def main(argv: list[str] | None = None) -> int:
         "goodness-of-fit vs the reference windows' distribution; repeatable) "
         "— writes the cat_drift/ output table",
     )
+    ap.add_argument(
+        "--image-dedup", action="store_true",
+        help="near-duplicate IMAGE detection: Hamming band-join over the "
+        "phash column (distance ≤3) + duplicate-cluster resolution — writes "
+        "the image_dedup/ keep/drop table",
+    )
     ap.add_argument("--resume", action="store_true", help="skip partitions already passed in checkpoint")
     ap.add_argument("--run-id", default="run1")
     ap.add_argument(
@@ -129,6 +135,16 @@ def main(argv: list[str] | None = None) -> int:
     drift.orderBy("part", "window_id", "column", "kernel").write.mode("overwrite").parquet(
         f"{args.out}/drift"
     )
+
+    if args.image_dedup:
+        from al_drift_detection_spark.functions.dedup import dedup_clusters, hamming_pairs
+
+        # perceptual near-dup retrieval on the input_hint phash column: the
+        # image analog of the text SimHash path — same band-rotation core
+        fp = meta_full.select("image_id", "phash")
+        pairs = hamming_pairs(fp, "phash", "image_id", max_distance=3, bands=4)
+        clusters = dedup_clusters(fp.select("image_id"), pairs, id_col="image_id")
+        clusters.write.mode("overwrite").parquet(f"{args.out}/image_dedup")
 
     if args.cat_drift:
         from al_drift_detection_spark.drift import categorical_drift

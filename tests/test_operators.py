@@ -150,6 +150,32 @@ def test_langid_schema_and_determinism(spark):
     assert out["lang_pred"].isin(["en", "de", "fr", "es", "zh", "und"]).all()
 
 
+def test_hamming_pairs_phash_planted(spark):
+    """The band-rotation core on a raw 64-bit fingerprint column (the image
+    phash path): planted near-identical hashes pair up, far ones don't, and
+    cluster resolution yields one keeper per cluster."""
+    from al_drift_detection_spark.functions._persist import release
+    from al_drift_detection_spark.functions.dedup import dedup_clusters, hamming_pairs
+
+    base = 0x5A5A5A5A5A5A5A5A
+    rows = [
+        ("img0", base),
+        ("img1", base ^ 0b1),            # distance 1 from img0
+        ("img2", base ^ 0b110),          # distance 2 from img0, 3 from img1
+        ("img3", base ^ ((1 << 40) | (1 << 20) | (1 << 10) | (1 << 5))),  # distance ≥4 from all — out
+        ("img4", 0x123456789ABCDEF0),    # far away
+    ]
+    fp = spark.createDataFrame(rows, "image_id string, phash long")
+    pairs = hamming_pairs(fp, "phash", "image_id", max_distance=3, bands=4)
+    got = {(r["a_id"], r["b_id"]): r["hamming"] for r in pairs.collect()}
+    assert got == {("img0", "img1"): 1, ("img0", "img2"): 2, ("img1", "img2"): 3}
+
+    clusters = dedup_clusters(fp.select("image_id"), pairs, id_col="image_id").toPandas()
+    keep = set(clusters[clusters["keep"]]["image_id"])
+    assert keep == {"img0", "img3", "img4"}  # one keeper for the 0-1-2 cluster
+    release(pairs)
+
+
 def test_pii_scan_planted(spark):
     from al_drift_detection_spark.functions.text import pii_scan
 

@@ -1,4 +1,5 @@
-"""Distribution-drift kernels: Kolmogorov-Smirnov, PSI, MMD-RBF (pure numpy).
+"""Distribution-drift kernels (pure numpy): Kolmogorov-Smirnov, PSI, MMD-RBF,
+chi-square homogeneity (+ incomplete-gamma SF), Jensen-Shannon, Wasserstein-1.
 
 These replace the reference's GAN-discriminator drift mechanism
 (/root/reference/gan.py:723-860) with the statistical kernels named in

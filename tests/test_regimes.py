@@ -117,6 +117,30 @@ def test_runner_regimes_surface(spark, tmp_path_factory):
     assert set(reg2["regime_id"]) <= set(reg["regime_id"])
 
 
+def test_runner_cat_drift_and_image_dedup_surfaces(spark, tmp_path_factory):
+    """--cat-drift writes the per-window chi-square table (all windows pass:
+    fmt is not planted to drift, dof = ref fmt categories + '(other)');
+    --image-dedup writes a keep/drop row for EVERY image (random phashes
+    have no ≤3-bit near-dups — no false positives)."""
+    from al_drift_detection_spark import runner
+
+    out = str(tmp_path_factory.mktemp("run2") / "out")
+    args = ["--images", "synthetic:12000", "--out", out, "--master", "local[8]",
+            "--cat-drift", "fmt", "--image-dedup"]
+    assert runner.main(args) == 0
+
+    cat = spark.read.parquet(f"{out}/cat_drift").toPandas().sort_values("window_id")
+    assert cat["window_id"].tolist() == [0, 1, 2, 3, 4, 5]
+    assert (cat["verdict"] == "pass").all()
+    assert (cat["n"] == 2000).all()
+    assert (cat["dof"] == 4).all()  # {jpeg, png, bmp, ""} + (other) − 1
+    assert (cat["column"] == "fmt").all()
+
+    dd = spark.read.parquet(f"{out}/image_dedup").toPandas()
+    assert len(dd) == 12000
+    assert dd["keep"].all()
+
+
 def test_regime_segments_golden(spark, planted):
     """Segments over the planted regime sequence 1,1,1,1,2,2,1,1,2,2 collapse
     to exactly 4 segments — the reference's emitted verdict unit ('2 segments

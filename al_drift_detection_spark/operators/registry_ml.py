@@ -499,6 +499,7 @@ def q_js_fixed_bins(spark: SparkSession, sf: str) -> DataFrame:
     "mean|sorted−sorted| identity)",
 )
 def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions._persist import attach_persisted
     from al_drift_detection_spark.operators.windows import global_cumulative, global_lead
 
     s = _t(spark, sf, "events").select(
@@ -506,7 +507,22 @@ def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("event_id") % 2 == 0, 1.0).otherwise(0.0).alias("r"),
         F.when(F.col("event_id") % 2 == 1, 1.0).otherwise(0.0).alias("c"),
     )
-    g = s.groupBy("v").agg(F.sum("r").alias("dr"), F.sum("c").alias("dc"))
+    # persist the distinct-value agg: the two-pass helpers each run a tiny
+    # driver collect (bucket offsets, bucket boundary mins) plus the final
+    # job — without the persist each of those re-scans events and re-runs
+    # the groupBy; with it, events is read ONCE and everything downstream
+    # operates on the O(distinct-values) cached frame (bounded by the value
+    # domain, ~56k rows at 2dp). Measured A/B at sf0.1: persist ~4.5-4.9 s
+    # vs ~3.5-4.3 s without — a small toy-scale pessimization (the 100k-row
+    # scan is cheaper than the cache write) accepted for the target-scale
+    # shape, where re-scanning the full events table 3x is the absurdity
+    # and g stays bounded (the q_tumbling_vote precedent). Released via
+    # functions._persist.
+    g = (
+        s.groupBy("v")
+        .agg(F.sum("r").alias("dr"), F.sum("c").alias("dc"))
+        .persist()
+    )
     # side totals from the distinct-value agg rather than a separate
     # whole-table agg: the tot branch shares g's canonical groupBy subtree,
     # so AQE can stage-reuse the exchange at runtime (the bucketed two-pass
@@ -521,7 +537,7 @@ def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
         g, bucket=F.floor(F.col("v")), order_cols=["v"], sums={"cr": "dr", "cc": "dc"}
     )
     e = global_lead(cum, bucket=F.floor(F.col("v")), order_col="v", out_col="nv")
-    return (
+    out = (
         e.filter(F.col("nv").isNotNull())
         .crossJoin(F.broadcast(tot))
         .agg(
@@ -534,6 +550,7 @@ def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("w1")
         )
     )
+    return attach_persisted(out, g)
 
 
 @register(

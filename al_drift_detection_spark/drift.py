@@ -130,8 +130,10 @@ def drift_scores(
     'js') but do NOT join the vote (the vote's ≥2-of-3 semantics and the
     default output are byte-identical with extra_kernels=()). The
     Wasserstein statistic is reported as W1 / std(ref) — unitless, so one
-    threshold works across columns of different scales; JS is natural-log
-    (∈ [0, ln 2]).
+    threshold works across columns of different scales (when std(ref) == 0,
+    i.e. a degenerate constant reference, the RAW W1 is reported instead so a
+    shifted current window still fails rather than being masked by a 0.0);
+    JS is natural-log (∈ [0, ln 2]).
     """
     bad = set(extra_kernels) - {"wasserstein", "js"}
     if bad:
@@ -165,8 +167,13 @@ def drift_scores(
                 ),
             ]
             if "wasserstein" in extra_kernels:
+                # constant reference (sd == 0): normalizing would turn ANY
+                # shift into 0.0 ('pass'), silently masking drift — fall back
+                # to the RAW W1 so a current window shifted off the constant
+                # still trips the threshold (ADVICE r3)
                 sd = float(np.std(r))
-                w1 = wasserstein_1d(r, cur) / sd if sd > 0 else 0.0
+                w1_raw = wasserstein_1d(r, cur)
+                w1 = w1_raw / sd if sd > 0 else w1_raw
                 rows.append(
                     (part, window, c, "wasserstein", w1, None, wasserstein_threshold,
                      "fail" if w1 > wasserstein_threshold else "pass")
@@ -262,8 +269,11 @@ def sliding_window_scores(
                  "fail" if sum(flags) >= 2 else "pass"),
             ]
             if "wasserstein" in extra_kernels:
+                # same sd == 0 fallback as drift_scores: raw W1, never a
+                # silent 0.0 for a constant reference (ADVICE r3)
                 sd = float(np.std(r))
-                w1 = wasserstein_1d(r, cu) / sd if sd > 0 else 0.0
+                w1_raw = wasserstein_1d(r, cu)
+                w1 = w1_raw / sd if sd > 0 else w1_raw
                 rows.append(
                     (part, pair, c, "wasserstein", w1, None, wasserstein_threshold,
                      "fail" if w1 > wasserstein_threshold else "pass")

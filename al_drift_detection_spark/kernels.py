@@ -144,7 +144,11 @@ def chi2_sf(x: float, k: int) -> float:
     against the classic chi-square table (e.g. Q(3.841;1) ≈ 0.05) and a
     hypothesis monotonicity property.
     """
-    if x <= 0.0:
+    # the second clause catches subnormal x where 0.5*x underflows to exactly
+    # 0.0: the series path would then take log(0) = -inf (a numpy
+    # RuntimeWarning inside executor pandas UDFs) before exp() correctly
+    # collapses it to p=0 → Q=1.0 — return that 1.0 directly, warning-free
+    if x <= 0.0 or 0.5 * x == 0.0:
         return 1.0
     if k <= 0:
         raise ValueError(f"chi2_sf: dof must be positive, got {k}")

@@ -155,6 +155,19 @@ def test_chi2_sf_golden_table():
     assert chi2_sf(1e6, 3) == 0.0
 
 
+def test_chi2_sf_subnormal_x_warning_free():
+    """Subnormal x where 0.5*x underflows to 0.0 must return 1.0 without the
+    np.log(0) RuntimeWarning it used to emit inside executor pandas UDFs
+    (ADVICE r3, kernels.py early-out guard)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning becomes a failure
+        assert chi2_sf(5e-324, 1) == 1.0
+        assert chi2_sf(1e-320, 9) == 1.0
+        assert chi2_sf(0.01, 3) < 1.0  # normal small x still computes
+
+
 def test_chi2_sf_monotone_in_x():
     xs = np.linspace(0.01, 50, 200)
     for k in (1, 2, 5, 9, 20):

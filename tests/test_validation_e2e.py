@@ -175,6 +175,25 @@ def test_drift_extra_kernels_advisory_rows(spark, images):
         drift_scores(images, ["w"], ref_samples, extra_kernels=("nope",))
 
 
+def test_wasserstein_constant_reference_not_masked(spark):
+    """A degenerate CONSTANT reference column must not silently 'pass' a
+    shifted current window: sd == 0 falls back to the raw (unnormalized) W1
+    instead of reporting 0.0 (ADVICE r3, drift.py sd-guard)."""
+    from al_drift_detection_spark.drift import drift_scores
+
+    ref_samples = {"v": np.full(256, 5.0)}
+    rows = [(0, 0, 5.0)] * 64 + [(0, 1, 9.0)] * 64
+    df = spark.createDataFrame(rows, "part int, window_id int, v double")
+    out = drift_scores(df, ["v"], ref_samples, extra_kernels=("wasserstein",)).toPandas()
+    w = out[out["kernel"] == "wasserstein"].set_index("window_id").sort_index()
+    # identical constant window: raw W1 = 0 → pass
+    assert w.loc[0]["statistic"] == 0.0
+    assert w.loc[0]["verdict"] == "pass"
+    # shifted window: raw W1 = |9 − 5| = 4 ≫ threshold → FAIL (was 0.0/'pass')
+    assert w.loc[1]["statistic"] == pytest.approx(4.0)
+    assert w.loc[1]["verdict"] == "fail"
+
+
 def test_categorical_drift_flags_new_category(spark):
     """A window containing a category absent from the reference map must
     spike the statistic (eps-floored expected mass), and windows matching the

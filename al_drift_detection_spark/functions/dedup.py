@@ -438,6 +438,15 @@ def near_dup_rate(
         .localCheckpoint(eager=True)  # tiny: only near-dup ids survive
     )
     release(pairs)
+    return _windowed_dup_counts(df, dup_ids, window_col, id_col)
+
+
+def _windowed_dup_counts(
+    df: DataFrame, dup_ids: DataFrame, window_col: str, id_col: str
+) -> DataFrame:
+    """Shared tail of the windowed dup-rate family: flagged-id set (column
+    `_dup_id`, tiny — AQE broadcasts it) left-joined back to the pruned
+    (window, id) projection, then ONE per-window count aggregate."""
     flagged = df.select(window_col, id_col).join(
         dup_ids, F.col(id_col) == F.col("_dup_id"), "left"
     )
@@ -454,3 +463,29 @@ def near_dup_rate(
             F.round(F.col("n_near_dup") / F.col("n_docs"), 6).alias("dup_rate"),
         )
     )
+
+
+def near_dup_rate_exact(
+    df: DataFrame,
+    window_col: str = "window_id",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT-Jaccard twin of near_dup_rate (VERDICT r3 item 5): identical
+    output contract (window_id, n_docs, n_near_dup, dup_rate) but pairs come
+    from ngram_jaccard_pairs instead of MinHash-LSH, so the whole windowed
+    dup-rate series is ANSI-expressible and value-checked against a DuckDB
+    oracle (q_near_dup_rate_exact). The LSH variant stays the scale path —
+    this one's shingle self-join is quadratic on hot shingles (cap with
+    max_doc_freq when running it beyond oracle scale)."""
+    pairs = ngram_jaccard_pairs(
+        df, threshold=threshold, n=n, text_col=text_col, id_col=id_col,
+        max_doc_freq=max_doc_freq,
+    )
+    dup_ids = pairs.select(
+        F.explode(F.array("a_id", "b_id")).alias("_dup_id")
+    ).distinct()
+    return _windowed_dup_counts(df, dup_ids, window_col, id_col)

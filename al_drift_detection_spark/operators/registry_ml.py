@@ -1137,3 +1137,53 @@ def q_near_dup_rate(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") % 4).cast("int").alias("window_id"), "doc_id", "text"
     )
     return near_dup_rate(docs)
+
+
+@register(
+    "q_near_dup_rate_exact",
+    """
+    WITH docs AS (
+      SELECT CAST(doc_id % 4 AS INT) AS window_id, doc_id, text FROM documents
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM docs),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
+      FROM tok, UNNEST(range(1, len(ts) - 1)) AS r(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a_id, b_id FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+    ),
+    dup AS (
+      SELECT DISTINCT id FROM (
+        SELECT a_id AS id FROM pairs UNION ALL SELECT b_id AS id FROM pairs
+      )
+    )
+    SELECT d.window_id,
+           count(*) AS n_docs,
+           count(dup.id) AS n_near_dup,
+           round(count(dup.id) / count(*), 6) AS dup_rate
+    FROM docs d LEFT JOIN dup ON d.doc_id = dup.id
+    GROUP BY 1
+    """,
+    "SURVEY.md §2.5 W8 windowed-verdict pattern, EXACT-Jaccard twin of "
+    "q_near_dup_rate (VERDICT r3 item 5): same (window_id, n_docs, "
+    "n_near_dup, dup_rate) contract, pairs from the exact word-3-gram "
+    "Jaccard self-join instead of MinHash-LSH — value-checked against the "
+    "DuckDB recursive shingle oracle; the LSH variant is the scale path",
+)
+def q_near_dup_rate_exact(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.dedup import near_dup_rate_exact
+
+    docs = _t(spark, sf, "documents").select(
+        (F.col("doc_id") % 4).cast("int").alias("window_id"), "doc_id", "text"
+    )
+    return near_dup_rate_exact(docs, threshold=0.5)

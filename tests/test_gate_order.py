@@ -41,6 +41,9 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     "q_pii_scan",
     "q_quality_gate",
     "q_decontamination",  # membership family is in-window via q_anti_join
+    # exact-Jaccard twin of the in-window q_near_dup_rate (VERDICT r3 item 5):
+    # value-checks the windowed dup-rate series; LSH stays the scale path
+    "q_near_dup_rate_exact",
 }
 
 

@@ -156,6 +156,15 @@ def test_near_dup_rate_planted(spark):
     assert got.loc[1, "n_near_dup"] == 10 and got.loc[1, "dup_rate"] == 1.0
     assert got.loc[1, "n_docs"] == 10
 
+    # the exact-Jaccard twin (q_near_dup_rate_exact's engine path) agrees on
+    # the same planted fixture — identical output contract, no LSH hashes
+    from al_drift_detection_spark.functions.dedup import near_dup_rate_exact
+
+    ex = near_dup_rate_exact(df, threshold=0.9).toPandas().set_index("window_id").sort_index()
+    assert ex.loc[0, "n_near_dup"] == 0 and ex.loc[0, "dup_rate"] == 0.0
+    assert ex.loc[1, "n_near_dup"] == 10 and ex.loc[1, "dup_rate"] == 1.0
+    assert ex.loc[1, "n_docs"] == 10
+
 
 def test_drift_null_group_keys_reported_not_crashed(spark):
     """NULL part/window grouping keys form their own reported group (NULL

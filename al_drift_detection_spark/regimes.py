@@ -144,11 +144,20 @@ def assign_drift_regimes(
     # assignment instead of crashing on int(None) (the drift pass still
     # REPORTS null-key groups — regime identity is the one surface where an
     # unordered window is meaningless, not just malformed)
+    # sorted toLocalIterator, NOT collect (VERDICT r3 item 4): orderBy
+    # range-partitions the sketch table globally, and the iterator streams it
+    # partition-by-partition in that order — driver sketch memory is bounded
+    # by one partition (~windows/shuffle_partitions rows of q-point grids)
+    # instead of ALL windows at once (~1 GB at 10⁶ windows × 128-pt × cols).
+    # prefetchPartitions overlaps the next partition's fetch with the
+    # sequential catalog loop, so the stream costs no extra wall time. The
+    # loop itself stays sequential by the reference's semantics (each
+    # window's verdict depends on the catalog state its predecessors built).
     sk_rows = (
         window_sketches(df, value_cols, part_col, window_col, q)
         .filter(F.col(window_col).isNotNull() & F.col(part_col).isNotNull())
         .orderBy(window_col, part_col)
-        .collect()
+        .toLocalIterator(prefetchPartitions=True)
     )
     if catalog is None:
         catalog = {}

@@ -160,15 +160,37 @@ def main(argv: list[str] | None = None) -> int:
             )
             tot = sum(r["n"] for r in cnts)
             props = {r["c"]: r["n"] / tot for r in cnts}
+            # a DATA value equal to the reserved catch-all name would trip
+            # categorical_drift's reserved-name ValueError and abort the run
+            # (ADVICE r3): fold it into the "(other)" catch-all instead —
+            # those reference rows then carry the eps expected mass — and
+            # warn. (A literal "(null)" string merges with real NULLs by the
+            # coalesce contract; that is lossy labeling, not a crash.)
+            if "(other)" in props:
+                dropped = props.pop("(other)")
+                print(
+                    f"cat-drift[{col}]: reference data contains the literal "
+                    f"'(other)' category ({dropped:.4%} of rows) — folded "
+                    "into the catch-all bucket",
+                    file=sys.stderr,
+                )
+            if not props:  # every reference row was the literal "(other)"
+                print(
+                    f"cat-drift[{col}]: no usable reference categories — "
+                    "skipping column",
+                    file=sys.stderr,
+                )
+                continue
             frames.append(
                 categorical_drift(meta, col, props).withColumn("column", F.lit(col))
             )
-        cat_out = frames[0]
-        for f in frames[1:]:
-            cat_out = cat_out.unionByName(f)
-        cat_out.orderBy("column", "window_id").write.mode("overwrite").parquet(
-            f"{args.out}/cat_drift"
-        )
+        if frames:
+            cat_out = frames[0]
+            for f in frames[1:]:
+                cat_out = cat_out.unionByName(f)
+            cat_out.orderBy("column", "window_id").write.mode("overwrite").parquet(
+                f"{args.out}/cat_drift"
+            )
 
     if args.regimes:
         import os

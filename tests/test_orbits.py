@@ -1,0 +1,93 @@
+"""Reference-shaped orbit end-to-end (VERDICT r3 item 3): planted orbit CSVs
+→ z-score + rolling mean → per-orbit regime assignment → the exact
+`{orbit} {drift}` verdict contract of /root/reference/gan.py:971-974, golden
+file logs/gan/drifts_set1.txt (`233 1 / 234 1 / 380 2 / 381 2`)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+GOLDEN = "233 1\n234 1\n380 2\n381 2\n"  # == /root/reference/logs/gan/drifts_set1.txt
+
+
+def _write_orbit_csv(dirpath, orbit: int, shift: float, rng, n: int = 2000) -> None:
+    """One df_<N>.csv with the features_gan.txt columns and NO ORBIT column —
+    exercising the filename-derivation path (sources.read_orbit_csvs)."""
+    bz = rng.uniform(0.0, 100.0, n) + shift
+    cos = rng.uniform(-1.0, 1.0, n) + shift / 100.0
+    lines = ["DATE,BZ_MSO,COSALPHA"]
+    lines += [f"{i},{bz[i]:.6f},{cos[i]:.6f}" for i in range(n)]
+    (dirpath / f"df_{orbit}.csv").write_text("\n".join(lines) + "\n")
+
+
+def _plant(base, rng) -> None:
+    for orbit, shift in [(233, 0.0), (234, 0.0), (380, 200.0), (381, 200.0)]:
+        _write_orbit_csv(base, orbit, shift, rng)
+
+
+def test_orbit_drift_verdicts_golden(spark, tmp_path_factory):
+    from al_drift_detection_spark.orbits import orbit_drift_verdicts, write_drifts_txt
+    from al_drift_detection_spark.sources import read_orbit_csvs
+
+    base = tmp_path_factory.mktemp("orbits")
+    _plant(base, np.random.default_rng(17))
+
+    corpus = read_orbit_csvs(spark, str(base / "df_*.csv"))
+    assert "ORBIT" in corpus.columns  # derived from filenames
+    verdicts = orbit_drift_verdicts(corpus, rolling_window=100)
+    got = verdicts.toPandas()
+    # the drifts_set1.txt id sequence: base pair = regime 1, the shifted pair
+    # mints regime 2 once and the second shifted orbit RECURS as 2
+    assert got[["orbit", "drift"]].values.tolist() == [
+        [233, 1], [234, 1], [380, 2], [381, 2],
+    ]
+    assert got["is_new"].tolist() == [False, False, True, False]
+
+    out = base / "drifts.txt"
+    write_drifts_txt(verdicts, str(out))
+    assert out.read_text() == GOLDEN
+
+
+def test_orbit_runner_cli_smoke(spark, tmp_path_factory):
+    """`runner --orbits <csv-glob>` writes orbit_drifts/ parquet and the
+    reference-format drifts.txt (the verify-recipe surface)."""
+    from al_drift_detection_spark import runner
+
+    base = tmp_path_factory.mktemp("orbits_cli")
+    _plant(base, np.random.default_rng(17))
+    out = str(base / "out")
+
+    rc = runner.main(
+        ["--orbits", str(base / "df_*.csv"), "--out", out, "--master", "local[8]",
+         "--orbit-rolling", "100"]
+    )
+    assert rc == 0
+    assert (base / "out" / "drifts.txt").read_text() == GOLDEN
+    pq = spark.read.parquet(f"{out}/orbit_drifts").toPandas().sort_values("orbit")
+    assert pq[["orbit", "drift"]].values.tolist() == [
+        [233, 1], [234, 1], [380, 2], [381, 2],
+    ]
+
+
+def test_prepare_orbit_features_zscore_and_rolling(spark, tmp_path_factory):
+    """The preprocessing matches the reference's pandas semantics
+    (gan.py:634-641): global z-score, then per-orbit rolling(5000,
+    min_periods=1).mean() — checked directly against pandas on one orbit."""
+    import pandas as pd
+
+    from al_drift_detection_spark.orbits import prepare_orbit_features
+    from al_drift_detection_spark.sources import read_orbit_csvs
+
+    base = tmp_path_factory.mktemp("orbits_prep")
+    rng = np.random.default_rng(23)
+    _write_orbit_csv(base, 7, 0.0, rng, n=300)
+
+    corpus = read_orbit_csvs(spark, str(base / "df_*.csv"))
+    prepared, cols = prepare_orbit_features(corpus, rolling_window=50)
+    assert set(cols) == {"BZ_MSO", "COSALPHA"}
+    got = prepared.orderBy("DATE").toPandas()
+
+    raw = pd.read_csv(base / "df_7.csv")
+    z = (raw["BZ_MSO"] - raw["BZ_MSO"].mean()) / raw["BZ_MSO"].std()
+    expect = z.rolling(50, min_periods=1).mean()
+    assert np.allclose(got["BZ_MSO"].to_numpy(), expect.to_numpy(), atol=1e-9)

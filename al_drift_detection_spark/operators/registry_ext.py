@@ -428,3 +428,68 @@ def q_positional_project(spark: SparkSession, sf: str) -> DataFrame:
     return li.select(
         picked[0], picked[1], F.round(F.col(picked[2]), 2).alias("c2")
     )
+
+
+@register(
+    "q_orbit_prep",
+    """
+    WITH src AS (
+      SELECT event_id % 4 AS "ORBIT", event_id AS "DATE", value FROM events
+    ),
+    z AS (
+      SELECT "ORBIT", "DATE",
+             (value - avg(value) OVER ()) / stddev_samp(value) OVER () AS zv
+      FROM src
+    )
+    SELECT "ORBIT", "DATE",
+           round(avg(zv) OVER (
+             PARTITION BY "ORBIT" ORDER BY "DATE"
+             ROWS BETWEEN 99 PRECEDING AND CURRENT ROW
+           ), 6) AS v_prep
+    FROM z
+    """,
+    "orbit-corpus PREPROCESSING as one value-checked surface (ref "
+    "gan.py:634-641: global z-score then rolling(5000, min_periods=1) mean; "
+    "SURVEY.md §2.9 F1 + §2.5 W1 composed): orbits.prepare_orbit_features "
+    "over an ORBIT/DATE/value frame vs the identical DuckDB window-frame "
+    "SQL — the --orbits CLI feeds exactly this into regime assignment",
+)
+def q_orbit_prep(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.orbits import prepare_orbit_features
+
+    ev = _t(spark, sf, "events").select(
+        (F.col("event_id") % 4).alias("ORBIT"),
+        F.col("event_id").alias("DATE"),
+        "value",
+    )
+    prepared, _cols = prepare_orbit_features(
+        ev, feature_cols=["value"], order_col="DATE", rolling_window=100
+    )
+    return prepared.select("ORBIT", "DATE", F.round("value", 6).alias("v_prep"))
+
+
+@register(
+    "q_orbit_drifts",
+    None,
+    "the --orbits END-TO-END surface as a registry entry (ref gan.py:612-974 "
+    "detect_drifts + verdict file; golden logs/gan/drifts_set1.txt): planted "
+    "shift on the last two of six synthetic orbits derived from events -> "
+    "z-score + rolling mean + per-orbit regime catalog -> (orbit, drift, "
+    "is_new). Regime ids are catalog-state-dependent (sequential semantics) "
+    "-> no ANSI oracle; byte-exact drifts.txt golden in tests/test_orbits.py",
+)
+def q_orbit_drifts(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.orbits import orbit_drift_verdicts
+
+    ev = _t(spark, sf, "events").select(
+        (F.col("event_id") % 6).alias("ORBIT"),
+        F.col("event_id").alias("DATE"),
+        (
+            F.col("value")
+            + F.when((F.col("event_id") % 6) >= 4, F.lit(200.0)).otherwise(F.lit(0.0))
+        ).alias("value"),
+    )
+    return orbit_drift_verdicts(
+        ev, feature_cols=["value"], order_col="DATE", ref_orbits=1,
+        rolling_window=100,
+    )

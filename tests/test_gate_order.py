@@ -44,6 +44,10 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # exact-Jaccard twin of the in-window q_near_dup_rate (VERDICT r3 item 5):
     # value-checks the windowed dup-rate series; LSH stays the scale path
     "q_near_dup_rate_exact",
+    # the --orbits preprocessing (z-score + rolling mean) as a value-checked
+    # composition; its constituent families (F1 z-score, W1 rolling) are
+    # in-window via q_zscore / q_rolling_mean
+    "q_orbit_prep",
 }
 
 

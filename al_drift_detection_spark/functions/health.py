@@ -1,0 +1,219 @@
+"""Windowed data-HEALTH checks: volume, completeness, freshness, schema.
+
+The Deequ-style monitoring block a validation engine runs alongside value
+constraints (SURVEY.md §2.4 A1-A4 stat family applied as per-window verdict
+series, the same windowed-verdict pattern as the drift kernels — ref
+gan.py:723-757 per-window vote): a 100 TB ingest pipeline alarms on "this
+window has half the rows it should", "a column suddenly went 30% null",
+"ingestion stalled for an hour", and "the producer changed the schema"
+before any value-level drift kernel fires.
+
+Scale shapes — everything is one JVM aggregate over a pruned projection:
+- volume_anomaly: groupBy(window).count() → O(windows) frame; the reference
+  mean is an aggregate OF that frame (no second scan), broadcast back.
+- completeness_drift: one groupBy(window) with an avg(is-null) column per
+  tracked column → unpivot via stack; reference ratios derive from the SAME
+  aggregated frame.
+- ingestion_gaps: lag() over (window, ts) — partitioned window, no global
+  sort; max/avg gap per window in one agg.
+- schema_check: pure metadata (df.schema vs an expected DDL) — no job runs
+  at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+from pyspark.sql.window import Window
+
+from al_drift_detection_spark.functions._persist import attach_persisted
+
+
+def volume_anomaly(
+    df: DataFrame,
+    window_col: str = "window_id",
+    ref_filter=None,
+    ref_first_n: int | None = None,
+    low: float = 0.5,
+    high: float = 2.0,
+) -> DataFrame:
+    """Per-window ROW-COUNT anomaly vs the mean volume of reference windows.
+
+    ref_filter: a Column predicate over the window column selecting the
+    reference windows (default: all windows — self-referential baseline).
+    ref_first_n: alternatively, use the first N windows (by window order) as
+    the reference — the window bound is computed from the PERSISTED
+    O(windows) count frame, so it costs no extra scan of the table (a
+    caller-side min() over the raw data would).
+    Output: (window_id, n_rows, ref_mean, ratio, verdict) — fail iff the
+    ratio falls outside [low, high]. One count aggregate over the window
+    column only; the reference mean is an agg of that O(windows) frame.
+    """
+    if ref_filter is not None and ref_first_n is not None:
+        raise ValueError("pass ref_filter or ref_first_n, not both")
+    # persist the O(windows) aggregate: it feeds BOTH the reference-mean agg
+    # (broadcast side) and the output join (probe side), and exchange reuse
+    # cannot unify a broadcast build with a shuffle probe — without the
+    # persist the FULL TABLE scans twice (caller releases via
+    # functions._persist.release after materializing)
+    counts = (
+        df.groupBy(F.col(window_col).alias("window_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .persist()
+    )
+    ref = counts
+    if ref_filter is not None:
+        ref = counts.filter(ref_filter)
+    elif ref_first_n is not None:
+        wmin = counts.agg(F.min("window_id")).first()[0]  # fills the persist
+        if wmin is None:
+            raise ValueError("volume_anomaly: input has no windows")
+        ref = counts.filter(F.col("window_id") < wmin + ref_first_n)
+    ref_mean = ref.agg(F.avg("n_rows").alias("m"))
+    return attach_persisted(
+        counts.crossJoin(F.broadcast(ref_mean))
+        .select(
+            "window_id",
+            "n_rows",
+            F.round(F.col("m"), 6).alias("ref_mean"),
+            F.round(F.col("n_rows") / F.col("m"), 6).alias("ratio"),
+            F.when(
+                (F.col("n_rows") / F.col("m") < low)
+                | (F.col("n_rows") / F.col("m") > high),
+                F.lit("fail"),
+            )
+            .otherwise(F.lit("pass"))
+            .alias("verdict"),
+        ),
+        counts,
+    )
+
+
+def completeness_drift(
+    df: DataFrame,
+    cols: list[str],
+    window_col: str = "window_id",
+    ref_filter=None,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Per-window NULL-RATIO drift per column vs the reference windows'
+    ratio: a column that suddenly goes null in an ingest window is the most
+    common producer bug, and value-drift kernels drop nulls so they cannot
+    see it (the drop-null → completeness family, SURVEY.md §2.2 P1, as a
+    windowed verdict series).
+
+    Output: (window_id, column, null_ratio, ref_ratio, delta, verdict) —
+    fail iff null_ratio − ref_ratio > threshold (one-sided: columns BECOMING
+    null). ONE groupBy(window) computes every column's ratio; the reference
+    ratio is a count-weighted aggregate of the same frame, broadcast back.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.avg(F.isnull(c).cast("double")).alias(f"r_{c}") for c in cols
+    ]
+    # same persist rationale as volume_anomaly: the per-window frame feeds
+    # the broadcast reference agg AND the probe side — persisting the tiny
+    # aggregate keeps the full-table scan single (caller releases)
+    per_w = (
+        df.groupBy(F.col(window_col).alias("window_id")).agg(*aggs).persist()
+    )
+    ref = per_w
+    if ref_filter is not None:
+        ref = per_w.filter(ref_filter)
+    ref_ratios = ref.agg(
+        *[
+            (F.sum(F.col(f"r_{c}") * F.col("_n")) / F.sum("_n")).alias(f"ref_{c}")
+            for c in cols
+        ]
+    )
+    stacked = per_w.crossJoin(F.broadcast(ref_ratios)).select(
+        "window_id",
+        F.expr(
+            "stack({n}, {args}) as (column, null_ratio, ref_ratio)".format(
+                n=len(cols),
+                args=", ".join(f"'{c}', r_{c}, ref_{c}" for c in cols),
+            )
+        ),
+    )
+    delta = F.col("null_ratio") - F.col("ref_ratio")
+    return attach_persisted(
+        stacked.select(
+            "window_id",
+            "column",
+            F.round("null_ratio", 6).alias("null_ratio"),
+            F.round("ref_ratio", 6).alias("ref_ratio"),
+            F.round(delta, 6).alias("delta"),
+            F.when(delta > threshold, F.lit("fail")).otherwise(F.lit("pass")).alias("verdict"),
+        ),
+        per_w,
+    )
+
+
+def ingestion_gaps(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_col: str = "window_id",
+    id_col: str | None = None,
+    max_gap_seconds: float = 3600.0,
+) -> DataFrame:
+    """Per-window FRESHNESS/staleness: the largest gap between consecutive
+    event timestamps inside each window — an ingestion stall shows up as one
+    huge inter-arrival gap long before aggregate stats move.
+
+    lag() over a window PARTITIONED by window_col (never a global sort);
+    id_col breaks timestamp ties deterministically. Output: (window_id,
+    n_rows, max_gap_sec, avg_gap_sec, verdict) — fail iff max_gap_sec >
+    max_gap_seconds.
+    """
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(window_col).orderBy(*order)
+    # parquet NTZ timestamps cannot cast to double directly — hop through
+    # TIMESTAMP (session TZ pinned UTC, so values are unchanged; the same
+    # convention as streaming_window_stats)
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    gapped = df.select(
+        F.col(window_col).alias("window_id"), gap.alias("_gap")
+    )
+    return (
+        gapped.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.max("_gap"), 4).alias("max_gap_sec"),
+            F.round(F.avg("_gap"), 4).alias("avg_gap_sec"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("max_gap_sec") > max_gap_seconds, F.lit("fail")).otherwise(
+                F.lit("pass")
+            ),
+        )
+    )
+
+
+def schema_check(df: DataFrame, expected_ddl: str) -> DataFrame:
+    """SCHEMA validation: the actual DataFrame schema vs an expected DDL —
+    missing columns, unexpected extras, and type mismatches as verdict rows
+    (the north_star's 'schema + constraint validation engine': the schema
+    half; the reference's fixed-column contract is util.py:78-96's hardcoded
+    frame layout). Pure metadata — no Spark job runs; output is a tiny
+    driver-built table: (column, expected_type, actual_type, status) with
+    status ∈ {ok, type_mismatch, missing, unexpected}."""
+    expected = StructType.fromDDL(expected_ddl)
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    rows = []
+    for f in expected.fields:
+        want = f.dataType.simpleString()
+        if f.name not in actual:
+            rows.append((f.name, want, None, "missing"))
+        elif actual[f.name] != want:
+            rows.append((f.name, want, actual[f.name], "type_mismatch"))
+        else:
+            rows.append((f.name, want, actual[f.name], "ok"))
+    want_names = {f.name for f in expected.fields}
+    for name, typ in actual.items():
+        if name not in want_names:
+            rows.append((name, None, typ, "unexpected"))
+    return df.sparkSession.createDataFrame(
+        rows, "column string, expected_type string, actual_type string, status string"
+    )

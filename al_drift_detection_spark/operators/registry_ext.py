@@ -493,3 +493,145 @@ def q_orbit_drifts(spark: SparkSession, sf: str) -> DataFrame:
         ev, feature_cols=["value"], order_col="DATE", ref_orbits=1,
         rolling_window=100,
     )
+
+
+@register(
+    "q_volume_anomaly",
+    """
+    WITH d AS (
+      SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS window_id FROM events
+    ),
+    c AS (SELECT window_id, count(*) AS n_rows FROM d GROUP BY 1),
+    m AS (
+      SELECT avg(n_rows) AS m FROM c
+      WHERE window_id < (SELECT min(window_id) FROM c) + 7
+    )
+    SELECT c.window_id, c.n_rows, round(m.m, 6) AS ref_mean,
+           round(c.n_rows / m.m, 6) AS ratio,
+           CASE WHEN c.n_rows / m.m < 0.5 OR c.n_rows / m.m > 2.0
+                THEN 'fail' ELSE 'pass' END AS verdict
+    FROM c, m
+    """,
+    "windowed data-HEALTH family (SURVEY.md §2.4 A1-A4 stats as per-window "
+    "verdict series, ref gan.py:723-757 windowed-vote pattern): per-day ROW "
+    "VOLUME vs the mean of the first 7 days — the 'this window has half the "
+    "rows it should' producer alarm; one count agg over the window column, "
+    "reference mean aggregated from the same O(windows) frame",
+)
+def q_volume_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.health import volume_anomaly
+
+    ev = _t(spark, sf, "events").select(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("window_id")
+    )
+    # ref_first_n resolves the 'first 7 days' bound from the operator's own
+    # persisted O(windows) frame — no extra scan of the raw ts column
+    return volume_anomaly(ev, "window_id", ref_first_n=7)
+
+
+@register(
+    "q_completeness_drift",
+    """
+    WITH src AS (
+      SELECT doc_id % 4 AS window_id,
+             CASE WHEN doc_id % 4 >= 2 AND doc_id % 5 = 0 THEN NULL
+                  ELSE n_chars END AS n_chars_v,
+             CASE WHEN doc_id % 4 = 3 AND doc_id % 3 = 0 THEN NULL
+                  ELSE lang END AS lang_v
+      FROM documents
+    ),
+    w AS (
+      SELECT window_id, count(*) AS _n,
+             avg(CASE WHEN n_chars_v IS NULL THEN 1.0 ELSE 0.0 END) AS r_n,
+             avg(CASE WHEN lang_v IS NULL THEN 1.0 ELSE 0.0 END) AS r_l
+      FROM src GROUP BY 1
+    ),
+    r AS (
+      SELECT sum(r_n * _n) / sum(_n) AS ref_n, sum(r_l * _n) / sum(_n) AS ref_l
+      FROM w WHERE window_id < 2
+    ),
+    s AS (
+      SELECT window_id, 'n_chars_v' AS "column", r_n AS null_ratio, ref_n AS ref_ratio FROM w, r
+      UNION ALL
+      SELECT window_id, 'lang_v', r_l, ref_l FROM w, r
+    )
+    SELECT window_id, "column",
+           round(null_ratio, 6) AS null_ratio,
+           round(ref_ratio, 6) AS ref_ratio,
+           round(null_ratio - ref_ratio, 6) AS delta,
+           CASE WHEN null_ratio - ref_ratio > 0.05 THEN 'fail' ELSE 'pass' END AS verdict
+    FROM s
+    """,
+    "windowed data-HEALTH family (SURVEY.md §2.2 P1 drop-null/completeness "
+    "as a per-window verdict series): NULL-RATIO drift per column vs the "
+    "reference windows — the 'column suddenly went null' producer bug that "
+    "value-drift kernels cannot see (they drop nulls); nulls planted "
+    "identically in Spark and oracle; ONE groupBy(window) computes every "
+    "column's ratio, reference ratios count-weighted from the same frame",
+)
+def q_completeness_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.health import completeness_drift
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select(
+        (d % 4).alias("window_id"),
+        F.when((d % 4 >= 2) & (d % 5 == 0), None).otherwise(F.col("n_chars")).alias("n_chars_v"),
+        F.when((d % 4 == 3) & (d % 3 == 0), None).otherwise(F.col("lang")).alias("lang_v"),
+    )
+    return completeness_drift(
+        docs, ["n_chars_v", "lang_v"], ref_filter=F.col("window_id") < 2, threshold=0.05
+    )
+
+
+@register(
+    "q_ingestion_gaps",
+    """
+    WITH src AS (
+      SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS window_id,
+             epoch(ts) AS sec, event_id
+      FROM events
+    ),
+    g AS (
+      SELECT window_id,
+             sec - lag(sec) OVER (PARTITION BY window_id ORDER BY sec, event_id) AS gap
+      FROM src
+    )
+    SELECT window_id, count(*) AS n_rows,
+           round(max(gap), 4) AS max_gap_sec,
+           round(avg(gap), 4) AS avg_gap_sec,
+           CASE WHEN round(max(gap), 4) > 1800 THEN 'fail' ELSE 'pass' END AS verdict
+    FROM g GROUP BY 1
+    """,
+    "windowed data-HEALTH family (SURVEY.md §2.5 W2 lag-sequence features "
+    "as a freshness alarm): per-day MAX inter-arrival gap — an ingestion "
+    "stall is one huge gap long before aggregate stats move; lag() over a "
+    "window PARTITIONED by day (never a global sort), ties broken by "
+    "event_id for cross-engine determinism",
+)
+def q_ingestion_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.health import ingestion_gaps
+
+    ev = _t(spark, sf, "events").select(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("window_id"),
+        "ts",
+        "event_id",
+    )
+    return ingestion_gaps(ev, "ts", "window_id", id_col="event_id", max_gap_seconds=1800.0)
+
+
+@register(
+    "q_schema_check",
+    None,
+    "SCHEMA validation (the north_star's 'schema + constraint validation' "
+    "schema half; ref util.py:78-96 fixed-column contract): documents "
+    "schema vs an expected DDL with one planted type mismatch and one "
+    "missing column -> (column, expected_type, actual_type, status) verdict "
+    "rows; pure metadata (no job) -> no ANSI oracle; golden pytest",
+)
+def q_schema_check(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.health import schema_check
+
+    return schema_check(
+        _t(spark, sf, "documents"),
+        "doc_id bigint, text string, lang string, source int, quality double",
+    )

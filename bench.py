@@ -61,6 +61,12 @@ HEADLINE = [
     "q_categorical_drift",
     "q_quality_gate",
     "q_decontamination",
+    # round-4 additions (additive keys, excluded from the summed total)
+    "q_volume_anomaly",
+    "q_completeness_drift",
+    "q_ingestion_gaps",
+    "q_orbit_prep",
+    "q_orbit_drifts",
 ]
 
 # reported per-query but EXCLUDED from the summed `value` metric, which keeps
@@ -77,6 +83,11 @@ TOTAL_EXCLUDED = {
     "q_categorical_drift",
     "q_quality_gate",
     "q_decontamination",
+    "q_volume_anomaly",
+    "q_completeness_drift",
+    "q_ingestion_gaps",
+    "q_orbit_prep",
+    "q_orbit_drifts",
     "validation_pass_decode",  # reported in queries but never summed either
 }
 

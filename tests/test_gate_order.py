@@ -48,6 +48,11 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # composition; its constituent families (F1 z-score, W1 rolling) are
     # in-window via q_zscore / q_rolling_mean
     "q_orbit_prep",
+    # windowed data-HEALTH extensions of the in-window stats/verdict
+    # families (A1-A4 volume, P1 completeness, W2 lag gaps)
+    "q_volume_anomaly",
+    "q_completeness_drift",
+    "q_ingestion_gaps",
 }
 
 

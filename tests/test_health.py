@@ -1,0 +1,107 @@
+"""Windowed data-health checks (functions/health.py): planted volume drop,
+planted null burst, planted ingestion stall, schema-contract golden."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def test_volume_anomaly_planted(spark):
+    """A half-empty window fails, a doubled window fails, normal windows
+    pass; the reference mean comes only from the ref_filter windows."""
+    from al_drift_detection_spark.functions.health import volume_anomaly
+
+    rows = []
+    for w, n in [(0, 1000), (1, 1000), (2, 1000), (3, 400), (4, 2500)]:
+        rows += [(w,)] * n
+    df = spark.createDataFrame(rows, "window_id int")
+    got = (
+        volume_anomaly(df, ref_filter=F.col("window_id") < 3)
+        .toPandas()
+        .set_index("window_id")
+        .sort_index()
+    )
+    assert (got.loc[:2, "verdict"] == "pass").all()
+    assert got.loc[3, "verdict"] == "fail" and got.loc[3, "ratio"] == 0.4
+    assert got.loc[4, "verdict"] == "fail" and got.loc[4, "ratio"] == 2.5
+    assert (got["ref_mean"] == 1000.0).all()
+
+
+def test_completeness_drift_planted(spark):
+    """A column going 30% null in one window fails exactly there; columns
+    and windows matching the reference ratio pass."""
+    from al_drift_detection_spark.functions.health import completeness_drift
+
+    rows = []
+    for w in range(3):
+        for i in range(100):
+            a = None if (w == 2 and i < 30) else float(i)
+            b = "x" if i % 10 else None  # steady 10% nulls everywhere
+            rows.append((w, a, b))
+    df = spark.createDataFrame(rows, "window_id int, a double, b string")
+    got = completeness_drift(df, ["a", "b"], ref_filter=F.col("window_id") < 2)
+    pdf = got.toPandas().set_index(["window_id", "column"]).sort_index()
+    assert pdf.loc[(2, "a"), "verdict"] == "fail"
+    assert pdf.loc[(2, "a"), "delta"] == 0.3
+    assert pdf.loc[(0, "a"), "verdict"] == "pass"
+    assert pdf.loc[(1, "a"), "verdict"] == "pass"
+    # the steady-null column never drifts
+    assert (pdf.xs("b", level="column")["verdict"] == "pass").all()
+
+
+def test_ingestion_gaps_planted_stall(spark):
+    """A 2-hour hole in one window's timestamps trips the max-gap verdict;
+    a steadily-fed window passes."""
+    from al_drift_detection_spark.functions.health import ingestion_gaps
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # window 0: one event per minute for 100 minutes
+    for i in range(100):
+        rows.append((0, t0 + dt.timedelta(minutes=i), i))
+    # window 1: same cadence but a 2 h stall in the middle
+    for i in range(100):
+        stall = dt.timedelta(hours=2) if i >= 50 else dt.timedelta()
+        rows.append((1, t0 + dt.timedelta(minutes=i) + stall, 1000 + i))
+    df = spark.createDataFrame(rows, "window_id int, ts timestamp, event_id long")
+    got = (
+        ingestion_gaps(df, "ts", "window_id", id_col="event_id", max_gap_seconds=3600.0)
+        .toPandas()
+        .set_index("window_id")
+        .sort_index()
+    )
+    assert got.loc[0, "verdict"] == "pass" and got.loc[0, "max_gap_sec"] == 60.0
+    assert got.loc[1, "verdict"] == "fail"
+    assert got.loc[1, "max_gap_sec"] == 2 * 3600 + 60.0
+    assert (got["n_rows"] == 100).all()
+
+
+def test_schema_check_golden(spark):
+    """Missing / mismatched / unexpected columns come back as exactly the
+    right status rows; a fully-matching contract is all-ok."""
+    from al_drift_detection_spark.functions.health import schema_check
+
+    df = spark.createDataFrame(
+        [(1, "t", 2.0)], "doc_id bigint, text string, extra double"
+    )
+    got = (
+        schema_check(df, "doc_id bigint, text string, lang string, doc_id2 int")
+        .toPandas()
+        .set_index("column")
+    )
+    assert got.loc["doc_id", "status"] == "ok"
+    assert got.loc["text", "status"] == "ok"
+    assert got.loc["lang", "status"] == "missing"
+    assert got.loc["doc_id2", "status"] == "missing"
+    assert got.loc["extra", "status"] == "unexpected"
+
+    mism = schema_check(df, "doc_id string, text string, extra double").toPandas()
+    row = mism.set_index("column").loc["doc_id"]
+    assert row["status"] == "type_mismatch"
+    assert row["expected_type"] == "string" and row["actual_type"] == "bigint"
+
+    ok = schema_check(df, "doc_id bigint, text string, extra double").toPandas()
+    assert (ok["status"] == "ok").all() and len(ok) == 3

@@ -85,6 +85,17 @@ def main(argv: list[str] | None = None) -> int:
         "phash column (distance ≤3) + duplicate-cluster resolution — writes "
         "the image_dedup/ keep/drop table",
     )
+    ap.add_argument(
+        "--health", action="store_true",
+        help="windowed data-health checks: per-window row-VOLUME anomaly and "
+        "per-column NULL-RATIO drift vs the reference windows — writes the "
+        "health_volume/ and health_completeness/ tables",
+    )
+    ap.add_argument(
+        "--expect-schema", default=None, metavar="DDL",
+        help="validate the input schema against this DDL and write the "
+        "schema_check/ verdict table (missing/unexpected/type_mismatch rows)",
+    )
     ap.add_argument("--resume", action="store_true", help="skip partitions already passed in checkpoint")
     ap.add_argument("--run-id", default="run1")
     ap.add_argument(
@@ -232,6 +243,37 @@ def main(argv: list[str] | None = None) -> int:
             cat_out.orderBy("column", "window_id").write.mode("overwrite").parquet(
                 f"{args.out}/cat_drift"
             )
+
+    if args.health:
+        from al_drift_detection_spark.functions._persist import release
+        from al_drift_detection_spark.functions.health import (
+            completeness_drift,
+            volume_anomaly,
+        )
+
+        in_ref = F.col("window_id") < args.ref_windows
+        vol = volume_anomaly(meta_full, "window_id", ref_filter=in_ref)
+        vol.orderBy("window_id").write.mode("overwrite").parquet(
+            f"{args.out}/health_volume"
+        )
+        release(vol)
+        comp = completeness_drift(
+            meta_full, ["caption", "phash", "w", "h", "fmt"], "window_id",
+            ref_filter=in_ref,
+        )
+        comp.orderBy("window_id", "column").write.mode("overwrite").parquet(
+            f"{args.out}/health_completeness"
+        )
+        release(comp)
+
+    if args.expect_schema:
+        from al_drift_detection_spark.functions.health import schema_check
+
+        # validate the SOURCE schema (blob column included), not the pruned
+        # cache projection
+        schema_check(images_src, args.expect_schema).write.mode("overwrite").parquet(
+            f"{args.out}/schema_check"
+        )
 
     if args.regimes:
         import os

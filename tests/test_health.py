@@ -79,6 +79,35 @@ def test_ingestion_gaps_planted_stall(spark):
     assert (got["n_rows"] == 100).all()
 
 
+def test_runner_health_surfaces(spark, tmp_path_factory):
+    """--health writes the volume + completeness tables (synthetic corpus is
+    uniform per window → all-pass no-false-positive check) and
+    --expect-schema writes the schema verdict table with a planted
+    mismatch."""
+    from al_drift_detection_spark import runner
+
+    out = str(tmp_path_factory.mktemp("health_cli") / "out")
+    args = [
+        "--images", "synthetic:8000", "--out", out, "--master", "local[8]",
+        "--health",
+        "--expect-schema",
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash string, part int, window_id int",
+    ]
+    assert runner.main(args) == 0
+
+    vol = spark.read.parquet(f"{out}/health_volume").toPandas()
+    assert (vol["verdict"] == "pass").all() and len(vol) == 4  # 8000/2000
+    comp = spark.read.parquet(f"{out}/health_completeness").toPandas()
+    assert (comp["verdict"] == "pass").all()
+    assert set(comp["column"]) == {"caption", "phash", "w", "h", "fmt"}
+
+    sc = spark.read.parquet(f"{out}/schema_check").toPandas().set_index("column")
+    assert sc.loc["phash", "status"] == "type_mismatch"  # bigint, not string
+    assert sc.loc["image_id", "status"] == "ok"
+    assert (sc.drop(index="phash")["status"] == "ok").all()
+
+
 def test_schema_check_golden(spark):
     """Missing / mismatched / unexpected columns come back as exactly the
     right status rows; a fully-matching contract is all-ok."""

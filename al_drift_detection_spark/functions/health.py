@@ -35,6 +35,7 @@ def volume_anomaly(
     window_col: str = "window_id",
     ref_filter=None,
     ref_first_n: int | None = None,
+    ref_mean: float | None = None,
     low: float = 0.5,
     high: float = 2.0,
 ) -> DataFrame:
@@ -46,12 +47,34 @@ def volume_anomaly(
     the reference — the window bound is computed from the PERSISTED
     O(windows) count frame, so it costs no extra scan of the table (a
     caller-side min() over the raw data would).
+    ref_mean: alternatively, a FIXED reference volume — the streaming form
+    (stream_health) passes this so a window's verdict never depends on what
+    other micro-batches contained (the same deterministic-reference rule as
+    categorical_drift); with a literal reference there is no join and no
+    persist, just one aggregate + arithmetic.
     Output: (window_id, n_rows, ref_mean, ratio, verdict) — fail iff the
     ratio falls outside [low, high]. One count aggregate over the window
     column only; the reference mean is an agg of that O(windows) frame.
     """
-    if ref_filter is not None and ref_first_n is not None:
-        raise ValueError("pass ref_filter or ref_first_n, not both")
+    if sum(x is not None for x in (ref_filter, ref_first_n, ref_mean)) > 1:
+        raise ValueError("pass at most one of ref_filter / ref_first_n / ref_mean")
+    if ref_mean is not None:
+        counts = df.groupBy(F.col(window_col).alias("window_id")).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        m = F.lit(float(ref_mean))
+        return counts.select(
+            "window_id",
+            "n_rows",
+            F.round(m, 6).alias("ref_mean"),
+            F.round(F.col("n_rows") / m, 6).alias("ratio"),
+            F.when(
+                (F.col("n_rows") / m < low) | (F.col("n_rows") / m > high),
+                F.lit("fail"),
+            )
+            .otherwise(F.lit("pass"))
+            .alias("verdict"),
+        )
     # persist the O(windows) aggregate: it feeds BOTH the reference-mean agg
     # (broadcast side) and the output join (probe side), and exchange reuse
     # cannot unify a broadcast build with a shuffle probe — without the
@@ -95,6 +118,7 @@ def completeness_drift(
     cols: list[str],
     window_col: str = "window_id",
     ref_filter=None,
+    ref_ratios: dict[str, float] | None = None,
     threshold: float = 0.05,
 ) -> DataFrame:
     """Per-window NULL-RATIO drift per column vs the reference windows'
@@ -107,34 +131,59 @@ def completeness_drift(
     fail iff null_ratio − ref_ratio > threshold (one-sided: columns BECOMING
     null). ONE groupBy(window) computes every column's ratio; the reference
     ratio is a count-weighted aggregate of the same frame, broadcast back.
+    ref_ratios: alternatively a FIXED per-column reference ratio map — the
+    streaming form (stream_health), same deterministic-reference rule as
+    volume_anomaly's ref_mean; with literals there is no join and no
+    persist.
     """
+    if ref_filter is not None and ref_ratios is not None:
+        raise ValueError("pass ref_filter or ref_ratios, not both")
+    if ref_ratios is not None:
+        missing = set(cols) - set(ref_ratios)
+        if missing:
+            raise ValueError(f"ref_ratios missing columns: {sorted(missing)}")
     aggs = [F.count(F.lit(1)).alias("_n")] + [
         F.avg(F.isnull(c).cast("double")).alias(f"r_{c}") for c in cols
     ]
-    # same persist rationale as volume_anomaly: the per-window frame feeds
-    # the broadcast reference agg AND the probe side — persisting the tiny
-    # aggregate keeps the full-table scan single (caller releases)
-    per_w = (
-        df.groupBy(F.col(window_col).alias("window_id")).agg(*aggs).persist()
-    )
-    ref = per_w
-    if ref_filter is not None:
-        ref = per_w.filter(ref_filter)
-    ref_ratios = ref.agg(
-        *[
-            (F.sum(F.col(f"r_{c}") * F.col("_n")) / F.sum("_n")).alias(f"ref_{c}")
-            for c in cols
-        ]
-    )
-    stacked = per_w.crossJoin(F.broadcast(ref_ratios)).select(
-        "window_id",
-        F.expr(
-            "stack({n}, {args}) as (column, null_ratio, ref_ratio)".format(
-                n=len(cols),
-                args=", ".join(f"'{c}', r_{c}, ref_{c}" for c in cols),
-            )
-        ),
-    )
+    per_w = df.groupBy(F.col(window_col).alias("window_id")).agg(*aggs)
+    if ref_ratios is not None:
+        stacked = per_w.select(
+            "window_id",
+            F.expr(
+                "stack({n}, {args}) as (column, null_ratio, ref_ratio)".format(
+                    n=len(cols),
+                    args=", ".join(
+                        f"'{c}', r_{c}, cast({float(ref_ratios[c])!r} as double)"
+                        for c in cols
+                    ),
+                )
+            ),
+        )
+        persisted = []
+    else:
+        # the per-window frame feeds the broadcast reference agg AND the
+        # probe side — persisting the tiny aggregate keeps the full-table
+        # scan single (caller releases)
+        per_w = per_w.persist()
+        ref = per_w
+        if ref_filter is not None:
+            ref = per_w.filter(ref_filter)
+        ref_frame = ref.agg(
+            *[
+                (F.sum(F.col(f"r_{c}") * F.col("_n")) / F.sum("_n")).alias(f"ref_{c}")
+                for c in cols
+            ]
+        )
+        stacked = per_w.crossJoin(F.broadcast(ref_frame)).select(
+            "window_id",
+            F.expr(
+                "stack({n}, {args}) as (column, null_ratio, ref_ratio)".format(
+                    n=len(cols),
+                    args=", ".join(f"'{c}', r_{c}, ref_{c}" for c in cols),
+                )
+            ),
+        )
+        persisted = [per_w]
     delta = F.col("null_ratio") - F.col("ref_ratio")
     return attach_persisted(
         stacked.select(
@@ -145,7 +194,7 @@ def completeness_drift(
             F.round(delta, 6).alias("delta"),
             F.when(delta > threshold, F.lit("fail")).otherwise(F.lit("pass")).alias("verdict"),
         ),
-        per_w,
+        *persisted,
     )
 
 

@@ -125,6 +125,67 @@ def stream_cat_drift(
     )
 
 
+def stream_health(
+    spark: SparkSession,
+    input_path: str,
+    schema,
+    ref_volume: float,
+    ref_null_ratios: dict[str, float],
+    out_path: str,
+    checkpoint_path: str,
+    window_col: str = "window_id",
+    low: float = 0.5,
+    high: float = 2.0,
+    threshold: float = 0.05,
+    max_files_per_trigger: int = 4,
+):
+    """Streaming twin of `runner --health`: per micro-batch, the SAME
+    functions.health operators with FIXED references (ref_volume /
+    ref_null_ratios literals — the deterministic-reference rule: a window's
+    verdict never depends on what other micro-batches contained, so a
+    window fully contained in one batch gets exactly the batch verdict).
+    Writes volume/ and completeness/ sub-tables, each partitioned by
+    batch_id with dynamic overwrite (replay-idempotent, same as
+    stream_suite)."""
+    from al_drift_detection_spark.functions.health import (
+        completeness_drift,
+        volume_anomaly,
+    )
+
+    cols = list(ref_null_ratios)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        vol = volume_anomaly(
+            batch_df, window_col, ref_mean=ref_volume, low=low, high=high
+        )
+        comp = completeness_drift(
+            batch_df, cols, window_col, ref_ratios=ref_null_ratios,
+            threshold=threshold,
+        )
+        for sub, frame in (("volume", vol), ("completeness", comp)):
+            (
+                frame.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{out_path}/{sub}")
+            )
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_window_stats(
     df: DataFrame,
     ts_col: str,

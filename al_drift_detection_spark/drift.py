@@ -100,6 +100,27 @@ def build_reference_sample(
     return {c: np.asarray(row[c], dtype=np.float64) for c in value_cols}
 
 
+def _w1_statistic(r: np.ndarray, cur: np.ndarray) -> float:
+    """UNITLESS Wasserstein statistic W1 / scale, shared by drift_scores and
+    sliding_window_scores so the advisory kernel cannot diverge between
+    them. Scale = std(ref), falling back to std(cur) when the reference is
+    constant (ADVICE r3: a constant reference must not mask a shifted
+    current window — and the review pass caught that a RAW fallback would
+    compare unit-ful distance against the unitless threshold, failing
+    benign jitter on large-unit columns and still missing shifts on
+    small-unit ones). When BOTH sides are constant the distributions are
+    two points: statistic 0.0 if they coincide, +inf otherwise (any
+    deterministic shift of a constant column is maximal drift at every
+    scale)."""
+    sd = float(np.std(r))
+    if sd == 0.0:
+        sd = float(np.std(cur))
+    w1_raw = wasserstein_1d(r, cur)
+    if sd > 0.0:
+        return w1_raw / sd
+    return 0.0 if w1_raw == 0.0 else float("inf")
+
+
 def drift_scores(
     df: DataFrame,
     value_cols: list[str],
@@ -130,10 +151,9 @@ def drift_scores(
     'js') but do NOT join the vote (the vote's ≥2-of-3 semantics and the
     default output are byte-identical with extra_kernels=()). The
     Wasserstein statistic is reported as W1 / std(ref) — unitless, so one
-    threshold works across columns of different scales (when std(ref) == 0,
-    i.e. a degenerate constant reference, the RAW W1 is reported instead so a
-    shifted current window still fails rather than being masked by a 0.0);
-    JS is natural-log (∈ [0, ln 2]).
+    threshold works across columns of different scales (degenerate constant
+    reference: falls back to std(cur), and to 0/+inf when both sides are
+    constant — see _w1_statistic); JS is natural-log (∈ [0, ln 2]).
     """
     bad = set(extra_kernels) - {"wasserstein", "js"}
     if bad:
@@ -167,13 +187,7 @@ def drift_scores(
                 ),
             ]
             if "wasserstein" in extra_kernels:
-                # constant reference (sd == 0): normalizing would turn ANY
-                # shift into 0.0 ('pass'), silently masking drift — fall back
-                # to the RAW W1 so a current window shifted off the constant
-                # still trips the threshold (ADVICE r3)
-                sd = float(np.std(r))
-                w1_raw = wasserstein_1d(r, cur)
-                w1 = w1_raw / sd if sd > 0 else w1_raw
+                w1 = _w1_statistic(r, cur)
                 rows.append(
                     (part, window, c, "wasserstein", w1, None, wasserstein_threshold,
                      "fail" if w1 > wasserstein_threshold else "pass")
@@ -269,11 +283,7 @@ def sliding_window_scores(
                  "fail" if sum(flags) >= 2 else "pass"),
             ]
             if "wasserstein" in extra_kernels:
-                # same sd == 0 fallback as drift_scores: raw W1, never a
-                # silent 0.0 for a constant reference (ADVICE r3)
-                sd = float(np.std(r))
-                w1_raw = wasserstein_1d(r, cu)
-                w1 = w1_raw / sd if sd > 0 else w1_raw
+                w1 = _w1_statistic(r, cu)
                 rows.append(
                     (part, pair, c, "wasserstein", w1, None, wasserstein_threshold,
                      "fail" if w1 > wasserstein_threshold else "pass")
@@ -396,11 +406,19 @@ def embedding_drift(
             F.broadcast(rates.alias("r")),
             F.col("p.window_id").eqNullSafe(F.col("r.window_id")),
         )
-        # deterministic content hash, not rand(): stable across retries and
-        # re-runs; keyed on (window, vector) so the kept subset decorrelates
-        # across windows even for identical vectors
+        # deterministic hash, not rand(): stable within a task retry. The
+        # hash MUST include a per-row component (monotonically_increasing_id,
+        # stable per partition layout), not just the content: hashing only
+        # (window, vector) makes every copy of a duplicated vector share one
+        # coin flip, so a duplicate-dominated oversize window would either
+        # vanish entirely (all copies dropped → no verdict row) or land all
+        # copies in one worker (the OOM this sampler exists to prevent) —
+        # the review-caught constant-embedding failure mode
         .filter(
-            F.pmod(F.xxhash64("p.window_id", f"p.{vec_col}"), F.lit(M))
+            F.pmod(
+                F.xxhash64("p.window_id", f"p.{vec_col}", F.monotonically_increasing_id()),
+                F.lit(M),
+            )
             < F.col("r._keep_below")
         )
         .select(F.col("p.window_id").alias("window_id"), f"p.{vec_col}")

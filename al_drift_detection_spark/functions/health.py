@@ -43,27 +43,55 @@ def volume_anomaly(
 
     ref_filter: a Column predicate over the window column selecting the
     reference windows (default: all windows — self-referential baseline).
-    ref_first_n: alternatively, use the first N windows (by window order) as
-    the reference — the window bound is computed from the PERSISTED
-    O(windows) count frame, so it costs no extra scan of the table (a
-    caller-side min() over the raw data would).
+    ref_first_n: alternatively, use the FIRST N WINDOWS in window order as
+    the reference — resolved from the persisted O(windows) count frame via
+    orderBy/limit (works for sparse and non-numeric window ids; no extra
+    scan of the table).
     ref_mean: alternatively, a FIXED reference volume — the streaming form
     (stream_health) passes this so a window's verdict never depends on what
     other micro-batches contained (the same deterministic-reference rule as
-    categorical_drift); with a literal reference there is no join and no
-    persist, just one aggregate + arithmetic.
+    categorical_drift); with a literal reference there is no persist.
+    A data-derived reference that selects NO windows raises loudly instead
+    of emitting NULL-ratio all-'pass' rows (review-caught: NULL comparisons
+    fall through to the otherwise-branch).
     Output: (window_id, n_rows, ref_mean, ratio, verdict) — fail iff the
     ratio falls outside [low, high]. One count aggregate over the window
-    column only; the reference mean is an agg of that O(windows) frame.
+    column only; the reference mean folds back as a literal.
     """
     if sum(x is not None for x in (ref_filter, ref_first_n, ref_mean)) > 1:
         raise ValueError("pass at most one of ref_filter / ref_first_n / ref_mean")
-    if ref_mean is not None:
-        counts = df.groupBy(F.col(window_col).alias("window_id")).agg(
-            F.count(F.lit(1)).alias("n_rows")
-        )
-        m = F.lit(float(ref_mean))
-        return counts.select(
+    persisted = []
+    counts = df.groupBy(F.col(window_col).alias("window_id")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    if ref_mean is None:
+        # persist the O(windows) aggregate: the eager reference mean below
+        # materializes it once and the returned plan reuses the cache — the
+        # full table scans ONCE (caller releases via functions._persist)
+        counts = counts.persist()
+        persisted = [counts]
+        ref = counts
+        if ref_filter is not None:
+            ref = counts.filter(ref_filter)
+        elif ref_first_n is not None:
+            wins = [
+                r[0]
+                for r in counts.select("window_id")
+                .orderBy("window_id")
+                .limit(ref_first_n)
+                .collect()
+            ]
+            ref = counts.filter(F.col("window_id").isin(wins))
+        ref_mean = ref.agg(F.avg("n_rows")).first()[0]
+        if ref_mean is None:
+            raise ValueError(
+                "volume_anomaly: the reference selects no windows — every "
+                "verdict would silently be NULL→'pass'; check ref_filter / "
+                "the input's window values"
+            )
+    m = F.lit(float(ref_mean))
+    return attach_persisted(
+        counts.select(
             "window_id",
             "n_rows",
             F.round(m, 6).alias("ref_mean"),
@@ -74,42 +102,8 @@ def volume_anomaly(
             )
             .otherwise(F.lit("pass"))
             .alias("verdict"),
-        )
-    # persist the O(windows) aggregate: it feeds BOTH the reference-mean agg
-    # (broadcast side) and the output join (probe side), and exchange reuse
-    # cannot unify a broadcast build with a shuffle probe — without the
-    # persist the FULL TABLE scans twice (caller releases via
-    # functions._persist.release after materializing)
-    counts = (
-        df.groupBy(F.col(window_col).alias("window_id"))
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .persist()
-    )
-    ref = counts
-    if ref_filter is not None:
-        ref = counts.filter(ref_filter)
-    elif ref_first_n is not None:
-        wmin = counts.agg(F.min("window_id")).first()[0]  # fills the persist
-        if wmin is None:
-            raise ValueError("volume_anomaly: input has no windows")
-        ref = counts.filter(F.col("window_id") < wmin + ref_first_n)
-    ref_mean = ref.agg(F.avg("n_rows").alias("m"))
-    return attach_persisted(
-        counts.crossJoin(F.broadcast(ref_mean))
-        .select(
-            "window_id",
-            "n_rows",
-            F.round(F.col("m"), 6).alias("ref_mean"),
-            F.round(F.col("n_rows") / F.col("m"), 6).alias("ratio"),
-            F.when(
-                (F.col("n_rows") / F.col("m") < low)
-                | (F.col("n_rows") / F.col("m") > high),
-                F.lit("fail"),
-            )
-            .otherwise(F.lit("pass"))
-            .alias("verdict"),
         ),
-        counts,
+        *persisted,
     )
 
 
@@ -130,11 +124,13 @@ def completeness_drift(
     Output: (window_id, column, null_ratio, ref_ratio, delta, verdict) —
     fail iff null_ratio − ref_ratio > threshold (one-sided: columns BECOMING
     null). ONE groupBy(window) computes every column's ratio; the reference
-    ratio is a count-weighted aggregate of the same frame, broadcast back.
+    ratio is a count-weighted aggregate of the same (persisted) frame,
+    folded back as a literal.
     ref_ratios: alternatively a FIXED per-column reference ratio map — the
     streaming form (stream_health), same deterministic-reference rule as
-    volume_anomaly's ref_mean; with literals there is no join and no
-    persist.
+    volume_anomaly's ref_mean; with literals there is no persist.
+    A data-derived reference selecting no windows raises loudly (same
+    NULL→'pass' trap as volume_anomaly).
     """
     if ref_filter is not None and ref_ratios is not None:
         raise ValueError("pass ref_filter or ref_ratios, not both")
@@ -142,48 +138,52 @@ def completeness_drift(
         missing = set(cols) - set(ref_ratios)
         if missing:
             raise ValueError(f"ref_ratios missing columns: {sorted(missing)}")
+    # POSITIONAL aliases (r_0, r_1, …), never interpolated column names: a
+    # column named "event count" (or containing a quote) would break — or
+    # inject into — a stack() expression built from raw names; the display
+    # label is emitted as an escaped string literal only
     aggs = [F.count(F.lit(1)).alias("_n")] + [
-        F.avg(F.isnull(c).cast("double")).alias(f"r_{c}") for c in cols
+        F.avg(F.isnull(F.col(c)).cast("double")).alias(f"r_{i}")
+        for i, c in enumerate(cols)
     ]
     per_w = df.groupBy(F.col(window_col).alias("window_id")).agg(*aggs)
-    if ref_ratios is not None:
-        stacked = per_w.select(
-            "window_id",
-            F.expr(
-                "stack({n}, {args}) as (column, null_ratio, ref_ratio)".format(
-                    n=len(cols),
-                    args=", ".join(
-                        f"'{c}', r_{c}, cast({float(ref_ratios[c])!r} as double)"
-                        for c in cols
-                    ),
-                )
-            ),
-        )
-        persisted = []
-    else:
-        # the per-window frame feeds the broadcast reference agg AND the
-        # probe side — persisting the tiny aggregate keeps the full-table
-        # scan single (caller releases)
+    persisted = []
+    if ref_ratios is None:
+        # persist: the eager reference aggregate below materializes the tiny
+        # frame once and the returned plan reuses the cache — one table scan
         per_w = per_w.persist()
+        persisted = [per_w]
         ref = per_w
         if ref_filter is not None:
             ref = per_w.filter(ref_filter)
-        ref_frame = ref.agg(
+        row = ref.agg(
             *[
-                (F.sum(F.col(f"r_{c}") * F.col("_n")) / F.sum("_n")).alias(f"ref_{c}")
-                for c in cols
+                (F.sum(F.col(f"r_{i}") * F.col("_n")) / F.sum("_n")).alias(f"ref_{i}")
+                for i in range(len(cols))
             ]
-        )
-        stacked = per_w.crossJoin(F.broadcast(ref_frame)).select(
-            "window_id",
-            F.expr(
-                "stack({n}, {args}) as (column, null_ratio, ref_ratio)".format(
-                    n=len(cols),
-                    args=", ".join(f"'{c}', r_{c}, ref_{c}" for c in cols),
-                )
-            ),
-        )
-        persisted = [per_w]
+        ).first()
+        if any(row[f"ref_{i}"] is None for i in range(len(cols))):
+            raise ValueError(
+                "completeness_drift: the reference selects no windows — "
+                "every verdict would silently be NULL→'pass'"
+            )
+        ref_ratios = {c: float(row[f"ref_{i}"]) for i, c in enumerate(cols)}
+
+    def esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    stacked = per_w.select(
+        "window_id",
+        F.expr(
+            "stack({n}, {args}) as (column, null_ratio, ref_ratio)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{esc(c)}', r_{i}, cast({float(ref_ratios[c])!r} as double)"
+                    for i, c in enumerate(cols)
+                ),
+            )
+        ),
+    )
     delta = F.col("null_ratio") - F.col("ref_ratio")
     return attach_persisted(
         stacked.select(

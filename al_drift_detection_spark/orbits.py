@@ -113,28 +113,38 @@ def orbit_drift_verdicts(
     prepared, feature_cols = prepare_orbit_features(
         df, feature_cols, orbit_col, order_col, rolling_window
     )
-    prepared = prepared.withColumn("_part", F.lit(0))
+    # PERSIST the prepared frame: three consumers follow (the distinct-orbit
+    # collect, the reference sample, the regime sketches) and each would
+    # otherwise re-execute the whole CSV scan + z-score + rolling-window
+    # pipeline — the CLAUDE.md shared-expensive-child rule (review-caught:
+    # ~3× the end-to-end wall). All three consume EAGERLY inside this
+    # function (assign_drift_regimes drains its toLocalIterator before
+    # returning a local-data frame), so the persist is released before
+    # return — no storage leaks to the caller.
+    prepared = prepared.withColumn("_part", F.lit(0)).persist()
+    try:
+        first_orbits = [
+            r[0]
+            for r in prepared.select(orbit_col).distinct().orderBy(orbit_col).limit(ref_orbits).collect()
+        ]
+        if not first_orbits:
+            raise ValueError("orbit corpus is empty")
+        samples = build_reference_sample(
+            prepared.filter(F.col(orbit_col).isin(first_orbits)), feature_cols
+        )
 
-    first_orbits = [
-        r[0]
-        for r in prepared.select(orbit_col).distinct().orderBy(orbit_col).limit(ref_orbits).collect()
-    ]
-    if not first_orbits:
-        raise ValueError("orbit corpus is empty")
-    samples = build_reference_sample(
-        prepared.filter(F.col(orbit_col).isin(first_orbits)), feature_cols
-    )
-
-    regimes = assign_drift_regimes(
-        prepared,
-        feature_cols,
-        samples,
-        part_col="_part",
-        window_col=orbit_col,
-        ks_alpha=ks_alpha,
-        match_alpha=match_alpha,
-        q=q,
-    )
+        regimes = assign_drift_regimes(
+            prepared,
+            feature_cols,
+            samples,
+            part_col="_part",
+            window_col=orbit_col,
+            ks_alpha=ks_alpha,
+            match_alpha=match_alpha,
+            q=q,
+        )
+    finally:
+        prepared.unpersist()
     # assign_drift_regimes normalizes its output columns to REGIME_SCHEMA
     # (part, window_id, ...) — window_id here IS the orbit number
     return (

@@ -30,6 +30,59 @@ def test_volume_anomaly_planted(spark):
     assert (got["ref_mean"] == 1000.0).all()
 
 
+def test_health_empty_reference_raises_not_all_pass(spark):
+    """A reference that selects NO windows must raise loudly — a NULL
+    reference aggregate would otherwise make every comparison NULL and fall
+    through to 'pass' (review-caught silent-all-pass)."""
+    import pytest
+
+    from al_drift_detection_spark.functions.health import (
+        completeness_drift,
+        volume_anomaly,
+    )
+
+    df = spark.createDataFrame([(19000, 1.0)] * 10, "window_id int, a double")
+    with pytest.raises(ValueError, match="selects no windows"):
+        volume_anomaly(df, ref_filter=F.col("window_id") < 4)
+    with pytest.raises(ValueError, match="selects no windows"):
+        completeness_drift(df, ["a"], ref_filter=F.col("window_id") < 4)
+
+
+def test_volume_ref_first_n_sparse_windows(spark):
+    """ref_first_n means the first N windows IN WINDOW ORDER, not an id
+    range: sparse epoch-day ids (100, 103, 110) must all three count as the
+    reference for n=3 (an id-range filter would admit only one)."""
+    from al_drift_detection_spark.functions.health import volume_anomaly
+
+    rows = [(100,)] * 50 + [(103,)] * 100 + [(110,)] * 150 + [(200,)] * 500
+    df = spark.createDataFrame(rows, "window_id int")
+    got = (
+        volume_anomaly(df, ref_first_n=3)
+        .toPandas()
+        .set_index("window_id")
+        .sort_index()
+    )
+    assert (got["ref_mean"] == 100.0).all()  # mean of 50/100/150
+    assert got.loc[200, "verdict"] == "fail" and got.loc[200, "ratio"] == 5.0
+    assert got.loc[103, "verdict"] == "pass"
+
+
+def test_completeness_handles_hostile_column_names(spark):
+    """Column names with spaces and quotes must not break (or inject into)
+    the stack() expression — aliases are positional, labels escaped."""
+    from al_drift_detection_spark.functions.health import completeness_drift
+
+    df = spark.createDataFrame(
+        [(0, 1.0, "x"), (0, None, "y"), (1, 2.0, None), (1, 3.0, "z")],
+        ["window_id", "event count", "weird'col"],
+    )
+    got = completeness_drift(
+        df, ["event count", "weird'col"], ref_filter=F.col("window_id") >= 0
+    ).toPandas()
+    assert set(got["column"]) == {"event count", "weird'col"}
+    assert len(got) == 4  # 2 windows × 2 columns
+
+
 def test_completeness_drift_planted(spark):
     """A column going 30% null in one window fails exactly there; columns
     and windows matching the reference ratio pass."""

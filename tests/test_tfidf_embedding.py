@@ -134,6 +134,34 @@ def test_embedding_drift_big_window_bounded(spark):
     assert got.loc[2, "verdict"] == "pass"
 
 
+def test_embedding_drift_duplicate_vectors_still_bounded(spark):
+    """A duplicate-dominated oversize window (stuck encoder emitting ONE
+    constant vector) must still produce exactly one verdict row with an
+    O(sample_cap) scored count — hashing only the content would give every
+    copy the same coin flip (window vanishes or all copies hit one worker)."""
+    import pandas as pd
+
+    from al_drift_detection_spark.drift import embedding_drift
+
+    rng = np.random.default_rng(29)
+    d, cap, n_big = 4, 256, 30_000
+    ref = rng.standard_normal((100, d))
+    stuck = [1.0, 2.0, 3.0, 4.0]
+    pdf = pd.DataFrame(
+        {"window_id": [0] * n_big, "embedding": [stuck] * n_big}
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    got = (
+        embedding_drift(df, ref, mmd_max_n=64, sample_cap=cap)
+        .toPandas()
+        .set_index("window_id")
+    )
+    assert len(got) == 1  # the window is reported, not dropped
+    # bounded: expected kept ≈ 2·cap = 512, never 0 and never 30k
+    assert 300 <= got.loc[0, "n_vectors"] <= 800, got.loc[0, "n_vectors"]
+    assert got.loc[0, "verdict"] == "fail"  # constant far-off cluster drifts
+
+
 def test_near_dup_rate_planted(spark):
     """Windows with planted duplicate docs show the expected dup counts; a
     clean window shows rate 0."""

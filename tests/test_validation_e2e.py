@@ -177,21 +177,41 @@ def test_drift_extra_kernels_advisory_rows(spark, images):
 
 def test_wasserstein_constant_reference_not_masked(spark):
     """A degenerate CONSTANT reference column must not silently 'pass' a
-    shifted current window: sd == 0 falls back to the raw (unnormalized) W1
-    instead of reporting 0.0 (ADVICE r3, drift.py sd-guard)."""
+    shifted current window (ADVICE r3), and the statistic must stay
+    UNITLESS at every scale: sd falls back to std(cur), then to 0/+inf when
+    both sides are constant (drift._w1_statistic)."""
     from al_drift_detection_spark.drift import drift_scores
 
     ref_samples = {"v": np.full(256, 5.0)}
-    rows = [(0, 0, 5.0)] * 64 + [(0, 1, 9.0)] * 64
+    rng = np.random.default_rng(3)
+    rows = [(0, 0, 5.0)] * 64  # identical constant
+    rows += [(0, 1, 9.0)] * 64  # both-constant shift → +inf
+    rows += [(0, 2, float(v)) for v in 9.0 + 0.01 * rng.standard_normal(64)]
     df = spark.createDataFrame(rows, "part int, window_id int, v double")
     out = drift_scores(df, ["v"], ref_samples, extra_kernels=("wasserstein",)).toPandas()
     w = out[out["kernel"] == "wasserstein"].set_index("window_id").sort_index()
-    # identical constant window: raw W1 = 0 → pass
+    # identical constant window: W1 = 0 → pass
     assert w.loc[0]["statistic"] == 0.0
     assert w.loc[0]["verdict"] == "pass"
-    # shifted window: raw W1 = |9 − 5| = 4 ≫ threshold → FAIL (was 0.0/'pass')
-    assert w.loc[1]["statistic"] == pytest.approx(4.0)
+    # both sides constant but shifted: maximal drift at ANY unit scale
+    assert np.isinf(w.loc[1]["statistic"])
     assert w.loc[1]["verdict"] == "fail"
+    # constant ref, jittery shifted current: normalized by std(cur) → huge
+    assert w.loc[2]["statistic"] > 100
+    assert w.loc[2]["verdict"] == "fail"
+
+    # the statistic is UNIT-FREE even on the constant-reference fallback
+    # path: the same shape at 1e-3 and 1e12 native units must score
+    # identically (the raw-W1 fallback varied by 15 orders of magnitude)
+    base = rng.standard_normal(64)
+    stats = []
+    for scale in (1e-3, 1e12):
+        sref = {"v": np.full(256, 5.0 * scale)}
+        rows_s = [(0, 0, float((5.0 + 0.01 * b) * scale)) for b in base]
+        sdf = spark.createDataFrame(rows_s, "part int, window_id int, v double")
+        sout = drift_scores(sdf, ["v"], sref, extra_kernels=("wasserstein",)).toPandas()
+        stats.append(float(sout[sout["kernel"] == "wasserstein"].iloc[0]["statistic"]))
+    assert stats[0] == pytest.approx(stats[1], rel=1e-6), stats
 
 
 def test_categorical_drift_flags_new_category(spark):

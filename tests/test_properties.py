@@ -92,6 +92,29 @@ def test_wasserstein_scale_equivariant(a, b, s):
     )
 
 
+@given(samples, samples, st.floats(min_value=1e-6, max_value=1e9))
+@settings(max_examples=40, deadline=None)
+def test_w1_statistic_scale_invariant(a, b, s):
+    """The ADVISORY statistic drift._w1_statistic is UNIT-FREE on every
+    path — including the constant-reference fallback (review-caught: a raw
+    fallback made verdicts depend on the column's native units)."""
+    from al_drift_detection_spark.drift import _w1_statistic
+
+    x, y = np.asarray(a), np.asarray(b)
+    if len(x) == 0 or len(y) == 0:
+        return
+    v1, v2 = _w1_statistic(x, y), _w1_statistic(s * x, s * y)
+    if np.isinf(v1):
+        assert np.isinf(v2)
+    else:
+        assert np.isclose(v1, v2, rtol=1e-6, atol=1e-9), (v1, v2)
+    assert v1 >= 0.0
+    # constant-vs-constant: 0 iff equal, +inf otherwise, at any scale
+    c = np.full(8, 3.0)
+    assert _w1_statistic(c, c.copy()) == 0.0
+    assert np.isinf(_w1_statistic(c, c + s))
+
+
 @given(samples, samples)
 @settings(max_examples=60, deadline=None)
 def test_js_bounded_and_finite(a, b):

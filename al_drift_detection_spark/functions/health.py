@@ -198,6 +198,88 @@ def completeness_drift(
     )
 
 
+def uniqueness_drift(
+    df: DataFrame,
+    col: str,
+    window_col: str = "window_id",
+    ref_filter=None,
+    ref_ratio: float | None = None,
+    threshold: float = 0.05,
+    approx: bool = True,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Per-window UNIQUENESS drift: distinct-ratio (n_distinct / n_rows) of
+    a key column vs the reference windows — a dropping ratio is a duplicate
+    SURGE (re-ingested shard, crawler loop) long before content-level dedup
+    runs; the north_star's HyperLogLog-uniqueness stat as a windowed verdict
+    series.
+
+    approx=True (default, the scale path) uses approx_count_distinct — a
+    bounded HLL sketch per window, one agg, no extra shuffle; the threshold
+    must clear 3× the sketch's relative error (enforced) or clean windows
+    fail on sketch noise. approx=False uses exact count(DISTINCT) for
+    oracle-checkable output (an extra dedup exchange — fine at test scale,
+    use HLL at corpus scale).
+    Reference ratio = Σ n_distinct / Σ n_rows over the reference windows
+    (the count-weighted per-window expectation; distinct counts are NOT
+    merged across windows), folded back as a literal from the persisted
+    O(windows) frame — same eager-literal shape as volume_anomaly, same
+    loud failure when the reference selects no windows. ref_ratio:
+    alternatively a FIXED reference (streaming form). Output: (window_id,
+    n_rows, n_distinct, ratio, ref_ratio, verdict) — fail iff
+    ref_ratio − ratio > threshold (one-sided: uniqueness DROPPING).
+    """
+    if ref_filter is not None and ref_ratio is not None:
+        raise ValueError("pass ref_filter or ref_ratio, not both")
+    if approx and threshold < 3.0 * rsd:
+        # HLL relative error ~rsd on BOTH the window and reference counts:
+        # a threshold inside the sketch noise band turns the verdict into a
+        # coin flip (observed on the synthetic corpus at rsd=0.05/thr=0.05:
+        # clean windows failing at ratio 0.946). Demand 3σ of headroom.
+        raise ValueError(
+            f"uniqueness_drift: threshold {threshold} is inside the HLL "
+            f"noise band (rsd={rsd}; need threshold ≥ {3.0 * rsd}); lower "
+            "rsd, raise the threshold, or use approx=False"
+        )
+    nd = (
+        F.approx_count_distinct(col, rsd) if approx else F.count_distinct(F.col(col))
+    )
+    per_w = df.groupBy(F.col(window_col).alias("window_id")).agg(
+        F.count(F.lit(1)).alias("n_rows"), nd.alias("n_distinct")
+    )
+    persisted = []
+    if ref_ratio is None:
+        per_w = per_w.persist()
+        persisted = [per_w]
+        ref = per_w
+        if ref_filter is not None:
+            ref = per_w.filter(ref_filter)
+        row = ref.agg(
+            (F.sum("n_distinct") / F.sum("n_rows")).alias("r")
+        ).first()
+        if row["r"] is None:
+            raise ValueError(
+                "uniqueness_drift: the reference selects no windows — every "
+                "verdict would silently be NULL→'pass'"
+            )
+        ref_ratio = float(row["r"])
+    r = F.lit(float(ref_ratio))
+    ratio = F.col("n_distinct") / F.col("n_rows")
+    return attach_persisted(
+        per_w.select(
+            "window_id",
+            "n_rows",
+            "n_distinct",
+            F.round(ratio, 6).alias("ratio"),
+            F.round(r, 6).alias("ref_ratio"),
+            F.when(r - ratio > threshold, F.lit("fail"))
+            .otherwise(F.lit("pass"))
+            .alias("verdict"),
+        ),
+        *persisted,
+    )
+
+
 def ingestion_gaps(
     df: DataFrame,
     ts_col: str = "ts",

@@ -635,3 +635,50 @@ def q_schema_check(spark: SparkSession, sf: str) -> DataFrame:
         _t(spark, sf, "documents"),
         "doc_id bigint, text string, lang string, source int, quality double",
     )
+
+
+@register(
+    "q_uniqueness_drift",
+    """
+    WITH src AS (
+      SELECT doc_id % 4 AS window_id,
+             CASE WHEN doc_id % 4 >= 2 AND doc_id % 3 = 0 THEN 'dup'
+                  ELSE CAST(doc_id AS VARCHAR) END AS k
+      FROM documents
+    ),
+    w AS (
+      SELECT window_id, count(*) AS n_rows,
+             count(DISTINCT k) AS n_distinct
+      FROM src GROUP BY 1
+    ),
+    r AS (
+      SELECT sum(n_distinct) / sum(n_rows) AS rr FROM w WHERE window_id < 2
+    )
+    SELECT window_id, n_rows, n_distinct,
+           round(n_distinct / n_rows, 6) AS ratio,
+           round(rr, 6) AS ref_ratio,
+           CASE WHEN rr - n_distinct / n_rows > 0.05 THEN 'fail'
+                ELSE 'pass' END AS verdict
+    FROM w, r
+    """,
+    "windowed data-HEALTH family (north_star HLL-uniqueness stat as a "
+    "per-window verdict series): distinct-ratio DROP vs reference windows "
+    "= duplicate surge (re-ingested shard / crawler loop) before any "
+    "content dedup runs; duplicates planted identically in Spark and "
+    "oracle; EXACT count(DISTINCT) here for value-checkability — "
+    "approx_count_distinct (bounded HLL, no dedup exchange) is the "
+    "default scale path, pinned by a planted pytest",
+)
+def q_uniqueness_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.health import uniqueness_drift
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select(
+        (d % 4).alias("window_id"),
+        F.when((d % 4 >= 2) & (d % 3 == 0), F.lit("dup"))
+        .otherwise(d.cast("string"))
+        .alias("k"),
+    )
+    return uniqueness_drift(
+        docs, "k", ref_filter=F.col("window_id") < 2, threshold=0.05, approx=False
+    )

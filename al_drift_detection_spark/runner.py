@@ -265,6 +265,15 @@ def main(argv: list[str] | None = None) -> int:
             f"{args.out}/health_completeness"
         )
         release(comp)
+        from al_drift_detection_spark.functions.health import uniqueness_drift
+
+        uniq = uniqueness_drift(
+            meta_full, "image_id", "window_id", ref_filter=in_ref
+        )
+        uniq.orderBy("window_id").write.mode("overwrite").parquet(
+            f"{args.out}/health_uniqueness"
+        )
+        release(uniq)
 
     if args.expect_schema:
         from al_drift_detection_spark.functions.health import schema_check

@@ -65,6 +65,7 @@ HEADLINE = [
     "q_volume_anomaly",
     "q_completeness_drift",
     "q_ingestion_gaps",
+    "q_uniqueness_drift",
     "q_orbit_prep",
     "q_orbit_drifts",
 ]
@@ -86,6 +87,7 @@ TOTAL_EXCLUDED = {
     "q_volume_anomaly",
     "q_completeness_drift",
     "q_ingestion_gaps",
+    "q_uniqueness_drift",
     "q_orbit_prep",
     "q_orbit_drifts",
     "validation_pass_decode",  # reported in queries but never summed either

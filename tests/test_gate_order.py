@@ -53,6 +53,7 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     "q_volume_anomaly",
     "q_completeness_drift",
     "q_ingestion_gaps",
+    "q_uniqueness_drift",
 }
 
 

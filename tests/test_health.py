@@ -105,6 +105,44 @@ def test_completeness_drift_planted(spark):
     assert (pdf.xs("b", level="column")["verdict"] == "pass").all()
 
 
+def test_uniqueness_drift_planted_dup_surge(spark):
+    """A window where a third of the rows collapse onto one key fails the
+    distinct-ratio check; clean windows pass; the approx (HLL) scale path
+    agrees with exact within its rsd on which windows fail."""
+    from al_drift_detection_spark.functions.health import uniqueness_drift
+
+    rows = []
+    for w in range(3):
+        for i in range(300):
+            k = "dup" if (w == 2 and i % 3 == 0) else f"{w}_{i}"
+            rows.append((w, k))
+    df = spark.createDataFrame(rows, "window_id int, k string")
+    exact = (
+        uniqueness_drift(df, "k", ref_filter=F.col("window_id") < 2, approx=False)
+        .toPandas()
+        .set_index("window_id")
+        .sort_index()
+    )
+    assert exact.loc[0, "verdict"] == "pass" and exact.loc[0, "ratio"] == 1.0
+    assert exact.loc[2, "verdict"] == "fail"
+    # 100 dup rows → 201 distinct of 300
+    assert exact.loc[2, "n_distinct"] == 201
+
+    hll = (
+        uniqueness_drift(df, "k", ref_filter=F.col("window_id") < 2, approx=True)
+        .toPandas()
+        .set_index("window_id")
+        .sort_index()
+    )
+    assert hll["verdict"].tolist() == exact["verdict"].tolist()
+    assert abs(hll.loc[2, "n_distinct"] - 201) / 201 < 0.15  # within HLL rsd slack
+
+    import pytest
+
+    with pytest.raises(ValueError, match="selects no windows"):
+        uniqueness_drift(df, "k", ref_filter=F.col("window_id") > 99)
+
+
 def test_ingestion_gaps_planted_stall(spark):
     """A 2-hour hole in one window's timestamps trips the max-gap verdict;
     a steadily-fed window passes."""

@@ -116,8 +116,8 @@ def orbit_drift_verdicts(
     # PERSIST the prepared frame: three consumers follow (the distinct-orbit
     # collect, the reference sample, the regime sketches) and each would
     # otherwise re-execute the whole CSV scan + z-score + rolling-window
-    # pipeline — the CLAUDE.md shared-expensive-child rule (review-caught:
-    # ~3× the end-to-end wall). All three consume EAGERLY inside this
+    # pipeline — the shared-expensive-child persist rule (PLANS.md;
+    # review-caught: ~3× the end-to-end wall). All three consume EAGERLY inside this
     # function (assign_drift_regimes drains its toLocalIterator before
     # returning a local-data frame), so the persist is released before
     # return — no storage leaks to the caller.

@@ -30,6 +30,25 @@ from pyspark.sql.window import Window
 from al_drift_detection_spark.functions._persist import attach_persisted
 
 
+def _eager_reference(per_w: DataFrame, ref_filter, aggs: list, op_name: str):
+    """Shared reference-resolution tail of the data-derived health paths:
+    evaluate the reference aggregate EAGERLY from the (persisted) per-window
+    frame and return the 1-row Row, raising loudly — and unpersisting the
+    frame on that error path, so a failed build leaks no executor storage —
+    when the reference selects no windows (a NULL aggregate would otherwise
+    make every verdict fall through to 'pass')."""
+    ref = per_w if ref_filter is None else per_w.filter(ref_filter)
+    row = ref.agg(*aggs).first()
+    if any(v is None for v in row):
+        per_w.unpersist()
+        raise ValueError(
+            f"{op_name}: the reference selects no windows — every verdict "
+            "would silently be NULL→'pass'; check ref_filter / the input's "
+            "window values"
+        )
+    return row
+
+
 def volume_anomaly(
     df: DataFrame,
     window_col: str = "window_id",
@@ -70,10 +89,7 @@ def volume_anomaly(
         # full table scans ONCE (caller releases via functions._persist)
         counts = counts.persist()
         persisted = [counts]
-        ref = counts
-        if ref_filter is not None:
-            ref = counts.filter(ref_filter)
-        elif ref_first_n is not None:
+        if ref_first_n is not None:
             wins = [
                 r[0]
                 for r in counts.select("window_id")
@@ -81,14 +97,10 @@ def volume_anomaly(
                 .limit(ref_first_n)
                 .collect()
             ]
-            ref = counts.filter(F.col("window_id").isin(wins))
-        ref_mean = ref.agg(F.avg("n_rows")).first()[0]
-        if ref_mean is None:
-            raise ValueError(
-                "volume_anomaly: the reference selects no windows — every "
-                "verdict would silently be NULL→'pass'; check ref_filter / "
-                "the input's window values"
-            )
+            ref_filter = F.col("window_id").isin(wins)
+        ref_mean = _eager_reference(
+            counts, ref_filter, [F.avg("n_rows")], "volume_anomaly"
+        )[0]
     m = F.lit(float(ref_mean))
     return attach_persisted(
         counts.select(
@@ -153,20 +165,15 @@ def completeness_drift(
         # frame once and the returned plan reuses the cache — one table scan
         per_w = per_w.persist()
         persisted = [per_w]
-        ref = per_w
-        if ref_filter is not None:
-            ref = per_w.filter(ref_filter)
-        row = ref.agg(
-            *[
+        row = _eager_reference(
+            per_w,
+            ref_filter,
+            [
                 (F.sum(F.col(f"r_{i}") * F.col("_n")) / F.sum("_n")).alias(f"ref_{i}")
                 for i in range(len(cols))
-            ]
-        ).first()
-        if any(row[f"ref_{i}"] is None for i in range(len(cols))):
-            raise ValueError(
-                "completeness_drift: the reference selects no windows — "
-                "every verdict would silently be NULL→'pass'"
-            )
+            ],
+            "completeness_drift",
+        )
         ref_ratios = {c: float(row[f"ref_{i}"]) for i, c in enumerate(cols)}
 
     def esc(s: str) -> str:
@@ -211,8 +218,8 @@ def uniqueness_drift(
     """Per-window UNIQUENESS drift: distinct-ratio (n_distinct / n_rows) of
     a key column vs the reference windows — a dropping ratio is a duplicate
     SURGE (re-ingested shard, crawler loop) long before content-level dedup
-    runs; the north_star's HyperLogLog-uniqueness stat as a windowed verdict
-    series.
+    runs; the north_star's HyperLogLog-uniqueness stat (SURVEY.md §2.4 A2
+    distinct-keys family) as a windowed verdict series.
 
     approx=True (default, the scale path) uses approx_count_distinct — a
     bounded HLL sketch per window, one agg, no extra shuffle; the threshold
@@ -251,18 +258,14 @@ def uniqueness_drift(
     if ref_ratio is None:
         per_w = per_w.persist()
         persisted = [per_w]
-        ref = per_w
-        if ref_filter is not None:
-            ref = per_w.filter(ref_filter)
-        row = ref.agg(
-            (F.sum("n_distinct") / F.sum("n_rows")).alias("r")
-        ).first()
-        if row["r"] is None:
-            raise ValueError(
-                "uniqueness_drift: the reference selects no windows — every "
-                "verdict would silently be NULL→'pass'"
-            )
-        ref_ratio = float(row["r"])
+        ref_ratio = float(
+            _eager_reference(
+                per_w,
+                ref_filter,
+                [(F.sum("n_distinct") / F.sum("n_rows")).alias("r")],
+                "uniqueness_drift",
+            )["r"]
+        )
     r = F.lit(float(ref_ratio))
     ratio = F.col("n_distinct") / F.col("n_rows")
     return attach_persisted(

@@ -661,8 +661,9 @@ def q_schema_check(spark: SparkSession, sf: str) -> DataFrame:
                 ELSE 'pass' END AS verdict
     FROM w, r
     """,
-    "windowed data-HEALTH family (north_star HLL-uniqueness stat as a "
-    "per-window verdict series): distinct-ratio DROP vs reference windows "
+    "windowed data-HEALTH family (SURVEY.md §2.4 A2 distinct-keys family as "
+    "a per-window verdict series; the north_star HLL-uniqueness stat): "
+    "distinct-ratio DROP vs reference windows "
     "= duplicate surge (re-ingested shard / crawler loop) before any "
     "content dedup runs; duplicates planted identically in Spark and "
     "oracle; EXACT count(DISTINCT) here for value-checkability — "

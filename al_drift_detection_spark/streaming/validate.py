@@ -137,21 +137,29 @@ def stream_health(
     low: float = 0.5,
     high: float = 2.0,
     threshold: float = 0.05,
+    uniqueness_col: str | None = None,
+    ref_uniqueness: float | None = None,
     max_files_per_trigger: int = 4,
 ):
     """Streaming twin of `runner --health`: per micro-batch, the SAME
     functions.health operators with FIXED references (ref_volume /
-    ref_null_ratios literals — the deterministic-reference rule: a window's
-    verdict never depends on what other micro-batches contained, so a
-    window fully contained in one batch gets exactly the batch verdict).
-    Writes volume/ and completeness/ sub-tables, each partitioned by
-    batch_id with dynamic overwrite (replay-idempotent, same as
-    stream_suite)."""
+    ref_null_ratios / ref_uniqueness literals — the deterministic-reference
+    rule: a window's verdict never depends on what other micro-batches
+    contained, so a window fully contained in one batch gets exactly the
+    batch verdict). Writes volume/ and completeness/ sub-tables — plus
+    uniqueness/ when uniqueness_col + ref_uniqueness are given (the HLL
+    distinct-ratio duplicate-surge alarm; a window SPLIT across batches is
+    scored per fragment, same caveat as stream_cat_drift) — each
+    partitioned by batch_id with dynamic overwrite (replay-idempotent,
+    same as stream_suite)."""
     from al_drift_detection_spark.functions.health import (
         completeness_drift,
+        uniqueness_drift,
         volume_anomaly,
     )
 
+    if (uniqueness_col is None) != (ref_uniqueness is None):
+        raise ValueError("pass uniqueness_col and ref_uniqueness together")
     cols = list(ref_null_ratios)
     stream = (
         spark.readStream.schema(schema)
@@ -162,14 +170,21 @@ def stream_health(
     def run_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        vol = volume_anomaly(
-            batch_df, window_col, ref_mean=ref_volume, low=low, high=high
-        )
-        comp = completeness_drift(
-            batch_df, cols, window_col, ref_ratios=ref_null_ratios,
-            threshold=threshold,
-        )
-        for sub, frame in (("volume", vol), ("completeness", comp)):
+        frames = [
+            ("volume", volume_anomaly(
+                batch_df, window_col, ref_mean=ref_volume, low=low, high=high
+            )),
+            ("completeness", completeness_drift(
+                batch_df, cols, window_col, ref_ratios=ref_null_ratios,
+                threshold=threshold,
+            )),
+        ]
+        if uniqueness_col is not None:
+            frames.append(("uniqueness", uniqueness_drift(
+                batch_df, uniqueness_col, window_col, ref_ratio=ref_uniqueness,
+                threshold=threshold,
+            )))
+        for sub, frame in frames:
             (
                 frame.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")

@@ -224,6 +224,7 @@ def test_stream_health_matches_batch(spark, tmp_path_factory):
     refs = {"a": 0.0}
     q = stream_health(
         spark, inp, "a double, window_id int", 100.0, refs, out, ckpt,
+        uniqueness_col="a", ref_uniqueness=1.0,
         max_files_per_trigger=1,
     )
     q.awaitTermination(120)
@@ -253,6 +254,21 @@ def test_stream_health_matches_batch(spark, tmp_path_factory):
     assert got_c["verdict"].tolist() == exp_c["verdict"].tolist()
     assert np.allclose(got_c["null_ratio"], exp_c["null_ratio"])
     assert got_c.loc[3, "verdict"] == "fail"
+
+    # uniqueness leg: same operator, fixed reference → parity with batch
+    from al_drift_detection_spark.functions.health import uniqueness_drift
+
+    got_u = (
+        spark.read.parquet(f"{out}/uniqueness")
+        .select("window_id", "ratio", "verdict")
+        .toPandas().set_index("window_id").sort_index()
+    )
+    exp_u = (
+        uniqueness_drift(df, "a", ref_ratio=1.0)
+        .toPandas().set_index("window_id").sort_index()
+    )
+    assert got_u["verdict"].tolist() == exp_u["verdict"].tolist()
+    assert got_u.loc[3, "verdict"] == "fail"  # 12 nulls of 40 → ratio ~0.7
 
     # replay with a fresh checkpoint: same batch_ids overwrite, no dup rows
     n_once = spark.read.parquet(f"{out}/volume").count()

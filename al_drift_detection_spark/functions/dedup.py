@@ -485,7 +485,14 @@ def near_dup_rate_exact(
         df, threshold=threshold, n=n, text_col=text_col, id_col=id_col,
         max_doc_freq=max_doc_freq,
     )
-    dup_ids = pairs.select(
-        F.explode(F.array("a_id", "b_id")).alias("_dup_id")
-    ).distinct()
+    # localCheckpoint mirrors the LSH path (ADVICE r4): without it the lazy
+    # quadratic shingle self-join plan is what reaches _windowed_dup_counts,
+    # its size unknown at planning time — materialize the tiny distinct id
+    # set eagerly so the expensive pairs pipeline runs once and the join
+    # back is a planned-small broadcast
+    dup_ids = (
+        pairs.select(F.explode(F.array("a_id", "b_id")).alias("_dup_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     return _windowed_dup_counts(df, dup_ids, window_col, id_col)

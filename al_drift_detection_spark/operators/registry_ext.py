@@ -404,7 +404,8 @@ def q_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
     windows = emb.select((F.col("vec_id") % 4).cast("int").alias("window_id"), "embedding")
     out = embedding_drift(windows, ref)
     return out.select(
-        "window_id", "n_vectors", F.round("mmd", 6).alias("mmd"), "threshold", "verdict"
+        "window_id", "n_rows", "n_vectors",
+        F.round("mmd", 6).alias("mmd"), "threshold", "verdict",
     )
 
 

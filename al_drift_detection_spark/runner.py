@@ -214,27 +214,31 @@ def main(argv: list[str] | None = None) -> int:
             props = {r["c"]: r["n"] / tot for r in cnts}
             # a DATA value equal to the reserved catch-all name would trip
             # categorical_drift's reserved-name ValueError and abort the run
-            # (ADVICE r3): fold it into the "(other)" catch-all instead —
-            # those reference rows then carry the eps expected mass — and
-            # warn. (A literal "(null)" string merges with real NULLs by the
-            # coalesce contract; that is lossy labeling, not a crash.)
+            # (ADVICE r3). ADVICE r4 refined the fix: folding it into the
+            # eps catch-all makes EVERY window fail whenever '(other)' is a
+            # genuinely common category (observed mass p·n vs expected
+            # eps·n). Instead remap the literal to an escaped label in BOTH
+            # the reference props and the data column, so it keeps its true
+            # expected mass. (A pre-existing '(other:literal)' category
+            # would merge with it — lossy labeling, not a wrong verdict; a
+            # literal "(null)" string likewise merges with real NULLs by
+            # the coalesce contract.)
+            cat_in = meta
             if "(other)" in props:
-                dropped = props.pop("(other)")
+                props["(other:literal)"] = props.pop("(other)")
+                s = F.col(col).cast("string")
+                cat_in = meta.withColumn(
+                    col,
+                    F.when(s == "(other)", F.lit("(other:literal)")).otherwise(s),
+                )
                 print(
                     f"cat-drift[{col}]: reference data contains the literal "
-                    f"'(other)' category ({dropped:.4%} of rows) — folded "
-                    "into the catch-all bucket",
+                    "'(other)' category — remapped to '(other:literal)' in "
+                    "both reference and data so it keeps its expected mass",
                     file=sys.stderr,
                 )
-            if not props:  # every reference row was the literal "(other)"
-                print(
-                    f"cat-drift[{col}]: no usable reference categories — "
-                    "skipping column",
-                    file=sys.stderr,
-                )
-                continue
             frames.append(
-                categorical_drift(meta, col, props).withColumn("column", F.lit(col))
+                categorical_drift(cat_in, col, props).withColumn("column", F.lit(col))
             )
         if frames:
             cat_out = frames[0]

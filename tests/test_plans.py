@@ -79,28 +79,158 @@ def test_drift_scan_prunes_to_value_cols(spark):
     rs = p.split("ReadSchema")[1][:300]
     assert "bytes" not in rs and "caption" not in rs  # blobs never scanned
 
-def test_no_unpartitioned_windows_anywhere(spark):
-    """Every Window in EVERY registry query must carry a non-empty partition
-    spec (the two-pass bucketed form) — an unpartitioned Window.orderBy moves
-    the whole table through ONE task at scale. Detection: in
-    `windowspecdefinition(part..., order ASC/DESC ..., frame)` the partition
-    columns come first, so a spec whose FIRST argument is an order column
-    (carries ASC/DESC) is unpartitioned. Allowlist: q_regime_segments runs
-    its window over the already-reduced O(windows) regime table (built from
-    a driver collect) — a global sort of tiny data by design, documented in
-    regimes.regime_segments."""
-    import re
+import re
 
+# column names that denote an INGEST-WINDOW key: a group keyed only by these
+# puts one whole (unbounded, data-rate-sized) window through one task unless
+# the input was reduced or sampled first (VERDICT r4 "What's wrong" #1/#2).
+# ORBIT is deliberately NOT here: an orbit is a physically bounded unit (one
+# orbit of telemetry, the reference's own sequential unit) — the part-like
+# key of the orbit corpus, not a window that grows with data rate.
+_WINDOWISH = re.compile(r"^(window(_id)?|_pair|_w)$", re.IGNORECASE)
+_AGG_NODE = re.compile(r"\b(HashAggregate|SortAggregate|ObjectHashAggregate)\b")
+_SAMPLER_SIG = "pmod(xxhash64"  # drift._bounded_window_sample's scan filter
+_PREFIX = re.compile(r"^[\s:+\-|*()0-9]*")
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a comma-separated arg list at paren-nesting depth 0."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def _spec_partition_cols(line: str) -> list[list[str]]:
+    """Partition-column name lists of every windowspecdefinition in a plan
+    line: args before the first ASC/DESC-bearing (order) arg."""
+    specs = []
+    for m in re.finditer(r"windowspecdefinition\(", line):
+        start = m.end()
+        depth, i = 1, start
+        while depth and i < len(line):
+            depth += {"(": 1, ")": -1}.get(line[i], 0)
+            i += 1
+        cols = []
+        for arg in _split_top_level(line[start : i - 1]):
+            if " ASC" in arg or " DESC" in arg or arg.startswith("specifiedwindowframe"):
+                break
+            cols.append(arg.split("#")[0])
+        specs.append(cols)
+    return specs
+
+
+def audit_window_shapes(plan: str) -> list[str]:
+    """Scan a physical plan for one-task-per-ingest-window shapes: a Window
+    or FlatMapGroupsInPandas whose key set is EMPTY or consists only of
+    window-ish columns, over input that was neither aggregated (reduced to
+    O(windows) rows — an Aggregate in the node's subtree) nor bounded by the
+    deterministic hash-Bernoulli sampler (drift._bounded_window_sample's
+    `pmod(xxhash64` filter in the subtree). Returns violation strings."""
+    lines = plan.splitlines()
+    depths = [len(_PREFIX.match(ln).group(0)) for ln in lines]
+
+    def subtree(i: int) -> str:
+        out = []
+        for j in range(i + 1, len(lines)):
+            if depths[j] <= depths[i]:
+                break
+            out.append(lines[j])
+        return "\n".join(out)
+
+    bad = []
+    for i, ln in enumerate(lines):
+        key_sets = []
+        if "windowspecdefinition(" in ln:
+            key_sets = _spec_partition_cols(ln)
+        elif "FlatMapGroupsInPandas" in ln:
+            m = re.search(r"FlatMapGroupsInPandas(?:WithState)? \[([^\]]*)\]", ln)
+            if m:
+                key_sets = [
+                    [a.split("#")[0] for a in _split_top_level(m.group(1)) if a]
+                ]
+        for cols in key_sets:
+            window_only = all(_WINDOWISH.match(c) for c in cols)  # [] → True
+            if not window_only:
+                continue
+            sub = subtree(i)
+            if _AGG_NODE.search(sub) or _SAMPLER_SIG in sub:
+                continue  # input reduced or sampler-bounded
+            kind = "unpartitioned" if not cols else f"window-only keys {cols}"
+            bad.append(f"{kind}: {ln.strip()[:160]}")
+    return bad
+
+
+def test_no_one_task_window_shapes_anywhere(spark):
+    """Registry-wide scale guard (VERDICT r4 item 3, generalizing the r3
+    empty-partition-spec rule): no Window and no applyInPandas group in ANY
+    registry query may move a whole ingest window through one task — the key
+    set must include a non-window column, or the input must be aggregated /
+    sampler-bounded first. Allowlist: q_regime_segments runs its window over
+    the already-reduced O(windows) regime table (built from a driver
+    collect) — a global sort of tiny data by design, documented in
+    regimes.regime_segments."""
     from al_drift_detection_spark.operators import REGISTRY
 
     allow = {"q_regime_segments"}
-    pat = re.compile(r"windowspecdefinition\([^,()]*? (ASC|DESC)")
     for q, spec in REGISTRY.items():
         if q in allow:
             continue
-        p = plan_of(spec.fn(spark, SF))
-        m = pat.search(p)
-        assert not m, f"{q}: unpartitioned window: ...{p[max(0, m.start()-80):m.end()+40]}"
+        bad = audit_window_shapes(plan_of(spec.fn(spark, SF)))
+        assert not bad, f"{q}: {bad}"
+
+
+def test_plan_audit_catches_pre_fix_shapes(spark):
+    """The audit must FAIL on the exact shapes VERDICT r4 flagged (pre-fix
+    ingestion_gaps / sliding_window_scores) and PASS their fixed forms."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("window_id"),
+        "ts", "event_id",
+    )
+    # pre-fix ingestion_gaps: lag over a window partitioned by window_id only
+    sec = F.col("ts").cast("timestamp").cast("double")
+    w = Window.partitionBy("window_id").orderBy("ts", "event_id")
+    prefix_gap = ev.withColumn("_gap", sec - F.lag(sec).over(w))
+    assert audit_window_shapes(plan_of(prefix_gap)), "pre-fix lag shape not flagged"
+
+    # pre-fix sliding_window_scores: applyInPandas grouped by pair id only,
+    # no sampler bound
+    def score(key, pdf):
+        return pd.DataFrame({"_pair": [0], "n": [len(pdf)]})
+
+    both = ev.withColumn("_pair", F.col("window_id"))
+    prefix_group = both.groupBy("_pair").applyInPandas(score, "_pair long, n long")
+    assert audit_window_shapes(plan_of(prefix_group)), "pre-fix group shape not flagged"
+
+    # fixed forms pass
+    import numpy as np
+
+    from al_drift_detection_spark.drift import sliding_window_scores
+    from al_drift_detection_spark.functions.health import ingestion_gaps
+
+    fixed_gap = ingestion_gaps(ev, "ts", "window_id", id_col="event_id")
+    assert not audit_window_shapes(plan_of(fixed_gap))
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.lit(0).alias("part"),
+        (F.col("l_orderkey") % 8).cast("int").alias("window_id"),
+        F.col("l_quantity").alias("w"),
+    )
+    fixed_sliding = sliding_window_scores(li, ["w"], offset=1)
+    assert not audit_window_shapes(plan_of(fixed_sliding))
 
 
 def test_quality_gate_single_scan_no_shuffle(spark):

@@ -167,8 +167,11 @@ def test_runner_cat_drift_and_image_dedup_surfaces(spark, tmp_path_factory):
 
 def test_runner_cat_drift_other_literal_not_crash(spark, tmp_path_factory):
     """A column whose DATA contains the literal reserved '(other)' category
-    must not abort the CLI (ADVICE r3): the runner folds it into the
-    catch-all (warning on stderr) and still writes the cat_drift table."""
+    must not abort the CLI (ADVICE r3), and — ADVICE r4 — a COMMON literal
+    '(other)' (~10% here, identically distributed across windows) must not
+    fail every window either: the runner remaps it to '(other:literal)' in
+    both the reference props and the data, so it keeps its true expected
+    mass and clean windows still pass."""
     from al_drift_detection_spark import runner
     from al_drift_detection_spark.datagen import generate_images
 
@@ -189,6 +192,9 @@ def test_runner_cat_drift_other_literal_not_crash(spark, tmp_path_factory):
     cat = spark.read.parquet(f"{out}/cat_drift").toPandas()
     assert len(cat) > 0
     assert (cat["column"] == "fmt").all()
+    # the remapped category keeps its expected mass → clean windows pass
+    # (the r3 fold-into-eps-catch-all behavior failed ALL windows here)
+    assert (cat["verdict"] == "pass").all()
 
 
 def test_regime_segments_golden(spark, planted):

@@ -127,6 +127,8 @@ def test_embedding_drift_big_window_bounded(spark):
     # bounded: expected kept ≈ 2·cap = 1024 per big window (binomial σ ≈ 32)
     for w in (0, 1):
         assert 700 <= got.loc[w, "n_vectors"] <= 1500, got.loc[w, "n_vectors"]
+        # ADVICE r4: n_rows reports the TRUE window size, not the sampled one
+        assert got.loc[w, "n_rows"] == n_big
     assert got.loc[0, "verdict"] == "pass"
     assert got.loc[1, "verdict"] == "fail"
     # under-cap window: rate = 1, every row kept

@@ -288,6 +288,47 @@ def test_sliding_extra_kernels(spark, images):
     assert set(votes["statistic"].unique()) <= {0.0, 1.0, 2.0, 3.0}
 
 
+def test_sliding_window_scores_big_window_bounded(spark):
+    """A window far larger than sample_cap, spread over many partitions, is
+    bounded JVM-side BEFORE the pair union/group (VERDICT r4 #1 — mirror of
+    test_embedding_drift_big_window_bounded): verdicts unchanged (clean pair
+    passes, shifted pair fails) and the per-pair group materializes
+    O(sample_cap) rows, never two full windows. Bound check: run the SAME
+    sampled plan up to the pre-group frame and count rows per pair role."""
+    import pandas as pd
+
+    from al_drift_detection_spark.drift import _bounded_window_sample
+
+    rng = np.random.default_rng(13)
+    n_big, cap = 40_000, 1024
+    vals = np.concatenate([
+        rng.standard_normal(n_big),        # window 0
+        rng.standard_normal(n_big),        # window 1: same dist → pair 1 passes
+        rng.standard_normal(n_big) + 3.0,  # window 2: shifted → pair 2 fails
+    ])
+    pdf = pd.DataFrame({
+        "part": 0,
+        "window_id": [0] * n_big + [1] * n_big + [2] * n_big,
+        "w": vals,
+    })
+    df = spark.createDataFrame(pdf).repartition(16)
+    scores = (
+        sliding_window_scores(df, ["w"], offset=1, max_n=512, sample_cap=cap)
+        .toPandas()
+    )
+    votes = scores[scores["kernel"] == "vote"].set_index("window_id")
+    assert votes.loc[1, "verdict"] == "pass"
+    assert votes.loc[2, "verdict"] == "fail"
+    # the bound itself: the sampled pre-group frame keeps ≈ 2·cap rows per
+    # window (binomial; generous upper bound), never the full 40k
+    kept = (
+        _bounded_window_sample(df.select("part", "window_id", "w"), "window_id", cap)
+        .groupBy("window_id").count().toPandas().set_index("window_id")
+    )
+    for w in (0, 1, 2):
+        assert 1400 <= kept.loc[w, "count"] <= 3000, kept.loc[w, "count"]
+
+
 def test_decode_validation(spark, images, ref):
     from al_drift_detection_spark.decode import decode_checks
 

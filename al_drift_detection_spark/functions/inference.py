@@ -41,12 +41,18 @@ def batch_score(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str | None = "label",
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Score every row with the frozen linear model: one matmul per Arrow
-    batch → (id[, label], label_pred, score). Ties break to the lowest class
-    index (numpy argmax), matching the oracle's ordered CASE."""
+    batch → (id[, label][, passthrough...], label_pred, score). Ties break to
+    the lowest class index (numpy argmax), matching the oracle's ordered
+    CASE. passthrough_cols ride through the map unchanged (their types come
+    from the input schema) — the crossing-evaluation composition uses this to
+    keep (orbit, order) attached without a post-join."""
     keep_label = label_col is not None and label_col in df.columns
     schema = f"{id_col} long" + (f", {label_col} int" if keep_label else "")
+    for c in passthrough_cols:
+        schema += f", {c} {df.schema[c].dataType.simpleString()}"
     schema += ", label_pred int, score double"
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -62,11 +68,14 @@ def batch_score(
             out = {id_col: pdf[id_col].to_numpy()}
             if keep_label:
                 out[label_col] = pdf[label_col].to_numpy()
+            for c in passthrough_cols:
+                out[c] = pdf[c].to_numpy()
             out["label_pred"] = S.argmax(axis=1).astype(np.int32)
             out["score"] = np.round(S.max(axis=1), 4)
             yield pd.DataFrame(out)
 
     cols = [id_col, vec_col] + ([label_col] if keep_label else [])
+    cols += [c for c in passthrough_cols]
     return df.select(*cols).mapInPandas(score, schema)
 
 

@@ -6,17 +6,20 @@ window never produce a driver-gate row (VERDICT r2 "gate-cap finding"). The
 order is therefore CURATED, not accidental:
 
 - every oracle-bearing entry representing a DISTINCT SURVEY.md §2 operator
-  family sits inside the window (47 of them);
-- the remaining 3 window slots carry the ANN path's rows-only entries
-  (q_ivf_topk, q_lsh_ann_topk, q_cosine_neardup_pairs — recall-floor-tested
-  in tests/test_ann_recall.py), per VERDICT r2 item 7;
-- 8 oracle entries are DEMOTED past the window as redundant twins of
+  family sits inside the window (49 of them — since r5 q_lsh_ann_topk and
+  q_cosine_neardup_pairs carry FULL literal-plane DuckDB oracles, and
+  q_crossing_report value-checks the composed cnn.py end-to-end);
+- the one remaining rows-only window slot is q_ivf_topk (its k-means
+  trainer is not SQL-reproducible; recall-floor-tested in
+  tests/test_ann_recall.py);
+- 9 oracle entries are DEMOTED past the window as redundant twins of
   in-window entries (the gate re-checks the same operator family):
   q_ks_statistic (⊂ q_ks_pvalue), q_except_keys (≡ q_anti_join shape),
   q_lag_features (⊂ q_sequence_checksum), q_accuracy / q_per_class_accuracy
-  (derivable from q_confusion_matrix / q_prf_per_class), q_split_counts
-  (⊂ q_split_assignment), q_topk_per_query (≡ q_cosine_topk family),
-  q_minmax_class_counts (≡ q_value_counts/q_class_weights agg shape).
+  (derivable from q_confusion_matrix), q_prf_per_class (single-scope subset
+  of q_crossing_report's scoped PRF), q_split_counts (⊂ q_split_assignment),
+  q_topk_per_query (≡ q_cosine_topk family), q_minmax_class_counts
+  (≡ q_value_counts/q_class_weights agg shape).
   They all still carry oracles and run in tools/check_oracles.py (the
   full-registry replica) and the pytest suite.
 
@@ -68,9 +71,10 @@ GATE_FRONT: list[str] = [
     "q_regexp_extract",
     "q_label_remap",
     "q_abs_gap_flags",
-    # metric block (A6, A8, A9)
+    # metric block (A6, A8) + the cnn.py end-to-end (its scoped PRF oracle
+    # supersedes the single-scope q_prf_per_class, demoted as a twin)
     "q_confusion_matrix",
-    "q_prf_per_class",
+    "q_crossing_report",
     "q_error_sdi",
     # drift kernels
     "q_ks_pvalue",

@@ -63,6 +63,23 @@ def main(argv: list[str] | None = None) -> int:
                     help="intra-orbit ordering column for the rolling mean")
     ap.add_argument("--orbit-rolling", type=int, default=5000,
                     help="rolling-mean window in rows (reference: 5000)")
+    ap.add_argument(
+        "--crossings", action="store_true",
+        help="crossing-evaluation mode (the reference's cnn.py surface): "
+        "with --orbits CSV_GLOB (the labelled corpus) and --drifts FILE (a "
+        "drifts_setN.txt-format verdict file, e.g. a previous --orbits "
+        "run's output), run split assembly → batch inference → label "
+        "smoothing → the per-split/per-drift/per-orbit metric report and "
+        "write crossing_* output tables",
+    )
+    ap.add_argument("--drifts", default=None, metavar="FILE",
+                    help="drifts file ('{orbit} {drift}' lines) for --crossings")
+    ap.add_argument("--label-col", default="LABEL",
+                    help="label column in the --crossings corpus")
+    ap.add_argument("--smooth-run", type=int, default=120,
+                    help="crossing-class smoothing window (rows; ref cnn.py:149-172)")
+    ap.add_argument("--smooth-gap", type=int, default=60,
+                    help="non-crossing-class smoothing window (rows)")
     ap.add_argument("--ref", default=None, help="reference-set parquet path (or synthetic)")
     ap.add_argument("--out", required=True, help="output directory for verdict tables")
     ap.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
@@ -107,8 +124,56 @@ def main(argv: list[str] | None = None) -> int:
     if args.images is None and args.orbits is None:
         ap.error("one of --images or --orbits is required")
 
+    if args.crossings and (args.orbits is None or args.drifts is None):
+        ap.error("--crossings requires --orbits CSV_GLOB and --drifts FILE")
+
     spark = get_spark(app_name="al-drift-validation", master=args.master)
     t0 = time.perf_counter()
+
+    if args.crossings:
+        import os as _os
+
+        from al_drift_detection_spark.crossings import crossing_report, load_drifts_txt
+        from al_drift_detection_spark.functions._persist import release
+        from al_drift_detection_spark.orbits import NON_FEATURE_COLS
+        from al_drift_detection_spark.sources import read_orbit_csvs
+
+        corpus = read_orbit_csvs(spark, args.orbits, schema=args.orbit_schema)
+        dm = load_drifts_txt(spark, args.drifts, orbit_col="ORBIT")
+        numeric = {"double", "float", "int", "bigint", "smallint", "tinyint", "long"}
+        feats = [
+            c for c, t in corpus.dtypes
+            if t in numeric
+            and c.upper() not in NON_FEATURE_COLS
+            and c != args.label_col
+        ]
+        report = crossing_report(
+            corpus, dm,
+            feature_cols=feats,
+            orbit_col="ORBIT",
+            order_col=args.orbit_order_col,
+            label_col=args.label_col,
+            run=args.smooth_run,
+            gap=args.smooth_gap,
+        )
+        _os.makedirs(args.out, exist_ok=True)
+        for name in ("splits", "predictions", "confusion", "prf", "accuracy", "sdi"):
+            report[name].write.mode("overwrite").parquet(f"{args.out}/crossing_{name}")
+        n_rows = report["predictions"].count()
+        test_acc = (
+            report["accuracy"]
+            .filter((F.col("scope_type") == "split") & (F.col("scope") == "test"))
+            .collect()
+        )
+        release(report["predictions"])
+        print(json.dumps({
+            "rows": n_rows,
+            "orbits": dm.count(),
+            "test_accuracy": float(test_acc[0]["accuracy"]) if test_acc else None,
+            "wall_sec": round(time.perf_counter() - t0, 2),
+            "out": args.out,
+        }))
+        return 0
 
     if args.orbits:
         from al_drift_detection_spark.orbits import orbit_drift_verdicts, write_drifts_txt

@@ -68,6 +68,8 @@ HEADLINE = [
     "q_uniqueness_drift",
     "q_orbit_prep",
     "q_orbit_drifts",
+    # round-5 addition (additive key, excluded from the summed total)
+    "q_crossing_report",
 ]
 
 # reported per-query but EXCLUDED from the summed `value` metric, which keeps
@@ -90,6 +92,7 @@ TOTAL_EXCLUDED = {
     "q_uniqueness_drift",
     "q_orbit_prep",
     "q_orbit_drifts",
+    "q_crossing_report",
     "validation_pass_decode",  # reported in queries but never summed either
 }
 

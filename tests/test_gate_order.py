@@ -18,6 +18,8 @@ DEMOTED_ORACLE_TWINS = {
     "q_lag_features",
     "q_accuracy",
     "q_per_class_accuracy",
+    # r5: single-scope subset of q_crossing_report's scoped PRF oracle
+    "q_prf_per_class",
     "q_split_counts",
     "q_topk_per_query",
     "q_minmax_class_counts",
@@ -73,10 +75,19 @@ def test_every_oracle_family_in_window():
     assert out_of_window_oracles == DEMOTED_ORACLE_TWINS | ORACLE_EXTENSIONS_PAST_WINDOW
 
 
-def test_ann_rows_only_entries_in_window():
+def test_ann_entries_in_window_and_oracle_status():
+    """The ANN trio stays in-window; since r5 the two LSH entries carry FULL
+    literal-plane DuckDB oracles (VERDICT r4 item 6) — only q_ivf_topk (its
+    k-means trainer is not SQL-reproducible) remains rows-only."""
     window = list(REGISTRY)[:GATE_WINDOW]
     for name in ("q_ivf_topk", "q_lsh_ann_topk", "q_cosine_neardup_pairs"):
         assert name in window, name
+    assert REGISTRY["q_lsh_ann_topk"].sql is not None
+    assert REGISTRY["q_cosine_neardup_pairs"].sql is not None
+    rows_only_in_window = [
+        n for n in window if REGISTRY[n].sql is None
+    ]
+    assert rows_only_in_window == ["q_ivf_topk"]
 
 
 def test_demoted_twins_still_registered_with_oracles():

@@ -84,6 +84,9 @@ def match_against_catalog(
     value_cols: list[str],
     ks_alpha: float,
     match_alpha: float,
+    max_regimes: int | None = None,
+    on_overflow: str = "raise",
+    last_used: dict[int, int] | None = None,
 ) -> tuple[int, bool, float, float, int, int]:
     """The pure driver-side regime-matching step, SHARED by the batch
     assigner and the streaming catalog-as-state operator (so the drift /
@@ -91,6 +94,16 @@ def match_against_catalog(
 
     Returns (regime_id, is_new, p_vs_current, matched_p, new_current,
     new_next_id); mutates `catalog` only when a novel regime is minted.
+
+    max_regimes bounds the catalog (VERDICT r4 item 8 — adversarial
+    drift-every-window data would otherwise mint an unbounded catalog; the
+    reference bounds its training memory the same way via majority eviction,
+    gan.py:400-413 M2). On a mint that would exceed the cap:
+    on_overflow='raise' fails loudly; 'evict_lru' drops the
+    least-recently-ASSIGNED regime (per `last_used`, maintained by the
+    caller) — never regime 1 (the initial reference) and never the current
+    regime. An evicted regime that recurs later is re-minted under a new id
+    (its old label is forgotten — the bounded-memory trade-off).
     """
 
     def worst_p(regime_sketch: dict[str, np.ndarray]) -> float:
@@ -107,6 +120,24 @@ def match_against_catalog(
             best_id, best_p = rid, p
     if best_p >= match_alpha:  # recurring regime
         return best_id, False, p_current, best_p, best_id, next_id
+    if max_regimes is not None and len(catalog) >= max_regimes:
+        if on_overflow != "evict_lru":
+            raise ValueError(
+                f"regime catalog reached max_regimes={max_regimes} and a "
+                "novel regime would be minted — drift-every-window data? "
+                "Pass on_overflow='evict_lru' to bound memory by dropping "
+                "the least-recently-assigned regime instead"
+            )
+        candidates = [r for r in catalog if r != 1 and r != current]
+        if not candidates:
+            raise ValueError(
+                f"max_regimes={max_regimes} leaves no evictable regime "
+                "(only the reference and current remain) — raise the cap"
+            )
+        victim = min(candidates, key=lambda r: (last_used or {}).get(r, -1))
+        del catalog[victim]
+        if last_used is not None:
+            last_used.pop(victim, None)
     catalog[next_id] = cur_sketch  # novel: mint and remember
     return next_id, True, p_current, best_p, next_id, next_id + 1
 
@@ -121,6 +152,8 @@ def assign_drift_regimes(
     match_alpha: float = 0.05,
     q: int = 128,
     catalog: dict[int, dict[str, np.ndarray]] | None = None,
+    max_regimes: int | None = None,
+    on_overflow: str = "raise",
 ) -> DataFrame:
     """Assign a regime id to every (part, window): the reference's
     orbit -> drift_id verdict contract (gan.py:785-811).
@@ -137,7 +170,10 @@ def assign_drift_regimes(
 
     `catalog` (optional) resumes from a previously saved regime catalog
     (catalog_from_df); it is mutated in place so callers can persist it after
-    the run.
+    the run. max_regimes / on_overflow bound the catalog against
+    drift-every-window data (see match_against_catalog — 'raise' fails
+    loudly at the cap, 'evict_lru' drops the least-recently-assigned
+    non-reference regime).
     """
     # rows with a NULL window/part key have no position in the window ORDER,
     # so they carry no regime identity: exclude them from the sequential
@@ -165,6 +201,8 @@ def assign_drift_regimes(
         catalog[1] = {c: _sketchify(ref_samples[c], q) for c in value_cols}
     current = 1
     next_id = max(catalog) + 1
+    last_used: dict[int, int] = {}
+    step = 0
     out = []
     for r in sk_rows:
         # percentile over an all-NULL window group returns NULL — normalize to
@@ -177,8 +215,12 @@ def assign_drift_regimes(
             for c in value_cols
         }
         regime, is_new, p_cur, matched_p, current, next_id = match_against_catalog(
-            catalog, cur_sketch, current, next_id, value_cols, ks_alpha, match_alpha
+            catalog, cur_sketch, current, next_id, value_cols, ks_alpha,
+            match_alpha, max_regimes=max_regimes, on_overflow=on_overflow,
+            last_used=last_used,
         )
+        last_used[regime] = step
+        step += 1
         out.append(
             (int(r[part_col]), int(r[window_col]), regime, is_new,
              float(p_cur), float(matched_p))

@@ -177,9 +177,14 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.orbits:
         from al_drift_detection_spark.orbits import orbit_drift_verdicts, write_drifts_txt
-        from al_drift_detection_spark.sources import read_orbit_csvs
+        from al_drift_detection_spark.sources import count_dropped_nulls, read_orbit_csvs
 
-        corpus = read_orbit_csvs(spark, args.orbits, schema=args.orbit_schema)
+        # read WITHOUT the reference's silent any-null drop first so the
+        # drop is observable (VERDICT r4 item 7) — the count is surfaced in
+        # the summary JSON below, then the drop is applied explicitly
+        raw = read_orbit_csvs(spark, args.orbits, schema=args.orbit_schema, na_drop=False)
+        n_dropped = count_dropped_nulls(raw)
+        corpus = raw.na.drop()
         verdicts = orbit_drift_verdicts(
             corpus,
             order_col=args.orbit_order_col,
@@ -195,6 +200,7 @@ def main(argv: list[str] | None = None) -> int:
         verdicts.unpersist()
         print(json.dumps({
             "orbits": n_orbits,
+            "rows_dropped_null": n_dropped,
             "wall_sec": round(time.perf_counter() - t0, 2),
             "out": args.out,
         }))

@@ -155,11 +155,22 @@ def merge_upsert(
         spark.catalog.dropTempView(view)
 
 
-def read_orbit_csvs(spark: SparkSession, path_glob: str, schema: str | None = None) -> DataFrame:
+def read_orbit_csvs(
+    spark: SparkSession,
+    path_glob: str,
+    schema: str | None = None,
+    na_drop: bool = True,
+) -> DataFrame:
     """S1-S3: multi-file CSV scan with ORBIT derived from `df_<N>.csv` names
     when the column is absent — the reference's loader re-expressed as one
     declarative scan (Spark unions file splits natively; no driver loop).
-    schema=None infers types (an extra scan — pass the DDL in production)."""
+    schema=None infers types (an extra scan — pass the DDL in production).
+
+    na_drop=True reproduces the reference's silent any-null row drop (P1,
+    util.py:45 dropna) — the ONE silent data-shaping step in the engine
+    (VERDICT r4 item 7). Pass na_drop=False to keep nulls and run the
+    explicit completeness checks instead; count_dropped_nulls() makes the
+    drop observable either way (the --orbits summary surfaces it)."""
     if schema is None:
         df = spark.read.csv(path_glob, header=True, inferSchema=True)
     else:
@@ -169,4 +180,16 @@ def read_orbit_csvs(spark: SparkSession, path_glob: str, schema: str | None = No
             "ORBIT",
             F.regexp_extract(F.input_file_name(), r"df_(\d+)\.csv", 1).cast("long"),
         )
-    return df.na.drop()
+    return df.na.drop() if na_drop else df
+
+
+def count_dropped_nulls(df: DataFrame) -> int:
+    """Rows an any-null drop removes from `df` — ONE aggregate (count minus
+    count of fully-non-null rows), no second scan-and-subtract pipeline."""
+    non_null = F.forall(
+        F.array(*[F.isnotnull(c) for c in df.columns]), lambda x: x
+    ).cast("long")
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(non_null).alias("kept")
+    ).first()
+    return int(row["n"] - (row["kept"] or 0))

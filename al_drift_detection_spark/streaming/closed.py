@@ -1,0 +1,202 @@
+"""CLOSED-WINDOW streaming verdicts (VERDICT r4 item 5): event-time windows
+whose verdict is emitted ONCE, when the watermark passes the window end —
+never per micro-batch fragment.
+
+stream_cat_drift / stream_health score each micro-batch's fragment of a
+window independently (documented caveat in streaming/validate.py): a window
+straddling two batches gets two partial verdicts that never reconcile. The
+reference's detector only votes when a window CLOSES (gan.py:737-757 — it
+never emits on a partial window). These operators reproduce that contract
+with applyInPandasWithState + EventTimeTimeout:
+
+- group key = the tumbling event-time window (start, end) of ts_col;
+- per batch, the fragment is REDUCED to mergeable partials (row/null counts,
+  bounded category counts) and folded into the group state — state is O(1)
+  per window regardless of fragment sizes, and no verdict is emitted;
+- when the watermark passes window_end (+ the watermark delay), the timeout
+  fires exactly once: the verdict over the window's ENTIRE row set is
+  emitted and the state removed. A window split across any number of
+  micro-batches therefore yields ONE verdict, byte-equal to the batch
+  operator on the same rows (parity pinned in tests/test_closed_windows.py).
+
+The category universe / reference rules are the deterministic ones of
+drift.categorical_drift and functions/health (fixed ref literals), so a
+window's verdict never depends on other windows or batch boundaries. Rows
+arriving later than the watermark can re-open a window and produce a second
+(fragment-only) verdict at its next close — the standard watermark
+trade-off; size the delay for the source's lateness.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from al_drift_detection_spark.kernels import chi2_sf
+
+CAT_OUT_SCHEMA = (
+    "window_start timestamp, window_end timestamp, n long, chi2_stat double, "
+    "dof long, p_value double, verdict string"
+)
+CAT_STATE_SCHEMA = "counts array<long>"
+
+HEALTH_OUT_SCHEMA = (
+    "window_start timestamp, window_end timestamp, check string, column string, "
+    "n_rows long, metric double, ref double, verdict string"
+)
+HEALTH_STATE_SCHEMA = "n long, nulls array<long>"
+
+
+def _windowed(stream_df: DataFrame, ts_col: str, window: str, watermark: str):
+    """Watermarked frame with the tumbling window's (start, end) as columns —
+    the group key for the stateful close. Parquet NTZ timestamps are cast
+    (session TZ pinned UTC, values unchanged — streaming_window_stats
+    convention)."""
+    d = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return d.withWatermark(ts_col, watermark).withColumn(
+        "_w", F.window(F.col(ts_col), window)
+    ).withColumn("_w_start", F.col("_w.start")).withColumn("_w_end", F.col("_w.end"))
+
+
+def closed_cat_drift(
+    stream_df: DataFrame,
+    ts_col: str,
+    cat_col: str,
+    ref_props: dict[str, float],
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    alpha: float = 0.01,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Closed-window chi-square categorical drift: the streaming twin of
+    drift.categorical_drift with window-close emission. Same deterministic
+    universe (ref_props keys + '(other)' catch-all, NULL → '(null)'), same
+    normalization and statistic; one output row per closed window."""
+    if not ref_props:
+        raise ValueError("ref_props is empty — no reference distribution to test against")
+    if "(other)" in ref_props:
+        raise ValueError('"(other)" is the reserved catch-all bucket name')
+    raw = {str(c): max(float(p), eps) for c, p in ref_props.items()}
+    raw["(other)"] = eps
+    z = sum(raw.values())
+    cats = sorted(raw)
+    ps = [raw[c] / z for c in cats]
+    idx = {c: i for i, c in enumerate(cats)}
+    dof = len(cats) - 1
+
+    def fn(key, pdfs, state: GroupState):
+        w_start, w_end = key[0], key[1]
+        if state.hasTimedOut:
+            (counts,) = state.get
+            n = int(sum(counts))
+            stat = sum(
+                (counts[i] - n * ps[i]) ** 2 / (n * ps[i]) for i in range(len(cats))
+            )
+            p = chi2_sf(float(stat), dof) if dof > 0 else 1.0
+            state.remove()
+            yield pd.DataFrame(
+                [(w_start, w_end, n, float(stat), dof, float(p),
+                  "fail" if p < alpha else "pass")],
+                columns=["window_start", "window_end", "n", "chi2_stat",
+                         "dof", "p_value", "verdict"],
+            )
+            return
+        counts = list(state.get[0]) if state.exists else [0] * len(cats)
+        for pdf in pdfs:
+            vals = pdf[cat_col].astype(object)
+            for v in vals:
+                c = "(null)" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v)
+                counts[idx.get(c, idx["(other)"])] += 1
+        state.update((counts,))
+        # close when the watermark passes the window end (the watermark
+        # already carries the lateness allowance); a LATE fragment re-opening
+        # an already-closed window would find watermark ≥ window_end, where a
+        # past timeout is rejected — clamp just above the watermark
+        state.setTimeoutTimestamp(
+            max(int(w_end.timestamp() * 1000), state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover — generator form
+
+    win = _windowed(stream_df, ts_col, window, watermark)
+    return (
+        # the watermarked ts column must stay in the grouped frame — event-
+        # time timeout requires the watermark to be visible at the stateful
+        # node, and projecting ts away severs it (AnalysisException)
+        win.select("_w_start", "_w_end", ts_col, cat_col)
+        .groupBy("_w_start", "_w_end")
+        .applyInPandasWithState(
+            fn, CAT_OUT_SCHEMA, CAT_STATE_SCHEMA, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def closed_window_health(
+    stream_df: DataFrame,
+    ts_col: str,
+    ref_volume: float,
+    ref_null_ratios: dict[str, float],
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    low: float = 0.5,
+    high: float = 2.0,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Closed-window volume + completeness verdicts: the streaming twin of
+    health.volume_anomaly / completeness_drift (fixed references — the
+    deterministic-reference rule) with window-close emission. Output is
+    long-format: one 'volume' row plus one 'completeness' row per tracked
+    column per closed window, values rounded exactly like the batch ops."""
+    cols = list(ref_null_ratios)
+
+    def fn(key, pdfs, state: GroupState):
+        w_start, w_end = key[0], key[1]
+        if state.hasTimedOut:
+            n, nulls = state.get
+            n = int(n)
+            rows = [(
+                w_start, w_end, "volume", None, n,
+                round(n / ref_volume, 6), round(float(ref_volume), 6),
+                "fail" if (n / ref_volume < low or n / ref_volume > high) else "pass",
+            )]
+            for i, c in enumerate(cols):
+                ratio = nulls[i] / n if n else 0.0
+                ref = float(ref_null_ratios[c])
+                rows.append((
+                    w_start, w_end, "completeness", c, n,
+                    round(ratio, 6), round(ref, 6),
+                    "fail" if ratio - ref > threshold else "pass",
+                ))
+            state.remove()
+            yield pd.DataFrame(
+                rows,
+                columns=["window_start", "window_end", "check", "column",
+                         "n_rows", "metric", "ref", "verdict"],
+            )
+            return
+        n, nulls = (int(state.get[0]), list(state.get[1])) if state.exists else (0, [0] * len(cols))
+        for pdf in pdfs:
+            n += len(pdf)
+            for i, c in enumerate(cols):
+                nulls[i] += int(pdf[c].isna().sum())
+        state.update((n, nulls))
+        # same late-fragment clamp as closed_cat_drift
+        state.setTimeoutTimestamp(
+            max(int(w_end.timestamp() * 1000), state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover — generator form
+
+    win = _windowed(stream_df, ts_col, window, watermark)
+    return (
+        # keep the watermarked ts column visible (same as closed_cat_drift)
+        win.select("_w_start", "_w_end", ts_col, *cols)
+        .groupBy("_w_start", "_w_end")
+        .applyInPandasWithState(
+            fn, HEALTH_OUT_SCHEMA, HEALTH_STATE_SCHEMA, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

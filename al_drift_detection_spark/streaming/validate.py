@@ -88,8 +88,9 @@ def stream_cat_drift(
     a batch_id partition — identical engine code for batch and streaming, so a
     window fully contained in one micro-batch gets exactly the batch
     verdict. (Windows split across micro-batches are scored per fragment —
-    the streaming tradeoff; use the batch runner for closed-window
-    semantics.)
+    the low-latency tradeoff; streaming/closed.closed_cat_drift is the
+    watermark-close variant that emits ONE batch-identical verdict per
+    window regardless of batch boundaries.)
     """
     from al_drift_detection_spark.drift import categorical_drift
 
@@ -149,9 +150,10 @@ def stream_health(
     batch verdict). Writes volume/ and completeness/ sub-tables — plus
     uniqueness/ when uniqueness_col + ref_uniqueness are given (the HLL
     distinct-ratio duplicate-surge alarm; a window SPLIT across batches is
-    scored per fragment, same caveat as stream_cat_drift) — each
-    partitioned by batch_id with dynamic overwrite (replay-idempotent,
-    same as stream_suite)."""
+    scored per fragment, same caveat as stream_cat_drift — see
+    streaming/closed.closed_window_health for the watermark-close variant)
+    — each partitioned by batch_id with dynamic overwrite
+    (replay-idempotent, same as stream_suite)."""
     from al_drift_detection_spark.functions.health import (
         completeness_drift,
         uniqueness_drift,

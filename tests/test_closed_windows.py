@@ -1,0 +1,162 @@
+"""Closed-window streaming verdicts (streaming/closed.py, VERDICT r4 item 5):
+a window SPLIT across micro-batches emits exactly ONE verdict at watermark
+close, equal to the batch operator over the window's full row set."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+BASE = pd.Timestamp("2026-01-01 00:00:00")
+
+
+def _write_batches(spark, inp, frames, schema=None):
+    """Write each pandas frame as one parquet file (→ one micro-batch with
+    maxFilesPerTrigger=1), with strictly increasing mtimes so file-discovery
+    order matches write order. `schema` avoids inference on all-null
+    fragments (an all-None pandas column would otherwise land as BOOLEAN)."""
+    for i, pdf in enumerate(frames):
+        df = spark.createDataFrame(pdf, schema) if schema else spark.createDataFrame(pdf)
+        (
+            df.withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+            .write.mode("append" if i else "overwrite")
+            .parquet(inp)
+        )
+        time.sleep(0.05)
+
+
+def _run_stream(out_df, name):
+    q = (
+        out_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_closed_cat_drift_split_window_parity(spark, tmp_path_factory):
+    """Window W1 (00:00-00:05) is split across TWO micro-batches with a
+    shifted category mix in the second fragment; a third batch advances the
+    watermark past W1's end. Exactly one verdict row appears for W1 and its
+    (n, chi2_stat, p, verdict) equal drift.categorical_drift on W1's full
+    row set."""
+    from al_drift_detection_spark.drift import categorical_drift
+    from al_drift_detection_spark.streaming.closed import closed_cat_drift
+
+    inp = str(tmp_path_factory.mktemp("ccd") / "in")
+    rng = np.random.default_rng(23)
+    ref_props = {"png": 0.5, "jpeg": 0.4, "bmp": 0.1}
+
+    def frag(n, offset_s, probs):
+        return pd.DataFrame({
+            "ts": [BASE + pd.Timedelta(seconds=int(offset_s + s)) for s in
+                   rng.integers(0, 120, n)],
+            "fmt": rng.choice(["png", "jpeg", "bmp", "webp"], n, p=probs),
+        })
+
+    # fragment A (00:00-00:02): reference-like; fragment B (00:02-00:04):
+    # heavy webp (a category the reference never listed → '(other)' mass)
+    fa = frag(400, 0, [0.5, 0.4, 0.1, 0.0])
+    fb = frag(400, 120, [0.1, 0.1, 0.1, 0.7])
+    sentinel = pd.DataFrame({"ts": [BASE + pd.Timedelta(hours=1)], "fmt": ["png"]})
+
+    _write_batches(spark, inp, [fa, fb, sentinel])
+    stream = (
+        spark.readStream.schema("ts timestamp, fmt string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = closed_cat_drift(
+        stream, "ts", "fmt", ref_props, window="5 minutes", watermark="1 minute"
+    )
+    _run_stream(out, "ccd_out")
+    got = spark.sql("SELECT * FROM ccd_out").toPandas()
+
+    # ONE verdict, for W1 only (the sentinel's window never closes)
+    assert len(got) == 1
+    assert got.loc[0, "window_start"] == BASE
+    assert got.loc[0, "n"] == 800
+
+    # batch twin over the SAME full window rows
+    full = pd.concat([fa, fb])
+    batch = categorical_drift(
+        spark.createDataFrame(full).withColumn("window_id", F.lit(0)),
+        "fmt", ref_props, window_col="window_id",
+    ).toPandas()
+    assert got.loc[0, "verdict"] == batch.loc[0, "verdict"] == "fail"
+    assert got.loc[0, "dof"] == batch.loc[0, "dof"]
+    assert got.loc[0, "chi2_stat"] == pytest.approx(batch.loc[0, "chi2_stat"], rel=1e-9)
+    assert got.loc[0, "p_value"] == pytest.approx(batch.loc[0, "p_value"], abs=1e-12)
+
+
+def test_closed_window_health_split_window_parity(spark, tmp_path_factory):
+    """Same split-window setup for volume + completeness: one close-time
+    verdict per window, equal to the batch health operators with the same
+    fixed references — including a fragment pattern where EACH fragment alone
+    would verdict differently than the whole window (fragment A all-null,
+    fragment B clean: per-fragment scoring fails A and passes B; the closed
+    window sees the true 50% ratio)."""
+    from al_drift_detection_spark.functions._persist import release
+    from al_drift_detection_spark.functions.health import (
+        completeness_drift,
+        volume_anomaly,
+    )
+    from al_drift_detection_spark.streaming.closed import closed_window_health
+
+    inp = str(tmp_path_factory.mktemp("cwh") / "in")
+    rng = np.random.default_rng(31)
+
+    def frag(n, offset_s, caption):
+        return pd.DataFrame({
+            "ts": [BASE + pd.Timedelta(seconds=int(offset_s + s)) for s in
+                   rng.integers(0, 120, n)],
+            "caption": [caption] * n,
+        })
+
+    fa = frag(300, 0, None)       # all-null fragment
+    fb = frag(300, 120, "ok")     # clean fragment
+    sentinel = pd.DataFrame({"ts": [BASE + pd.Timedelta(hours=1)], "caption": ["x"]})
+    _write_batches(
+        spark, inp, [fa, fb, sentinel], schema="ts timestamp, caption string"
+    )
+
+    stream = (
+        spark.readStream.schema("ts timestamp, caption string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = closed_window_health(
+        stream, "ts", ref_volume=600.0, ref_null_ratios={"caption": 0.4},
+        window="5 minutes", watermark="1 minute", threshold=0.05,
+    )
+    _run_stream(out, "cwh_out")
+    got = spark.sql("SELECT * FROM cwh_out").toPandas()
+
+    assert len(got) == 2  # one volume + one completeness row, W1 only
+    vol = got[got["check"] == "volume"].iloc[0]
+    comp = got[got["check"] == "completeness"].iloc[0]
+    assert vol["n_rows"] == 600 and comp["n_rows"] == 600
+    assert comp["column"] == "caption"
+
+    full = spark.createDataFrame(
+        pd.concat([fa, fb]), "ts timestamp, caption string"
+    ).withColumn("window_id", F.lit(0))
+    bvol = volume_anomaly(full, "window_id", ref_mean=600.0).toPandas().iloc[0]
+    assert vol["metric"] == pytest.approx(bvol["ratio"], abs=1e-9)
+    assert vol["verdict"] == bvol["verdict"] == "pass"
+    bcomp = completeness_drift(
+        full, ["caption"], "window_id", ref_ratios={"caption": 0.4},
+        threshold=0.05,
+    ).toPandas().iloc[0]
+    # whole-window ratio 0.5 vs ref 0.4 → within threshold-fail boundary:
+    # 0.5 − 0.4 > 0.05 → fail in BOTH engines (a per-fragment scorer would
+    # have said fail(1.0) then pass(0.0) — two irreconcilable verdicts)
+    assert comp["metric"] == pytest.approx(bcomp["null_ratio"], abs=1e-9)
+    assert comp["verdict"] == bcomp["verdict"] == "fail"

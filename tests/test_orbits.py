@@ -50,23 +50,54 @@ def test_orbit_drift_verdicts_golden(spark, tmp_path_factory):
 
 def test_orbit_runner_cli_smoke(spark, tmp_path_factory):
     """`runner --orbits <csv-glob>` writes orbit_drifts/ parquet and the
-    reference-format drifts.txt (the verify-recipe surface)."""
+    reference-format drifts.txt (the verify-recipe surface); a planted
+    null row is dropped (P1, ref util.py:45) but COUNTED in the summary
+    (VERDICT r4 item 7 — the one silent data-shaping step made
+    observable)."""
+    import contextlib
+    import io
+    import json
+
     from al_drift_detection_spark import runner
 
     base = tmp_path_factory.mktemp("orbits_cli")
     _plant(base, np.random.default_rng(17))
+    # one row with null feature values — dropped by the loader, surfaced in
+    # the summary
+    with open(base / "df_233.csv", "a") as fh:
+        fh.write("99999,,\n")
     out = str(base / "out")
 
-    rc = runner.main(
-        ["--orbits", str(base / "df_*.csv"), "--out", out, "--master", "local[8]",
-         "--orbit-rolling", "100"]
-    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = runner.main(
+            ["--orbits", str(base / "df_*.csv"), "--out", out, "--master", "local[8]",
+             "--orbit-rolling", "100"]
+        )
     assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["rows_dropped_null"] == 1
     assert (base / "out" / "drifts.txt").read_text() == GOLDEN
     pq = spark.read.parquet(f"{out}/orbit_drifts").toPandas().sort_values("orbit")
     assert pq[["orbit", "drift"]].values.tolist() == [
         [233, 1], [234, 1], [380, 2], [381, 2],
     ]
+
+
+def test_read_orbit_csvs_na_drop_flag(spark, tmp_path_factory):
+    """na_drop=False keeps null rows for explicit completeness checks;
+    count_dropped_nulls reports exactly what the default drop removes."""
+    from al_drift_detection_spark.sources import count_dropped_nulls, read_orbit_csvs
+
+    base = tmp_path_factory.mktemp("orbits_nadrop")
+    _write_orbit_csv(base, 3, 0.0, np.random.default_rng(7), n=50)
+    with open(base / "df_3.csv", "a") as fh:
+        fh.write("101,,\n102,1.5,\n")  # two rows with nulls
+
+    raw = read_orbit_csvs(spark, str(base / "df_*.csv"), na_drop=False)
+    assert raw.count() == 52
+    assert count_dropped_nulls(raw) == 2
+    assert read_orbit_csvs(spark, str(base / "df_*.csv")).count() == 50
 
 
 def test_prepare_orbit_features_zscore_and_rolling(spark, tmp_path_factory):

@@ -50,6 +50,49 @@ def test_regime_id_sequence_golden(spark, planted):
     assert (recur["matched_p"] > 0.05).all()
 
 
+def test_regime_catalog_cap(spark):
+    """Adversarial drift-EVERY-window data (each window a fresh disjoint
+    distribution) would mint an unbounded catalog (VERDICT r4 item 8):
+    max_regimes must either fail loudly (default) or bound memory via LRU
+    eviction — never evicting regime 1 or the current regime, with evicted
+    regimes re-minted as new when they recur."""
+    rng = np.random.default_rng(43)
+    n_windows, rpw = 12, 300
+    rows = []
+    for w in range(n_windows):
+        # disjoint uniform bands → every window drifts vs everything before
+        vals = rng.uniform(0, 50, rpw) + 1000.0 * w
+        rows += [(0, w, float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "part int, window_id int, v double")
+    ref = {"v": np.asarray([float(x) for x in rng.uniform(0, 50, 400)])}
+
+    # unbounded: window 0 shares the reference's band (inherits regime 1);
+    # every other window mints → 11 novel regimes
+    out = assign_drift_regimes(df, ["v"], ref).toPandas()
+    assert out["is_new"].sum() == n_windows - 1
+
+    # capped, default policy: loud failure instead of silent growth
+    with pytest.raises(ValueError, match="max_regimes=4"):
+        assign_drift_regimes(df, ["v"], ref, max_regimes=4)
+
+    # capped with eviction: catalog stays bounded, every window still gets a
+    # verdict row, and each novel window still mints (old ids forgotten)
+    catalog: dict = {}
+    out2 = (
+        assign_drift_regimes(
+            df, ["v"], ref, max_regimes=4, on_overflow="evict_lru",
+            catalog=catalog,
+        )
+        .orderBy("window_id")
+        .toPandas()
+    )
+    assert len(out2) == n_windows
+    # every disjoint window (past the reference-band window 0) is novel
+    assert out2["is_new"].tolist() == [False] + [True] * (n_windows - 1)
+    assert len(catalog) <= 4
+    assert 1 in catalog  # the reference regime is never evicted
+
+
 def test_many_windows_streamed_assignment(spark):
     """Many-windows stress for the toLocalIterator catalog loop (VERDICT r3
     item 4): hundreds of windows stream through the driver in global window

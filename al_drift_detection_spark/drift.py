@@ -292,7 +292,10 @@ def sliding_window_scores(
     Implementation: tag each window's rows with both roles — rows of window k
     participate as 'cur' for pair k and as 'ref' for pair k+offset — via a
     union with a shifted window id, then one applyInPandas over pair_id.
-    Two scans of the pruned value columns, zero driver state.
+    The sampled frame is PERSISTED (it is bounded — O(windows × sample_cap)
+    rows — and the union's two branches would otherwise each re-execute the
+    full scan + sampler: 100 TB read twice for a frame that fits in
+    executor storage); caller releases via functions._persist.release.
 
     Scale shape (VERDICT r4 "What's wrong" #1 — the one-task-per-pair group
     is gone): per-window rows are bounded JVM-side BEFORE the union/group via
@@ -310,9 +313,13 @@ def sliding_window_scores(
         sample_cap = 4 * max_n_for_cap
     if sample_cap < 1:
         raise ValueError(f"sample_cap must be positive, got {sample_cap}")
-    pruned = _bounded_window_sample(
-        df.select(part_col, window_col, *value_cols), window_col, sample_cap
-    ).drop("_n")
+    pruned = (
+        _bounded_window_sample(
+            df.select(part_col, window_col, *value_cols), window_col, sample_cap
+        )
+        .drop("_n")
+        .persist()
+    )
     cur = pruned.withColumn("_pair", F.col(window_col)).withColumn("_role", F.lit("cur"))
     ref = (
         pruned.withColumn("_pair", F.col(window_col) + offset)
@@ -383,7 +390,11 @@ def sliding_window_scores(
             ],
         )
 
-    return both.groupBy("_pair").applyInPandas(score, SCORE_SCHEMA)
+    from al_drift_detection_spark.functions._persist import attach_persisted
+
+    return attach_persisted(
+        both.groupBy("_pair").applyInPandas(score, SCORE_SCHEMA), pruned
+    )
 
 
 EMB_SCORE_SCHEMA = (

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from al_drift_detection_spark.kernels import chi2_sf
+from al_drift_detection_spark.kernels import chi2_sf, ks_2samp, mmd_rbf, psi, subsample
 
 CAT_OUT_SCHEMA = (
     "window_start timestamp, window_end timestamp, n long, chi2_stat double, "
@@ -197,6 +197,116 @@ def closed_window_health(
         .groupBy("_w_start", "_w_end")
         .applyInPandasWithState(
             fn, HEALTH_OUT_SCHEMA, HEALTH_STATE_SCHEMA, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+DRIFT_OUT_SCHEMA = (
+    "window_start timestamp, window_end timestamp, n_rows long, column string, "
+    "kernel string, statistic double, p_value double, threshold double, "
+    "verdict string"
+)
+DRIFT_STATE_SCHEMA = "n long, cols array<string>, samples array<array<double>>"
+
+
+def closed_drift_scores(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_cols: list[str],
+    ref_samples: dict,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ks_alpha: float = 0.01,
+    psi_threshold: float = 0.25,
+    mmd_threshold: float = 0.05,
+    max_n: int = 2048,
+    mmd_max_n: int = 512,
+) -> DataFrame:
+    """Closed-window KS/PSI/MMD drift: the streaming twin of
+    drift.drift_scores with window-close emission — the core north_star
+    kernel trio, scored once per event-time window against the broadcast
+    reference when the watermark passes the window end (the reference's
+    window-close vote, gan.py:737-757: it never votes on a partial window).
+
+    State per (window, column) is a BOUNDED sample: fragments accumulate up
+    to 2·max_n values, above which the merged sorted sample collapses to its
+    even-stride grid (the stateful_drift.py precedent) — the kernels
+    subsample to max_n per side anyway, so the collapse costs no detection
+    power. Windows that fit under the cap score on their exact row multiset,
+    so their verdicts equal drift_scores on the same rows (split-window
+    parity pinned in tests/test_closed_windows.py); n_rows always reports
+    the window's TRUE size. Output: one row per (window, column, kernel) +
+    the per-column 2-of-3 majority 'vote' row, exactly drift_scores'
+    contract keyed by window bounds.
+    """
+    import numpy as np
+
+    ref = {c: np.asarray(ref_samples[c], dtype=np.float64) for c in value_cols}
+    state_cap = 2 * max_n
+
+    def fn(key, pdfs, state: GroupState):
+        w_start, w_end = key[0], key[1]
+        if state.hasTimedOut:
+            n, cols, samples = state.get
+            cur_by_col = {
+                c: np.asarray(s, dtype=np.float64) for c, s in zip(cols, samples)
+            }
+            rows = []
+            for c in value_cols:
+                cur = subsample(cur_by_col.get(c, np.empty(0)), max_n)
+                r = ref[c]
+                d, p = ks_2samp(r, cur)
+                psi_v = psi(r, cur)
+                mmd_v = mmd_rbf(r, cur, max_n=mmd_max_n)
+                flags = [p < ks_alpha, psi_v > psi_threshold, mmd_v > mmd_threshold]
+                rows += [
+                    (w_start, w_end, int(n), c, "ks", d, p, ks_alpha,
+                     "fail" if flags[0] else "pass"),
+                    (w_start, w_end, int(n), c, "psi", psi_v, None, psi_threshold,
+                     "fail" if flags[1] else "pass"),
+                    (w_start, w_end, int(n), c, "mmd_rbf", mmd_v, None, mmd_threshold,
+                     "fail" if flags[2] else "pass"),
+                    (w_start, w_end, int(n), c, "vote", float(sum(flags)), None, 2.0,
+                     "fail" if sum(flags) >= 2 else "pass"),
+                ]
+            state.remove()
+            yield pd.DataFrame(
+                rows,
+                columns=["window_start", "window_end", "n_rows", "column",
+                         "kernel", "statistic", "p_value", "threshold", "verdict"],
+            )
+            return
+        if state.exists:
+            n, cols, samples = state.get
+            acc = {c: list(s) for c, s in zip(cols, samples)}
+            n = int(n)
+        else:
+            n, acc = 0, {c: [] for c in value_cols}
+        import numpy as _np
+
+        for pdf in pdfs:
+            n += len(pdf)
+            for c in value_cols:
+                vals = pdf[c].dropna().to_numpy(dtype=float)
+                merged = _np.concatenate([_np.asarray(acc[c], dtype=float), vals])
+                if len(merged) > state_cap:
+                    merged = subsample(_np.sort(merged), state_cap)
+                acc[c] = merged.tolist()
+        state.update((n, list(value_cols), [acc[c] for c in value_cols]))
+        state.setTimeoutTimestamp(
+            max(int(w_end.timestamp() * 1000), state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover — generator form
+
+    win = _windowed(stream_df, ts_col, window, watermark)
+    return (
+        # keep the watermarked ts column visible (same as closed_cat_drift)
+        win.select("_w_start", "_w_end", ts_col, *value_cols)
+        .groupBy("_w_start", "_w_end")
+        .applyInPandasWithState(
+            fn, DRIFT_OUT_SCHEMA, DRIFT_STATE_SCHEMA, "append",
             GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -160,3 +160,63 @@ def test_closed_window_health_split_window_parity(spark, tmp_path_factory):
     # have said fail(1.0) then pass(0.0) — two irreconcilable verdicts)
     assert comp["metric"] == pytest.approx(bcomp["null_ratio"], abs=1e-9)
     assert comp["verdict"] == bcomp["verdict"] == "fail"
+
+
+def test_closed_drift_scores_split_window_parity(spark, tmp_path_factory):
+    """The KS/PSI/MMD trio + vote at window close: a window split across two
+    micro-batches (clean first fragment, shifted second — each fragment alone
+    would verdict differently) emits one verdict set equal to
+    drift.drift_scores over the window's full rows."""
+    from al_drift_detection_spark.drift import drift_scores
+    from al_drift_detection_spark.streaming.closed import closed_drift_scores
+
+    inp = str(tmp_path_factory.mktemp("cds") / "in")
+    rng = np.random.default_rng(41)
+    ref = {"v": rng.standard_normal(1000)}
+
+    def frag(n, offset_s, mu):
+        return pd.DataFrame({
+            "ts": [BASE + pd.Timedelta(seconds=int(offset_s + s)) for s in
+                   rng.integers(0, 120, n)],
+            "v": rng.normal(mu, 1.0, n),
+        })
+
+    fa = frag(500, 0, 0.0)     # clean fragment — alone it would PASS
+    fb = frag(500, 120, 3.0)   # shifted fragment — whole window must FAIL
+    sentinel = pd.DataFrame({"ts": [BASE + pd.Timedelta(hours=1)], "v": [0.0]})
+    _write_batches(spark, inp, [fa, fb, sentinel], schema="ts timestamp, v double")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = closed_drift_scores(
+        stream, "ts", ["v"], ref, window="5 minutes", watermark="1 minute"
+    )
+    _run_stream(out, "cds_out")
+    got = spark.sql("SELECT * FROM cds_out").toPandas().set_index("kernel")
+
+    assert len(got) == 4  # ks/psi/mmd/vote for the ONE closed window
+    assert (got["n_rows"] == 1000).all()
+    assert got.loc["vote", "verdict"] == "fail"
+
+    batch = (
+        drift_scores(
+            spark.createDataFrame(pd.concat([fa, fb]), "ts timestamp, v double")
+            .select(F.lit(0).alias("part"), F.lit(0).alias("window_id"), "v"),
+            ["v"], ref,
+        )
+        .toPandas()
+        .set_index("kernel")
+    )
+    for k in ("ks", "psi", "vote"):
+        assert got.loc[k, "verdict"] == batch.loc[k, "verdict"], k
+        assert got.loc[k, "statistic"] == pytest.approx(
+            batch.loc[k, "statistic"], rel=1e-9
+        ), k
+    # MMD subsamples per side — same multiset, FP order may differ slightly
+    assert got.loc["mmd_rbf", "statistic"] == pytest.approx(
+        batch.loc["mmd_rbf", "statistic"], rel=1e-6
+    )
+    assert got.loc["mmd_rbf", "verdict"] == batch.loc["mmd_rbf", "verdict"]

@@ -126,7 +126,14 @@ def main() -> None:
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
     }
-    with open(os.path.join(repo, "BENCH_SCALING.json"), "w") as f:
+    # canonical 2v8 pair owns BENCH_SCALING.json; any other pair gets its
+    # own file — a 4v16 run previously CLOBBERED the canonical artifact
+    fname = (
+        "BENCH_SCALING.json"
+        if (low, high) == (2, 8)
+        else f"BENCH_SCALING_{low}v{high}.json"
+    )
+    with open(os.path.join(repo, fname), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 

@@ -35,7 +35,6 @@ from pyspark.sql import functions as F
 
 from al_drift_detection_spark.functions._persist import attach_persisted
 from al_drift_detection_spark.functions.inference import batch_score
-from al_drift_detection_spark.operators.smoothing import smooth_labels
 from al_drift_detection_spark.operators.splits import split_assignment
 
 
@@ -75,6 +74,11 @@ def crossing_report(
     """
     if (vec_col is None) == (feature_cols is None):
         raise ValueError("pass exactly one of vec_col / feature_cols")
+    if vec_col is None and not feature_cols:
+        raise ValueError(
+            "feature_cols is empty — no numeric feature columns to score; "
+            f"corpus columns: {df.columns}"
+        )
     if vec_col is None:
         # z-score via one agg pass folded back as literals (F1's
         # agg+broadcast shape, same as orbits.prepare_orbit_features)
@@ -110,11 +114,28 @@ def crossing_report(
     )
 
     if smoothing:
-        sm = smooth_labels(
-            preds, "orbit", "order", "label_pred",
-            crossing_classes=crossing_classes, run=run, gap=gap,
-        ).select("orbit", "order", F.col("label_smooth").alias("pred"))
-        rows = preds.join(sm, ["orbit", "order"])
+        # smoothing runs as ONE grouped-map per orbit that carries every
+        # prediction column through — NOT a smooth_labels + self-join: both
+        # join sides would descend from the unpersisted inference pipeline
+        # (the GEMM would execute twice — the shared-expensive-child rule),
+        # and duplicate (orbit, order) keys would fan the equi-join out k²
+        # and double-count every metric (review-caught). Ties on order_col
+        # break deterministically by _rid.
+        from al_drift_detection_spark.operators.smoothing import smooth_sequence
+
+        sm_schema = (
+            "_rid long, label int, orbit long, `order` long, label_pred int, "
+            "score double, pred int"
+        )
+
+        def sm_fn(pdf):
+            pdf = pdf.sort_values(["order", "_rid"]).reset_index(drop=True)
+            pdf["pred"] = smooth_sequence(
+                pdf["label_pred"].to_numpy(), crossing_classes, run, gap
+            )
+            return pdf
+
+        rows = preds.groupBy("orbit").applyInPandas(sm_fn, sm_schema)
     else:
         rows = preds.withColumn("pred", F.col("label_pred"))
 

@@ -80,6 +80,11 @@ def volume_anomaly(
     """
     if sum(x is not None for x in (ref_filter, ref_first_n, ref_mean)) > 1:
         raise ValueError("pass at most one of ref_filter / ref_first_n / ref_mean")
+    if ref_mean is not None and not ref_mean > 0:
+        # a zero/negative literal reference makes every ratio NULL (or
+        # sign-flipped) and every verdict silently 'pass' — the same
+        # NULL→'pass' trap _eager_reference guards on the data-derived path
+        raise ValueError(f"ref_mean must be positive, got {ref_mean}")
     persisted = []
     counts = df.groupBy(F.col(window_col).alias("window_id")).agg(
         F.count(F.lit(1)).alias("n_rows")

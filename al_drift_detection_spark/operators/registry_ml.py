@@ -1315,8 +1315,9 @@ def _crossing_oracle_sql() -> str:
 @register(
     "q_crossing_report",
     _crossing_oracle_sql(),
-    "the cnn.py END-TO-END composed (ref cnn.py:470-667, VERDICT r4 "
-    "'What's missing' #1): drift map (J1) -> per-drift split assembly "
+    "the cnn.py END-TO-END composed (SURVEY.md §3.2 pipeline over the §2.4 "
+    "A6-A10 metric block + §2.7 M5/M3 splits; ref cnn.py:470-667, VERDICT "
+    "r4 'What's missing' #1): drift map (J1) -> per-drift split assembly "
     "(cnn.py:503-560) -> frozen-linear batch inference (cnn.py:562-576 "
     "stand-in) -> per-scope metric rows (per-split all rows / per-drift "
     "TEST rows / per-orbit, cnn.py:579-667) via ONE grouping-sets confusion "

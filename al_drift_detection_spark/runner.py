@@ -290,13 +290,17 @@ def main(argv: list[str] | None = None) -> int:
             # genuinely common category (observed mass p·n vs expected
             # eps·n). Instead remap the literal to an escaped label in BOTH
             # the reference props and the data column, so it keeps its true
-            # expected mass. (A pre-existing '(other:literal)' category
-            # would merge with it — lossy labeling, not a wrong verdict; a
-            # literal "(null)" string likewise merges with real NULLs by
-            # the coalesce contract.)
+            # expected mass. A pre-existing '(other:literal)' category MERGES
+            # with it on both sides (expected masses SUMMED — overwriting
+            # would drop its mass while the data counts still merged, a
+            # guaranteed chi2 inflation; review-caught): lossy labeling, not
+            # a wrong verdict. A literal "(null)" string likewise merges
+            # with real NULLs by the coalesce contract.
             cat_in = meta
             if "(other)" in props:
-                props["(other:literal)"] = props.pop("(other)")
+                props["(other:literal)"] = (
+                    props.get("(other:literal)", 0.0) + props.pop("(other)")
+                )
                 s = F.col(col).cast("string")
                 cat_in = meta.withColumn(
                     col,

@@ -105,10 +105,13 @@ def closed_cat_drift(
             return
         counts = list(state.get[0]) if state.exists else [0] * len(cats)
         for pdf in pdfs:
-            vals = pdf[cat_col].astype(object)
-            for v in vals:
-                c = "(null)" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v)
-                counts[idx.get(c, idx["(other)"])] += 1
+            # _cat is already Spark-cast to string + null-coalesced JVM-side
+            # (below) — a Python str(v) here would diverge from the batch
+            # operator's cast for boolean/float categoricals ('True' vs
+            # 'true', '1e-07' vs '1.0E-7') and dump every row into the eps
+            # catch-all (review-caught batch≢closed divergence)
+            for v in pdf["_cat"]:
+                counts[idx.get(v, idx["(other)"])] += 1
         state.update((counts,))
         # close when the watermark passes the window end (the watermark
         # already carries the lateness allowance); a LATE fragment re-opening
@@ -124,8 +127,13 @@ def closed_cat_drift(
     return (
         # the watermarked ts column must stay in the grouped frame — event-
         # time timeout requires the watermark to be visible at the stateful
-        # node, and projecting ts away severs it (AnalysisException)
-        win.select("_w_start", "_w_end", ts_col, cat_col)
+        # node, and projecting ts away severs it (AnalysisException). The
+        # category is cast/coalesced with the SAME Spark expressions as the
+        # batch operator so the two bucket identically for every input type.
+        win.select(
+            "_w_start", "_w_end", ts_col,
+            F.coalesce(F.col(cat_col).cast("string"), F.lit("(null)")).alias("_cat"),
+        )
         .groupBy("_w_start", "_w_end")
         .applyInPandasWithState(
             fn, CAT_OUT_SCHEMA, CAT_STATE_SCHEMA, "append",
@@ -150,6 +158,12 @@ def closed_window_health(
     deterministic-reference rule) with window-close emission. Output is
     long-format: one 'volume' row plus one 'completeness' row per tracked
     column per closed window, values rounded exactly like the batch ops."""
+    if not ref_volume > 0:
+        raise ValueError(
+            f"ref_volume must be positive, got {ref_volume} — a zero "
+            "reference would either crash at window close or pass every "
+            "window with a NULL ratio"
+        )
     cols = list(ref_null_ratios)
 
     def fn(key, pdfs, state: GroupState):

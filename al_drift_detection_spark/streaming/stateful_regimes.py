@@ -31,10 +31,12 @@ OUT_SCHEMA = (
     "scope int, batch_rows long, regime_id int, is_new boolean, "
     "p_vs_current double, matched_p double, n_regimes int"
 )
-# state: catalog of regime sketches + the current/next regime counters
+# state: catalog of regime sketches + the current/next regime counters +
+# per-regime last-assigned step (drives the max_regimes LRU eviction)
 STATE_SCHEMA = (
     "cols array<string>, regime_ids array<int>, "
-    "sketches array<array<array<double>>>, current int, next_id int"
+    "sketches array<array<array<double>>>, current int, next_id int, "
+    "last_used array<long>, step long"
 )
 
 
@@ -45,6 +47,8 @@ def stateful_regimes(
     q: int = 128,
     ks_alpha: float = 0.01,
     match_alpha: float = 0.05,
+    max_regimes: int | None = None,
+    on_overflow: str = "raise",
 ) -> DataFrame:
     """Per-scope streaming regime assignment with a carried sketch catalog.
 
@@ -52,6 +56,13 @@ def stateful_regimes(
     micro-batch. Output: one row per (micro-batch, scope) carrying the
     assigned regime id — the reference's `orbit drift_id` verdict rows
     (gan.py:971-974), emitted incrementally.
+
+    max_regimes / on_overflow bound the catalog-as-state exactly like the
+    batch assigner (VERDICT r4 item 8 — here the catalog is PERSISTENT
+    group state (de)serialized every micro-batch, so unbounded growth is a
+    state-store OOM, not just driver memory): 'raise' fails the query
+    loudly at the cap, 'evict_lru' drops the least-recently-assigned
+    non-reference regime (last-assigned steps ride in the state).
     """
     ps = np.arange(q) / (q - 1)
 
@@ -66,17 +77,20 @@ def stateful_regimes(
             sketch[c] = np.quantile(vals, ps, method="linear") if len(vals) else np.empty(0)
 
         if state.exists:
-            cols, regime_ids, sketches, current, next_id = state.get
+            cols, regime_ids, sketches, current, next_id, used, step = state.get
             catalog = {
                 int(rid): {c: np.asarray(s, dtype=np.float64) for c, s in zip(cols, by_col)}
                 for rid, by_col in zip(regime_ids, sketches)
             }
+            last_used = {int(r): int(u) for r, u in zip(regime_ids, used)}
+            step = int(step)
         else:
             # bootstrap: the first window IS regime 1 (the analog of the
             # pre-train phase, gan.py:679-704)
             catalog = {1: sketch}
             state.update(
-                (list(value_cols), [1], [[sketch[c].tolist() for c in value_cols]], 1, 2)
+                (list(value_cols), [1], [[sketch[c].tolist() for c in value_cols]],
+                 1, 2, [0], 1)
             )
             yield pd.DataFrame(
                 [(scope, len(pdf), 1, False, 1.0, 1.0, 1)],
@@ -88,16 +102,22 @@ def stateful_regimes(
         # the SAME matching step as the batch assigner (regimes.py) — the
         # drift / recurring / novel semantics cannot diverge between them
         regime, is_new, p_current, best_p, current, next_id = match_against_catalog(
-            catalog, sketch, current, next_id, value_cols, ks_alpha, match_alpha
+            catalog, sketch, current, next_id, value_cols, ks_alpha, match_alpha,
+            max_regimes=max_regimes, on_overflow=on_overflow, last_used=last_used,
         )
+        last_used[regime] = step
+        step += 1
 
+        rids = [int(r) for r in catalog]
         state.update(
             (
                 list(value_cols),
-                [int(r) for r in catalog],
+                rids,
                 [[catalog[r][c].tolist() for c in value_cols] for r in catalog],
                 int(current),
                 int(next_id),
+                [int(last_used.get(r, -1)) for r in rids],
+                int(step),
             )
         )
         yield pd.DataFrame(

@@ -220,3 +220,49 @@ def test_closed_drift_scores_split_window_parity(spark, tmp_path_factory):
         batch.loc["mmd_rbf", "statistic"], rel=1e-6
     )
     assert got.loc["mmd_rbf", "verdict"] == batch.loc["mmd_rbf", "verdict"]
+
+
+def test_closed_cat_drift_nonstring_category_parity(spark, tmp_path_factory):
+    """A BOOLEAN categorical column must bucket identically in the closed
+    and batch operators: Spark casts true→'true' while Python str() gives
+    'True' — a Python-side stringification would dump every row into the
+    eps catch-all and fail every window (review-caught divergence)."""
+    from al_drift_detection_spark.drift import categorical_drift
+    from al_drift_detection_spark.streaming.closed import closed_cat_drift
+
+    inp = str(tmp_path_factory.mktemp("ccb") / "in")
+    rng = np.random.default_rng(53)
+    ref_props = {"true": 0.7, "false": 0.3}  # Spark cast-to-string keys
+
+    def frag(n, offset_s):
+        return pd.DataFrame({
+            "ts": [BASE + pd.Timedelta(seconds=int(offset_s + s)) for s in
+                   rng.integers(0, 120, n)],
+            "flag": rng.random(n) < 0.7,
+        })
+
+    fa, fb = frag(300, 0), frag(300, 120)
+    sentinel = pd.DataFrame({"ts": [BASE + pd.Timedelta(hours=1)], "flag": [True]})
+    _write_batches(spark, inp, [fa, fb, sentinel], schema="ts timestamp, flag boolean")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, flag boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = closed_cat_drift(
+        stream, "ts", "flag", ref_props, window="5 minutes", watermark="1 minute"
+    )
+    _run_stream(out, "ccb_out")
+    got = spark.sql("SELECT * FROM ccb_out").toPandas()
+    assert len(got) == 1
+
+    batch = categorical_drift(
+        spark.createDataFrame(pd.concat([fa, fb]), "ts timestamp, flag boolean")
+        .withColumn("window_id", F.lit(0)),
+        "flag", ref_props, window_col="window_id",
+    ).toPandas()
+    # parity on the statistic proves the rows bucketed into the SAME
+    # reference categories (all-'(other)' bucketing would give a huge stat)
+    assert got.loc[0, "verdict"] == batch.loc[0, "verdict"] == "pass"
+    assert got.loc[0, "chi2_stat"] == pytest.approx(batch.loc[0, "chi2_stat"], rel=1e-9)

@@ -228,3 +228,16 @@ def test_runner_crossings_cli(spark, tmp_path_factory):
     sp = spark.read.parquet(f"{out}/crossing_splits").toPandas()
     # 2 orbits per drift → test = first orbit of each drift (20%-or-1 rule)
     assert set(sp[sp["split"] == "test"]["orbit"]) == {233, 380}
+
+
+def test_crossing_report_empty_features_loud(spark, planted):
+    """An empty feature list (e.g. every numeric column excluded) fails with
+    a clear error naming the corpus columns, not a deep Spark assertion."""
+    from al_drift_detection_spark.crossings import crossing_report
+
+    df, dm, _, _ = planted
+    with pytest.raises(ValueError, match="feature_cols is empty"):
+        crossing_report(
+            df, dm, feature_cols=[], orbit_col="ORBIT", order_col="IDX",
+            label_col="LABEL",
+        )

@@ -306,3 +306,17 @@ def test_schema_check_golden(spark):
 
     ok = schema_check(df, "doc_id bigint, text string, extra double").toPandas()
     assert (ok["status"] == "ok").all() and len(ok) == 3
+
+
+def test_volume_anomaly_rejects_nonpositive_ref_mean(spark):
+    """A zero/negative literal reference volume would NULL every ratio and
+    silently pass every window — rejected loudly instead (review-caught;
+    the closed-window streaming twin applies the same guard)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from al_drift_detection_spark.functions.health import volume_anomaly
+
+    df = spark.range(10).select(F.lit(0).alias("window_id"))
+    with pytest.raises(ValueError, match="ref_mean must be positive"):
+        volume_anomaly(df, "window_id", ref_mean=0.0)

@@ -223,9 +223,14 @@ def test_runner_cat_drift_other_literal_not_crash(spark, tmp_path_factory):
     base = tmp_path_factory.mktemp("run3")
     inp, refp, out = str(base / "imgs"), str(base / "ref"), str(base / "out")
     imgs = generate_images(spark, 4000).drop("bytes")
-    hostile = F.when(
-        F.xxhash64("image_id") % 10 == 0, F.lit("(other)")
-    ).otherwise(F.col("fmt"))
+    # BOTH reserved-shaped literals in the data: '(other)' remaps onto the
+    # escaped label and their expected masses must SUM (overwriting one
+    # would inflate chi2 in every window — review-caught)
+    hostile = (
+        F.when(F.xxhash64("image_id") % 10 == 0, F.lit("(other)"))
+        .when(F.xxhash64("image_id") % 10 == 1, F.lit("(other:literal)"))
+        .otherwise(F.col("fmt"))
+    )
     imgs.withColumn("fmt", hostile).write.parquet(inp)
     generate_reference(spark, 4000).drop("ref_bytes").write.parquet(refp)
 

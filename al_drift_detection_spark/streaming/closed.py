@@ -324,3 +324,104 @@ def closed_drift_scores(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+UNIQ_OUT_SCHEMA = (
+    "window_start timestamp, window_end timestamp, n_rows long, "
+    "n_distinct long, ratio double, ref_ratio double, verdict string"
+)
+UNIQ_STATE_SCHEMA = "n long, kmv array<double>"
+
+
+def closed_window_uniqueness(
+    stream_df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    ref_ratio: float,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    threshold: float = 0.05,
+    k: int = 4096,
+) -> DataFrame:
+    """Closed-window UNIQUENESS (distinct-ratio duplicate-surge alarm): the
+    streaming twin of health.uniqueness_drift with window-close emission,
+    completing the closed family (volume / completeness / cat-drift /
+    KS-PSI-MMD / uniqueness).
+
+    State per window is a K-MINIMUM-VALUES sketch — the k smallest
+    normalized key hashes — which is MERGEABLE across fragments (union,
+    keep k smallest) and bounded at k doubles no matter how many rows
+    streamed by (HLL would also merge, but KMV keeps the under-k case
+    EXACT: a window with fewer than k distinct keys reports its exact
+    distinct count, so small-window verdicts equal uniqueness_drift's
+    approx=False form; over-k windows use the standard (k−1)/m_k estimator,
+    relative error ≈ 1/√(k−2) ≈ 1.6% at the default k). The key hash is
+    computed JVM-side (xxhash64 → uniform [0,1)) so only (ts, hash) columns
+    reach the Python state — the key bytes themselves never do. The
+    threshold-vs-sketch-noise rule mirrors uniqueness_drift: threshold must
+    clear 3/√(k−2).
+
+    Output mirrors uniqueness_drift: fail iff ref_ratio − ratio > threshold
+    (one-sided — uniqueness DROPPING).
+    """
+    import numpy as np
+
+    if not 0.0 < ref_ratio <= 1.0:
+        raise ValueError(f"ref_ratio must be in (0, 1], got {ref_ratio}")
+    rel_err = 1.0 / max(k - 2, 1) ** 0.5
+    if threshold < 3.0 * rel_err:
+        raise ValueError(
+            f"closed_window_uniqueness: threshold {threshold} is inside the "
+            f"KMV noise band (k={k} → rel err ≈ {rel_err:.4f}; need "
+            f"threshold ≥ {3.0 * rel_err:.4f}); raise k or the threshold"
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        w_start, w_end = key[0], key[1]
+        if state.hasTimedOut:
+            n, kmv = state.get
+            n = int(n)
+            kmv = np.asarray(kmv, dtype=np.float64)
+            if len(kmv) < k:
+                n_distinct = len(kmv)  # exact: every distinct hash retained
+            else:
+                n_distinct = int(round((k - 1) / float(kmv.max())))
+            ratio = n_distinct / n if n else 0.0
+            state.remove()
+            yield pd.DataFrame(
+                [(w_start, w_end, n, n_distinct, round(ratio, 6),
+                  round(float(ref_ratio), 6),
+                  "fail" if ref_ratio - ratio > threshold else "pass")],
+                columns=["window_start", "window_end", "n_rows", "n_distinct",
+                         "ratio", "ref_ratio", "verdict"],
+            )
+            return
+        if state.exists:
+            n, kmv = int(state.get[0]), np.asarray(state.get[1], dtype=np.float64)
+        else:
+            n, kmv = 0, np.empty(0)
+        for pdf in pdfs:
+            n += len(pdf)
+            h = pdf["_h"].dropna().to_numpy(dtype=np.float64)
+            kmv = np.unique(np.concatenate([kmv, h]))  # sorted distinct
+            if len(kmv) > k:
+                kmv = kmv[:k]  # keep the k SMALLEST
+        state.update((n, kmv.tolist()))
+        state.setTimeoutTimestamp(
+            max(int(w_end.timestamp() * 1000), state.getCurrentWatermarkMs() + 1)
+        )
+        return
+        yield  # pragma: no cover — generator form
+
+    win = _windowed(stream_df, ts_col, window, watermark)
+    # xxhash64 is a signed long; shift to uniform [0, 1) JVM-side — only the
+    # hash crosses into Python state, never the key bytes
+    h = (F.xxhash64(F.col(key_col)).cast("double") / F.lit(float(1 << 64))) + F.lit(0.5)
+    return (
+        win.select("_w_start", "_w_end", ts_col, h.alias("_h"))
+        .groupBy("_w_start", "_w_end")
+        .applyInPandasWithState(
+            fn, UNIQ_OUT_SCHEMA, UNIQ_STATE_SCHEMA, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

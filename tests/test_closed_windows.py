@@ -266,3 +266,97 @@ def test_closed_cat_drift_nonstring_category_parity(spark, tmp_path_factory):
     # reference categories (all-'(other)' bucketing would give a huge stat)
     assert got.loc[0, "verdict"] == batch.loc[0, "verdict"] == "pass"
     assert got.loc[0, "chi2_stat"] == pytest.approx(batch.loc[0, "chi2_stat"], rel=1e-9)
+
+
+def test_closed_window_uniqueness_split_window_parity(spark, tmp_path_factory):
+    """KMV uniqueness at window close: a duplicate SURGE arriving in the
+    second fragment of a split window is judged on the window's whole key
+    set — under-k windows report the EXACT distinct count, matching
+    health.uniqueness_drift(approx=False) on the same rows."""
+    from al_drift_detection_spark.functions._persist import release
+    from al_drift_detection_spark.functions.health import uniqueness_drift
+    from al_drift_detection_spark.streaming.closed import closed_window_uniqueness
+
+    inp = str(tmp_path_factory.mktemp("cwu") / "in")
+    rng = np.random.default_rng(59)
+
+    def frag(keys, offset_s):
+        return pd.DataFrame({
+            "ts": [BASE + pd.Timedelta(seconds=int(offset_s + s)) for s in
+                   rng.integers(0, 120, len(keys))],
+            "image_id": keys,
+        })
+
+    fa = frag([f"img{i}" for i in range(400)], 0)            # all unique
+    fb = frag(["dup"] * 400, 120)                            # re-ingested shard
+    sentinel = pd.DataFrame({"ts": [BASE + pd.Timedelta(hours=1)], "image_id": ["x"]})
+    _write_batches(spark, inp, [fa, fb, sentinel], schema="ts timestamp, image_id string")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, image_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = closed_window_uniqueness(
+        stream, "ts", "image_id", ref_ratio=0.99, window="5 minutes",
+        watermark="1 minute", threshold=0.1,
+    )
+    _run_stream(out, "cwu_out")
+    got = spark.sql("SELECT * FROM cwu_out").toPandas()
+
+    assert len(got) == 1
+    assert got.loc[0, "n_rows"] == 800
+    assert got.loc[0, "n_distinct"] == 401  # EXACT under k
+    assert got.loc[0, "verdict"] == "fail"  # ratio ~0.5 vs ref 0.99
+
+    full = spark.createDataFrame(
+        pd.concat([fa, fb]), "ts timestamp, image_id string"
+    ).withColumn("window_id", F.lit(0))
+    bframe = uniqueness_drift(
+        full, "image_id", "window_id", ref_ratio=0.99, threshold=0.1,
+        approx=False,
+    )
+    batch = bframe.toPandas().iloc[0]
+    release(bframe)  # no-op with a literal reference; uniform hygiene
+    assert got.loc[0, "n_distinct"] == batch["n_distinct"]
+    assert got.loc[0, "ratio"] == pytest.approx(batch["ratio"], abs=1e-9)
+    assert got.loc[0, "verdict"] == batch["verdict"]
+
+
+def test_closed_window_uniqueness_over_k_estimator(spark, tmp_path_factory):
+    """Above k distinct keys the KMV estimator kicks in: estimate within the
+    documented ~1/√(k−2) band (generous 5σ bound here) and the noise-band
+    threshold guard rejects too-tight thresholds."""
+    import pytest as _pytest
+
+    from al_drift_detection_spark.streaming.closed import closed_window_uniqueness
+
+    with _pytest.raises(ValueError, match="noise band"):
+        closed_window_uniqueness(None, "ts", "k", ref_ratio=0.9, k=256,
+                                 threshold=0.01)
+
+    inp = str(tmp_path_factory.mktemp("cwk") / "in")
+    rng = np.random.default_rng(61)
+    n = 5000
+    fa = pd.DataFrame({
+        "ts": [BASE + pd.Timedelta(seconds=int(s)) for s in rng.integers(0, 240, n)],
+        "image_id": [f"k{i}" for i in range(n)],  # all distinct, n >> k
+    })
+    sentinel = pd.DataFrame({"ts": [BASE + pd.Timedelta(hours=1)], "image_id": ["x"]})
+    _write_batches(spark, inp, [fa, sentinel], schema="ts timestamp, image_id string")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, image_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = closed_window_uniqueness(
+        stream, "ts", "image_id", ref_ratio=0.9, window="5 minutes",
+        watermark="1 minute", threshold=0.35, k=256,
+    )
+    _run_stream(out, "cwk_out")
+    got = spark.sql("SELECT * FROM cwk_out").toPandas()
+    assert len(got) == 1
+    est = got.loc[0, "n_distinct"]
+    assert abs(est - n) / n < 5.0 / (254 ** 0.5)  # ~31% worst-case band
+    assert got.loc[0, "verdict"] == "pass"

@@ -337,15 +337,37 @@ def q_regime_segments(spark: SparkSession, sf: str) -> DataFrame:
     "IVF-style ANN: seeded spherical k-means trains the cell centroids "
     "(deterministic bounded sample -> driver Lloyd's loop), vectors assigned "
     "to nearest cell, query probes n_probe cells only (the partition-pruned "
-    "scale path next to brute-force); centroid set is a broadcast literal",
+    "scale path next to brute-force); centroid set is a broadcast literal. "
+    "SELF-VERIFYING rows-only entry (VERDICT r4 item 6 — the k-means "
+    "trainer is not SQL-reproducible, so no oracle): each row carries "
+    "recall_at_10 vs the in-Spark exact top-k, a deterministic seeded value "
+    "the gate hashes. On the near-orthogonal synthetic embeddings this "
+    "honestly reads ~0.6 (partition pruning can only preserve recall where "
+    "cluster structure exists); the >= 0.9 floor on CLUSTERED data is "
+    "pinned in tests/test_ann_recall.py, plus a self-consistency check of "
+    "this column",
 )
 def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    from al_drift_detection_spark.functions.similarity import ivf_topk, train_ivf_centroids
+    from al_drift_detection_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
 
     emb = _t(spark, sf, "embeddings")
     cents = train_ivf_centroids(emb, k=8, sample_n=512, seed=42, iters=8)
     q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return ivf_topk(emb.filter(F.col("vec_id") > 0), q, cents, k=10, n_probe=3)
+    corpus = emb.filter(F.col("vec_id") > 0)
+    approx = ivf_topk(corpus, q, cents, k=10, n_probe=3)
+    # recall@10 vs the exact top-k, embedded as an output column: both top-k
+    # sets are 10 rows (TakeOrdered), so the semi-join count is a bounded
+    # driver-side action and the value is deterministic for the seeded
+    # trainer + fixed data
+    exact_ids = brute_force_topk(corpus, q, k=10).select("vec_id")
+    hits = approx.select("vec_id").join(exact_ids, "vec_id", "left_semi").count()
+    return approx.withColumn(
+        "recall_at_10", F.round(F.lit(hits / 10.0), 2)
+    )
 
 
 @register(

@@ -92,3 +92,28 @@ def test_ivf_preassigned_parity(spark, clustered):
         b = [r["vec_id"] for r in
              ivf_topk(df, q, cents, k=10, n_probe=2, assigned=assigned).collect()]
         assert a == b
+
+
+def test_q_ivf_topk_self_verifying_recall_column(spark):
+    """The gate's one rows-only entry carries its own evidence: the
+    recall_at_10 column equals an independently recomputed recall vs the
+    exact top-k on the same corpus. (The 0.9 floor above holds on CLUSTERED
+    data, where IVF's partition pruning is sound; the gate's synthetic
+    embeddings are near-orthogonal, so the honest measured value there is
+    lower — the column exposes exactly that.)"""
+    from pyspark.sql import functions as F
+
+    from al_drift_detection_spark.operators import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["q_ivf_topk"].fn(spark, sf).toPandas()
+    assert len(out) == 10
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    truth = {
+        r["vec_id"]
+        for r in brute_force_topk(emb.filter(F.col("vec_id") > 0), q, k=10).collect()
+    }
+    expected = round(len(set(out["vec_id"]) & truth) / 10.0, 2)
+    assert (out["recall_at_10"] == expected).all()
+    assert expected >= 0.5  # sanity floor even without cluster structure

@@ -358,15 +358,17 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     cents = train_ivf_centroids(emb, k=8, sample_n=512, seed=42, iters=8)
     q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     corpus = emb.filter(F.col("vec_id") > 0)
-    approx = ivf_topk(corpus, q, cents, k=10, n_probe=3)
-    # recall@10 vs the exact top-k, embedded as an output column: both top-k
-    # sets are 10 rows (TakeOrdered), so the semi-join count is a bounded
-    # driver-side action and the value is deterministic for the seeded
-    # trainer + fixed data
-    exact_ids = brute_force_topk(corpus, q, k=10).select("vec_id")
-    hits = approx.select("vec_id").join(exact_ids, "vec_id", "left_semi").count()
-    return approx.withColumn(
-        "recall_at_10", F.round(F.lit(hits / 10.0), 2)
+    # collect the 10-row approx result ONCE (a second consumption of the
+    # lazy frame would re-execute the whole IVF probe pipeline —
+    # review-caught double execution), compute recall@10 vs the exact
+    # top-k driver-side, and return the rows with the recall embedded — a
+    # deterministic value for the seeded trainer + fixed data
+    approx_rows = ivf_topk(corpus, q, cents, k=10, n_probe=3).collect()
+    exact_ids = {r["vec_id"] for r in brute_force_topk(corpus, q, k=10).collect()}
+    hits = sum(1 for r in approx_rows if r["vec_id"] in exact_ids)
+    return spark.createDataFrame(
+        [(r["vec_id"], r["cos"], round(hits / 10.0, 2)) for r in approx_rows],
+        "vec_id long, cos double, recall_at_10 double",
     )
 
 

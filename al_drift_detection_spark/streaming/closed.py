@@ -385,7 +385,10 @@ def closed_window_uniqueness(
             if len(kmv) < k:
                 n_distinct = len(kmv)  # exact: every distinct hash retained
             else:
-                n_distinct = int(round((k - 1) / float(kmv.max())))
+                # clamp the estimator to n: its ~1/√(k−2) noise could
+                # otherwise report n_distinct > n_rows / ratio > 1.0 — an
+                # impossible value under the batch contract (review-caught)
+                n_distinct = min(int(round((k - 1) / float(kmv.max()))), n)
             ratio = n_distinct / n if n else 0.0
             state.remove()
             yield pd.DataFrame(
@@ -415,8 +418,15 @@ def closed_window_uniqueness(
 
     win = _windowed(stream_df, ts_col, window, watermark)
     # xxhash64 is a signed long; shift to uniform [0, 1) JVM-side — only the
-    # hash crosses into Python state, never the key bytes
-    h = (F.xxhash64(F.col(key_col)).cast("double") / F.lit(float(1 << 64))) + F.lit(0.5)
+    # hash crosses into Python state, never the key bytes. NULL keys must map
+    # to a NULL hash explicitly: xxhash64(NULL) returns the SEED (never
+    # NULL), which would count all null-key rows as one extra distinct key —
+    # the batch twin's count_distinct excludes NULLs (review-caught parity
+    # break; n_rows still counts every row, matching the batch count(1))
+    h = F.when(
+        F.col(key_col).isNotNull(),
+        (F.xxhash64(F.col(key_col)).cast("double") / F.lit(float(1 << 64))) + F.lit(0.5),
+    )
     return (
         win.select("_w_start", "_w_end", ts_col, h.alias("_h"))
         .groupBy("_w_start", "_w_end")

@@ -360,3 +360,49 @@ def test_closed_window_uniqueness_over_k_estimator(spark, tmp_path_factory):
     est = got.loc[0, "n_distinct"]
     assert abs(est - n) / n < 5.0 / (254 ** 0.5)  # ~31% worst-case band
     assert got.loc[0, "verdict"] == "pass"
+
+
+def test_closed_window_uniqueness_null_keys_match_batch(spark, tmp_path_factory):
+    """NULL keys: counted in n_rows, excluded from n_distinct — exactly the
+    batch count(1)/count_distinct semantics (xxhash64(NULL) returns the
+    SEED, so without the explicit NULL guard every null-key row would fold
+    into one phantom distinct key; review-caught parity break)."""
+    from al_drift_detection_spark.functions.health import uniqueness_drift
+    from al_drift_detection_spark.streaming.closed import closed_window_uniqueness
+
+    inp = str(tmp_path_factory.mktemp("cwn") / "in")
+    rng = np.random.default_rng(67)
+    keys = [f"img{i}" for i in range(10)] + [None] * 10
+    fa = pd.DataFrame({
+        "ts": [BASE + pd.Timedelta(seconds=int(s)) for s in rng.integers(0, 240, 20)],
+        "image_id": keys,
+    })
+    sentinel = pd.DataFrame({"ts": [BASE + pd.Timedelta(hours=1)], "image_id": ["x"]})
+    _write_batches(spark, inp, [fa, sentinel], schema="ts timestamp, image_id string")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, image_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = closed_window_uniqueness(
+        stream, "ts", "image_id", ref_ratio=0.6, window="5 minutes",
+        watermark="1 minute", threshold=0.05,
+    )
+    _run_stream(out, "cwn_out")
+    got = spark.sql("SELECT * FROM cwn_out").toPandas()
+    assert len(got) == 1
+    assert got.loc[0, "n_rows"] == 20
+    assert got.loc[0, "n_distinct"] == 10  # NULLs excluded, not one phantom key
+
+    full = spark.createDataFrame(fa, "ts timestamp, image_id string").withColumn(
+        "window_id", F.lit(0)
+    )
+    batch = uniqueness_drift(
+        full, "image_id", "window_id", ref_ratio=0.6, threshold=0.05,
+        approx=False,
+    ).toPandas().iloc[0]
+    assert got.loc[0, "n_distinct"] == batch["n_distinct"]
+    assert got.loc[0, "ratio"] == pytest.approx(batch["ratio"], abs=1e-9)
+    # 0.6 - 0.5 = 0.1 > 0.05 → both fail (the phantom-key bug said 'pass')
+    assert got.loc[0, "verdict"] == batch["verdict"] == "fail"

@@ -1164,6 +1164,24 @@ def q_drift_scores(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_sliding_drift",
+    None,
+    "SURVEY.md §2.5 W8 sliding reference-vs-current windows (ref "
+    "gan.py:723-860 window k vs k-1): each window scored against its "
+    "predecessor via the pair-union + sampler-bounded applyInPandas "
+    "(drift.sliding_window_scores — per-pair rows bounded JVM-side by "
+    "_bounded_window_sample, VERDICT r4 item 1); kernel math -> no SQL "
+    "oracle; onset-boundary golden + bounded-rows stress in pytest",
+)
+def q_sliding_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.datagen import generate_images
+    from al_drift_detection_spark.drift import sliding_window_scores
+
+    imgs = generate_images(spark, 4000, rows_per_window=500)
+    return sliding_window_scores(imgs, ["w"], offset=1)
+
+
+@register(
     "q_near_dup_rate",
     None,
     "SURVEY.md §2.5 W8 windowed-verdict pattern applied to the dedup signal "

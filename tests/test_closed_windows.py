@@ -406,3 +406,63 @@ def test_closed_window_uniqueness_null_keys_match_batch(spark, tmp_path_factory)
     assert got.loc[0, "ratio"] == pytest.approx(batch["ratio"], abs=1e-9)
     # 0.6 - 0.5 = 0.1 > 0.05 → both fail (the phantom-key bug said 'pass')
     assert got.loc[0, "verdict"] == batch["verdict"] == "fail"
+
+
+def test_closed_drift_scores_over_cap_fragment_volume(spark, tmp_path_factory):
+    """Fragment-volume stress (VERDICT r5 item 1): a window far above the
+    2·max_n state cap, split across two fat micro-batches. The pre-reducer
+    bounds what reaches the state task (plan-pinned in test_plans.py); here
+    we pin that the over-cap merge path still reports the TRUE n_rows and
+    agrees with the batch twin's verdicts on an unambiguous shift."""
+    from al_drift_detection_spark.drift import drift_scores
+    from al_drift_detection_spark.streaming.closed import closed_drift_scores
+
+    inp = str(tmp_path_factory.mktemp("cds_big") / "in")
+    rng = np.random.default_rng(71)
+    ref = {"v": rng.standard_normal(2000)}
+    n_half = 15000  # window total 30k >> state cap 4096
+
+    def frag(n, offset_s, mu):
+        return pd.DataFrame({
+            "ts": [BASE + pd.Timedelta(seconds=int(offset_s + s)) for s in
+                   rng.integers(0, 120, n)],
+            "v": rng.normal(mu, 1.0, n),
+        })
+
+    fa = frag(n_half, 0, 2.0)
+    fb = frag(n_half, 120, 2.0)  # whole window shifted +2σ → must FAIL
+    sentinel = pd.DataFrame({"ts": [BASE + pd.Timedelta(hours=1)], "v": [0.0]})
+    _write_batches(spark, inp, [fa, fb, sentinel], schema="ts timestamp, v double")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = closed_drift_scores(
+        stream, "ts", ["v"], ref, window="5 minutes", watermark="1 minute"
+    )
+    _run_stream(out, "cds_big_out")
+    got = spark.sql("SELECT * FROM cds_big_out").toPandas().set_index("kernel")
+
+    assert len(got) == 4
+    assert (got["n_rows"] == 2 * n_half).all()  # TRUE size, not the bounded sample
+
+    batch = (
+        drift_scores(
+            spark.createDataFrame(pd.concat([fa, fb]), "ts timestamp, v double")
+            .select(F.lit(0).alias("part"), F.lit(0).alias("window_id"), "v"),
+            ["v"], ref,
+        )
+        .toPandas()
+        .set_index("kernel")
+    )
+    # over-cap: the closed path scores an even-stride bounded sample, the
+    # batch path its own bounded sample — verdicts must agree on a clear
+    # +2σ shift, statistics within sampling tolerance
+    for k in ("ks", "psi", "mmd_rbf", "vote"):
+        assert got.loc[k, "verdict"] == batch.loc[k, "verdict"], k
+    assert got.loc["vote", "verdict"] == "fail"
+    assert got.loc["ks", "statistic"] == pytest.approx(
+        batch.loc["ks", "statistic"], abs=0.05
+    )

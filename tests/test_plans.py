@@ -233,6 +233,144 @@ def test_plan_audit_catches_pre_fix_shapes(spark):
     assert not audit_window_shapes(plan_of(fixed_sliding))
 
 
+# ---- streaming-surface audit (VERDICT r5 item 3) --------------------------
+# The batch audit above never sees streaming builders: closed.py's stateful
+# closes are window-only-keyed BY DESIGN (the window IS the verdict unit), so
+# the scale requirement there is different — raw rows must be pre-reduced to
+# O(chunks) mergeable partials BEFORE the stateful shuffle (the `_pre_ts`
+# MapInPandas marker, streaming/closed.py module docstring). Without it,
+# every raw row of a window funnels through the one task holding its state
+# (VERDICT r5 "What's wrong" #1: ~350 GB/window at 100 TB/day).
+
+_STREAM_PREFIX = re.compile(r"^[\s:+\-|*()0-9~]*")
+_STREAM_WINDOWISH = re.compile(r"^(_w_(start|end)|window(_id)?|_pair|_w)$", re.I)
+_ATTR = re.compile(r"[A-Za-z0-9_]+#\d+L?(-T\d+ms)?$")
+
+
+def audit_streaming_stateful(plan: str) -> list[str]:
+    """Scan an ANALYZED streaming plan: every FlatMapGroupsInPandasWithState
+    keyed only by window columns must sit above a `_pre_ts` MapInPandas
+    pre-reducer (or an Aggregate / the hash-Bernoulli sampler) — i.e. the
+    per-trigger input to the single state task per window is O(chunks)
+    partials, not the window's raw rows."""
+    lines = plan.splitlines()
+    depths = [len(_STREAM_PREFIX.match(ln).group(0)) for ln in lines]
+    bad = []
+    for i, ln in enumerate(lines):
+        if "FlatMapGroupsInPandasWithState" not in ln:
+            continue
+        keys: list[str] = []
+        for m in re.finditer(r"\[([^\]]*)\]", ln):
+            entries = [a.strip() for a in m.group(1).split(",") if a.strip()]
+            if entries and all(_ATTR.fullmatch(e) for e in entries):
+                keys = [e.split("#")[0] for e in entries]
+                break
+        if keys and not all(_STREAM_WINDOWISH.match(c) for c in keys):
+            continue  # keyed by a bounded physical unit (part/scope/orbit)
+        sub = "\n".join(
+            lines[j] for j in range(i + 1, len(lines)) if depths[j] > depths[i]
+        )
+        reduced = (
+            re.search(r"MapInPandas .*_pre_ts#\d+", sub)
+            or _AGG_NODE.search(sub)
+            or "Aggregate [" in sub
+            or _SAMPLER_SIG in sub
+        )
+        if not reduced:
+            bad.append(f"window-only keys {keys}: {ln.strip()[:160]}")
+    return bad
+
+
+def _rate_stream(spark):
+    return (
+        spark.readStream.format("rate").load()
+        .selectExpr(
+            "timestamp AS ts",
+            "CASE WHEN value % 2 = 0 THEN 'a' ELSE 'b' END AS fmt",
+            "CAST(value AS DOUBLE) AS v",
+            "CAST(value AS STRING) AS image_id",
+            "CASE WHEN value % 3 = 0 THEN NULL ELSE 'c' END AS caption",
+        )
+    )
+
+
+def analyzed_of(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_streaming_closed_plans_are_pre_reduced(spark):
+    """Every closed-window builder's stateful node must sit above the
+    `_pre_ts` MapInPandas pre-reducer — and the check is non-vacuous (the
+    marker is actually present, so a silent rename breaks the test, not the
+    audit)."""
+    import numpy as np
+
+    from al_drift_detection_spark.streaming.closed import (
+        closed_cat_drift,
+        closed_drift_scores,
+        closed_window_health,
+        closed_window_uniqueness,
+    )
+
+    s = _rate_stream(spark)
+    builds = {
+        "closed_cat_drift": closed_cat_drift(s, "ts", "fmt", {"a": 0.5, "b": 0.5}),
+        "closed_window_health": closed_window_health(
+            s, "ts", ref_volume=100.0, ref_null_ratios={"caption": 0.3}
+        ),
+        "closed_drift_scores": closed_drift_scores(
+            s, "ts", ["v"], {"v": np.arange(100.0)}
+        ),
+        "closed_window_uniqueness": closed_window_uniqueness(
+            s, "ts", "image_id", ref_ratio=0.9
+        ),
+    }
+    for name, df in builds.items():
+        p = analyzed_of(df)
+        assert re.search(r"MapInPandas .*_pre_ts#\d+", p), f"{name}: no pre-reducer"
+        assert not audit_streaming_stateful(p), f"{name}: {audit_streaming_stateful(p)}"
+
+
+def test_streaming_stateful_by_part_passes_audit(spark):
+    """stateful_drift keys by `part` — a bounded physical unit (the orbit
+    rule), not an ingest window — and must NOT be flagged."""
+    s = _rate_stream(spark).selectExpr("CAST(v AS INT) % 8 AS part", "v")
+    from al_drift_detection_spark.streaming.stateful_drift import stateful_drift
+
+    assert not audit_streaming_stateful(analyzed_of(stateful_drift(s, ["v"])))
+
+
+def test_streaming_audit_catches_raw_funnel(spark):
+    """The audit must FAIL on the pre-r6 closed.py shape: raw rows grouped
+    straight into a window-keyed applyInPandasWithState with no pre-reducer
+    (the exact funnel VERDICT r5 flagged)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    s = _rate_stream(spark)
+    win = (
+        s.withWatermark("ts", "10 minutes")
+        .withColumn("_w", F.window(F.col("ts"), "5 minutes"))
+        .withColumn("_w_start", F.col("_w.start"))
+        .withColumn("_w_end", F.col("_w.end"))
+    )
+
+    def fn(key, pdfs, state):
+        yield pd.DataFrame({"n": [0]})
+
+    raw_funnel = (
+        win.select("_w_start", "_w_end", "ts", "v")
+        .groupBy("_w_start", "_w_end")
+        .applyInPandasWithState(
+            fn, "n long", "n long", "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+    assert audit_streaming_stateful(analyzed_of(raw_funnel)), (
+        "pre-fix raw-row funnel not flagged"
+    )
+
+
 def test_quality_gate_single_scan_no_shuffle(spark):
     """quality_gate computes every signal in ONE projection: no Exchange, no
     join, no Python eval, exactly one parquet scan (joining two derivations

@@ -247,12 +247,24 @@ def test_tfidf_releases_persisted_tf(spark):
         [(f"d{i}", f"alpha beta gamma {i}") for i in range(20)],
         "doc_id string, text string",
     )
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    def ids():
+        # id SET, not size: Spark's ContextCleaner unpersists other tests'
+        # GC'd frames on a background thread, so a count comparison flakes
+        # under the full suite (observed r6) — only the ids tfidf itself
+        # created are this test's business
+        it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+        out = set()
+        while it.hasNext():
+            out.add(it.next())
+        return out
+
+    before = ids()
     out = tfidf_top_terms(df, k=2)
     out.count()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() > before
+    created = ids() - before
+    assert created
     release(out)
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+    assert not (ids() & created)
 
 
 def test_embedding_drift_ragged_vectors_skipped(spark):

@@ -26,4 +26,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}
+    # spec.sql may be a zero-arg builder (LAZY oracle — q_ivf_topk derives
+    # its SQL from data-trained centroid literals; building at import time
+    # would put parquet I/O on every package import)
+    return {
+        name: spec.sql() if callable(spec.sql) else spec.sql
+        for name, spec in REGISTRY.items()
+        if spec.sql is not None
+    }

@@ -6,20 +6,25 @@ window never produce a driver-gate row (VERDICT r2 "gate-cap finding"). The
 order is therefore CURATED, not accidental:
 
 - every oracle-bearing entry representing a DISTINCT SURVEY.md §2 operator
-  family sits inside the window (49 of them — since r5 q_lsh_ann_topk and
-  q_cosine_neardup_pairs carry FULL literal-plane DuckDB oracles, and
+  family sits inside the window — ALL 50 slots oracle-bearing since r6
+  (q_ivf_topk gained a full lazy trained-centroid oracle, VERDICT r5
+  item 5; the LSH pair got literal-plane oracles in r5, and
   q_crossing_report value-checks the composed cnn.py end-to-end);
-- the one remaining rows-only window slot is q_ivf_topk (its k-means
-  trainer is not SQL-reproducible; recall-floor-tested in
-  tests/test_ann_recall.py);
-- 9 oracle entries are DEMOTED past the window as redundant twins of
+- r6 ROTATION (VERDICT r5 item 7): the r1-era twins q_value_counts
+  (≡ q_distinct_keys/q_class_weights count-agg shape) and q_topn_global
+  (≡ q_topk_per_group ordering family; its TakeOrdered plan stays pinned
+  in tests/test_plans.py) were demoted to make driver-gate room for the
+  r3-r4 families q_wasserstein (extended drift kernel) and
+  q_uniqueness_drift (health);
+- 11 oracle entries are DEMOTED past the window as redundant twins of
   in-window entries (the gate re-checks the same operator family):
   q_ks_statistic (⊂ q_ks_pvalue), q_except_keys (≡ q_anti_join shape),
   q_lag_features (⊂ q_sequence_checksum), q_accuracy / q_per_class_accuracy
   (derivable from q_confusion_matrix), q_prf_per_class (single-scope subset
   of q_crossing_report's scoped PRF), q_split_counts (⊂ q_split_assignment),
   q_topk_per_query (≡ q_cosine_topk family), q_minmax_class_counts
-  (≡ q_value_counts/q_class_weights agg shape).
+  (≡ q_value_counts/q_class_weights agg shape), plus the r6-rotated
+  q_value_counts and q_topn_global.
   They all still carry oracles and run in tools/check_oracles.py (the
   full-registry replica) and the pytest suite.
 
@@ -45,7 +50,6 @@ GATE_FRONT: list[str] = [
     "q_tpch_q1",
     # aggregations (A1-A5, A11)
     "q_global_stats",
-    "q_value_counts",
     "q_distinct_keys",
     "q_group_extents",
     "q_entropy_per_group",
@@ -59,8 +63,7 @@ GATE_FRONT: list[str] = [
     "q_tumbling_vote",
     "q_topk_per_group",
     "q_sessionize",
-    # ordering (O1-O3)
-    "q_topn_global",
+    # ordering (O2 via the plan-pinned TakeOrdered family twin; O3)
     "q_argmax_array",
     # set ops / sampling (U1-U3, M1)
     "q_union_tagged",
@@ -76,10 +79,12 @@ GATE_FRONT: list[str] = [
     "q_confusion_matrix",
     "q_crossing_report",
     "q_error_sdi",
-    # drift kernels
+    # drift kernels (+ r6-promoted extended-drift / health families)
     "q_ks_pvalue",
     "q_psi_fixed_bins",
     "q_mmd_rbf",
+    "q_wasserstein",
+    "q_uniqueness_drift",
     # dedup / text
     "q_dedup_exact",
     "q_ngram_jaccard_pairs",

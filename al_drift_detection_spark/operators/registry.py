@@ -29,7 +29,10 @@ from pyspark.sql.window import Window
 class QuerySpec:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    sql: str | None  # DuckDB oracle; None → driver does rows-only check
+    # DuckDB oracle; None → driver does rows-only check; a zero-arg callable
+    # is resolved lazily by __spark_entry__.oracle_sql() (used when the SQL
+    # embeds data-derived literals, e.g. q_ivf_topk's trained centroids)
+    sql: str | None | Callable[[], str]
     doc: str
 
 

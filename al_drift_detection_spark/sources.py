@@ -157,13 +157,15 @@ def merge_upsert(
 
 def read_orbit_csvs(
     spark: SparkSession,
-    path_glob: str,
+    path_glob: str | list[str],
     schema: str | None = None,
     na_drop: bool = True,
 ) -> DataFrame:
     """S1-S3: multi-file CSV scan with ORBIT derived from `df_<N>.csv` names
     when the column is absent — the reference's loader re-expressed as one
     declarative scan (Spark unions file splits natively; no driver loop).
+    `path_glob` may be a glob string or an explicit file list (the --sets
+    driver loop passes per-set slices from select_set_files).
     schema=None infers types (an extra scan — pass the DDL in production).
 
     na_drop=True reproduces the reference's silent any-null row drop (P1,
@@ -181,6 +183,57 @@ def read_orbit_csvs(
             F.regexp_extract(F.input_file_name(), r"df_(\d+)\.csv", 1).cast("long"),
         )
     return df.na.drop() if na_drop else df
+
+
+def list_orbit_files(path_glob: str) -> list[str]:
+    """Sorted orbit-CSV file list for the multi-sample driver loop — the
+    reference's numeric filename sort (gan.py:939-940: sort by the digits in
+    the name, so df_233.csv < df_1020.csv)."""
+    import glob as _glob
+    import re as _re
+
+    def key(p: str):
+        m = _re.search(r"df_(\d+)\.csv$", p)
+        return (0, int(m.group(1))) if m else (1, p)
+
+    return sorted(_glob.glob(path_glob), key=key)
+
+
+def select_set_files(files: list[str], set_idx: int, seed: int = 42) -> list[str]:
+    """Per-set corpus slice for the 5-sample driver loop (run-gan.sh:1-7 →
+    gan.py:941-956): set 1 = the full corpus; set 2 = a fixed middle slice;
+    sets 3/4 = a random window in the first/second half; set 5+ = a random
+    ~43%-width window anywhere. The reference hard-codes absolute file
+    counts tuned to its 2,312-orbit corpus (460:760 / 300 / 400 / 1000) and
+    draws the offsets from an unseeded random.randrange; here the counts
+    scale as corpus fractions (460/2312 ≈ 0.20 etc.) so the contract holds
+    at any corpus size, and the offsets come from a seeded, per-set
+    deterministic RNG (the engine's determinism rule). Every slice is
+    clamped to ≥2 files so a tiny corpus still yields a runnable set."""
+    import random as _random
+
+    m = len(files)
+    if set_idx == 1 or m < 2:
+        return list(files)
+    rng = _random.Random(seed * 100003 + set_idx)
+
+    def width(frac: float) -> int:
+        return max(2, min(m, int(round(frac * m))))
+
+    if set_idx == 2:
+        lo = int(0.199 * m)
+        return files[lo: max(lo + 2, int(round(0.329 * m)))]
+    if set_idx == 3:
+        w = width(300 / 2312)
+        lo = rng.randrange(0, max(m // 2 - w, 0) + 1)
+        return files[lo: lo + w]
+    if set_idx == 4:
+        w = width(400 / 2312)
+        lo = rng.randrange(min(m // 2, m - w), m - w + 1)
+        return files[lo: lo + w]
+    w = width(1000 / 2312)
+    lo = rng.randrange(0, m - w + 1)
+    return files[lo: lo + w]
 
 
 def count_dropped_nulls(df: DataFrame) -> int:

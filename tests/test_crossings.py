@@ -241,3 +241,59 @@ def test_crossing_report_empty_features_loud(spark, planted):
             df, dm, feature_cols=[], orbit_col="ORBIT", order_col="IDX",
             label_col="LABEL",
         )
+
+
+def test_runner_crossings_multi_set_loop(spark, tmp_path_factory):
+    """`--crossings --sets 2` (VERDICT r5 item 6, run-cnn.sh:1-7): each set
+    evaluates against its own drifts_set{i}.txt — the per-set corpus is
+    whatever orbits that file lists (cnn.py:470-485) — and writes suffixed
+    crossing_* tables with distinct contents."""
+    import contextlib
+    import io
+    import json
+
+    import numpy as np
+
+    from al_drift_detection_spark import runner
+
+    base = tmp_path_factory.mktemp("crossings_sets")
+    corpus_dir, out = base / "orbits", str(base / "out")
+    corpus_dir.mkdir()
+    rng = np.random.default_rng(5)
+    for orbit in (233, 234, 380, 381):
+        with open(corpus_dir / f"df_{orbit}.csv", "w") as fh:
+            fh.write("DATE,LABEL,f1,f2\n")
+            shift = 3.0 if orbit >= 380 else 0.0
+            for i in range(50):
+                fh.write(
+                    f"{i},{int(rng.integers(0, 3))},"
+                    f"{rng.standard_normal() + shift:.6f},{rng.standard_normal():.6f}\n"
+                )
+    (base / "drifts_set1.txt").write_text("233 1\n234 1\n380 2\n381 2\n")
+    (base / "drifts_set2.txt").write_text("233 1\n234 1\n")  # the set-2 slice
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = runner.main([
+            "--crossings", "--orbits", str(corpus_dir / "df_*.csv"),
+            "--drifts", str(base / "drifts_set{set}.txt"),
+            "--out", out, "--master", "local[8]",
+            "--smooth-run", "6", "--smooth-gap", "4", "--sets", "2",
+        ])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert [s["set"] for s in summary["sets"]] == [1, 2]
+    assert summary["sets"][0]["orbits"] == 4
+    assert summary["sets"][1]["orbits"] == 2
+    assert summary["sets"][0]["rows"] == 200
+    assert summary["sets"][1]["rows"] == 100  # set-2 corpus restricted
+
+    import pytest as _pytest
+
+    # missing placeholder fails loudly, not with N identical runs
+    with _pytest.raises(SystemExit):
+        runner.main([
+            "--crossings", "--orbits", str(corpus_dir / "df_*.csv"),
+            "--drifts", str(base / "drifts_set1.txt"),
+            "--out", out, "--sets", "2",
+        ])

@@ -467,6 +467,106 @@ def hamming_pairs(
     return attach_persisted(out, banded)
 
 
+def incremental_hamming_pairs(
+    fp_new: DataFrame,
+    store_path: str,
+    fp_col: str,
+    id_col: str,
+    max_distance: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """INCREMENTAL Hamming near-dup retrieval across corpus snapshots — the
+    fingerprint twin of incremental_minhash_pairs, over ANY 64-bit
+    fingerprint column: SimHash text dedup and perceptual-hash IMAGE dedup
+    (`runner --image-dedup --image-dedup-store` on the input_hint phash
+    column) share it. Reference analog: the incremental-vs-full retrain
+    distinction (/root/reference/gan.py:161-170 — SURVEY §4 row 4).
+
+    Same contract as the MinHash form: docs whose id already sits in the
+    banded fingerprint store are skipped (left_anti, id-pruned scan); the
+    new docs' fingerprints band once (persisted — probe side, new×new side
+    and the store append reuse it); candidates = new × (store ∪ new) on the
+    (band, band-value) key with the exact `bit_count(xor) ≤ d` filter; pair
+    ids normalize (least, greatest) so the union of every batch's output
+    equals the one-shot hamming_pairs over the full corpus (parity pinned
+    in tests/test_incremental_dedup.py); pairs materialize
+    (localCheckpoint) BEFORE the store append — crash between the two
+    re-signs the batch on retry instead of losing pairs. At deployment the
+    store is an Iceberg table bucketed on (band, bval) so the probe is
+    storage-partitioned: new-side shuffle O(batch), store side prunes to
+    touched buckets.
+
+    Output: (a_id, b_id, hamming, n_new_signed)."""
+    import os
+
+    if max_distance >= bands:
+        raise ValueError("need bands > max_distance for the pigeonhole guarantee")
+    spark = fp_new.sparkSession
+    store = spark.read.parquet(store_path) if os.path.exists(store_path) else None
+    new_fp = fp_new
+    if store is not None:
+        new_fp = fp_new.join(
+            store.select(F.col("id").alias(id_col)).distinct(), id_col, "left_anti"
+        )
+
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col(fp_col), b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    banded_new = new_fp.select(
+        F.col(id_col).alias("id"),
+        F.col(fp_col).alias("_fp"),
+        F.posexplode(band_vals).alias("band", "bval"),
+    ).persist()
+    n_new = banded_new.select("id").distinct().count()
+
+    all_banded = store.unionByName(banded_new) if store is not None else banded_new
+    a, b_ = banded_new.alias("a"), all_banded.alias("b")
+    ham = F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp")))
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("a_id"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("b_id"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("n_new_signed", F.lit(n_new))
+        .localCheckpoint(eager=True)  # materialize BEFORE the store append
+    )
+    if n_new:
+        banded_new.write.mode("append").parquet(store_path)
+    banded_new.unpersist()
+    return pairs
+
+
+def incremental_simhash_pairs(
+    df_new: DataFrame,
+    store_path: str,
+    max_distance: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental SimHash text dedup: fingerprint ONLY the batch's new docs
+    (simhash) and probe the persisted banded store
+    (incremental_hamming_pairs)."""
+    return incremental_hamming_pairs(
+        simhash(df_new, text_col, id_col), store_path, "simhash", id_col,
+        max_distance=max_distance, bands=bands,
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     max_distance: int = 3,

@@ -902,6 +902,52 @@ def q_incremental_dedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_incremental_simhash_pairs",
+    None,
+    "incremental SimHash dedup across corpus snapshots (fingerprint twin of "
+    "q_incremental_dedup_pairs; ref gan.py:161-170 incremental-vs-full "
+    "retrain analog): batch 1 builds the banded fingerprint store, batch 2 "
+    "signs ONLY its new docs and probes new×(store∪new) on the (band, "
+    "band-value) key with the exact bit_count(xor)≤d filter. SELF-VERIFYING "
+    "rows-only entry: parity_with_full compares the union of both batches' "
+    "pairs against the one-shot simhash_pairs over the full corpus (the "
+    "gate hashes it); signs-only-new and idempotent re-run pinned in "
+    "tests/test_incremental_dedup.py",
+)
+def q_incremental_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf, "documents")
+    store = tempfile.mkdtemp(prefix="sh_store_") + "/banded"
+    try:
+        b1 = D.incremental_simhash_pairs(
+            docs.filter(F.col("doc_id") % 2 == 0), store, max_distance=3, bands=4
+        )
+        b2 = D.incremental_simhash_pairs(
+            docs.filter(F.col("doc_id") % 2 == 1), store, max_distance=3, bands=4
+        )
+        inc = b1.unionByName(b2).select("a_id", "b_id", "hamming")
+        full = D.simhash_pairs(docs, max_distance=3, bands=4)
+        keys = ["a_id", "b_id", "hamming"]
+        ic = inc.groupBy(keys).agg(F.count(F.lit(1)).alias("n_inc"))
+        fc = full.groupBy(keys).agg(F.count(F.lit(1)).alias("n_full"))
+        mismatch = (
+            ic.join(fc, keys, "full_outer")
+            .filter(
+                F.col("n_inc").isNull()
+                | F.col("n_full").isNull()
+                | (F.col("n_inc") != F.col("n_full"))
+            )
+            .count()
+        )
+        D.release(full)
+        return inc.withColumn("parity_with_full", F.lit(mismatch == 0))
+    finally:
+        shutil.rmtree(store.rsplit("/", 1)[0], ignore_errors=True)
+
+
+@register(
     "q_simhash",
     None,
     "64-bit SimHash fingerprints via bit-vote over token xxhash64 — "

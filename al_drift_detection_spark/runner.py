@@ -118,6 +118,13 @@ def main(argv: list[str] | None = None) -> int:
         "the image_dedup/ keep/drop table",
     )
     ap.add_argument(
+        "--image-dedup-store", default=None, metavar="PATH",
+        help="persisted banded-fingerprint store for INCREMENTAL --image-dedup: "
+        "sign only images absent from the store, probe new×(store∪new) "
+        "(functions.dedup.incremental_hamming_pairs), append the new "
+        "signatures; also writes the image_dedup_pairs/ table",
+    )
+    ap.add_argument(
         "--health", action="store_true",
         help="windowed data-health checks: per-window row-VOLUME anomaly and "
         "per-column NULL-RATIO drift vs the reference windows — writes the "
@@ -127,6 +134,26 @@ def main(argv: list[str] | None = None) -> int:
         "--expect-schema", default=None, metavar="DDL",
         help="validate the input schema against this DDL and write the "
         "schema_check/ verdict table (missing/unexpected/type_mismatch rows)",
+    )
+    ap.add_argument(
+        "--stream", action="store_true",
+        help="run the CLOSED-WINDOW streaming verdict family instead of the "
+        "batch pass: stage the images table as an event-time file-source "
+        "feed and run KS/PSI/MMD drift + volume/completeness health + KMV "
+        "uniqueness (+ chi-square cat-drift per --cat-drift column) as "
+        "Structured Streaming queries with parquet sinks under --out "
+        "(stream_drift/, stream_health/, stream_uniqueness/, "
+        "stream_cat_drift_<col>/). References come from the same "
+        "window_id < --ref-windows rows the batch pass uses, so verdicts "
+        "are comparable 1:1 (window_id = (window_start - BASE)/W)",
+    )
+    ap.add_argument(
+        "--stream-window", type=int, default=300, metavar="SECONDS",
+        help="event-time tumbling window length for --stream (default 300)",
+    )
+    ap.add_argument(
+        "--stream-watermark", type=int, default=60, metavar="SECONDS",
+        help="watermark (lateness allowance) for --stream (default 60)",
     )
     ap.add_argument("--resume", action="store_true", help="skip partitions already passed in checkpoint")
     ap.add_argument("--run-id", default="run1")
@@ -280,6 +307,27 @@ def main(argv: list[str] | None = None) -> int:
     # counter-RNG-deterministic; parquet scans prune to the join columns).
     meta_full = images.drop("bytes").cache()
     images_src = images  # blob-carrying source, uncached — decode only
+
+    if args.stream:
+        from al_drift_detection_spark.streaming import driver as stream_driver
+
+        cat_cols = args.cat_drift or []
+        n_windows = stream_driver.stage_bounded_stream(
+            meta_full, f"{args.out}/_stream_input",
+            args.stream_window, args.stream_watermark,
+        )
+        refs = stream_driver.build_references(meta_full, args.ref_windows, cat_cols)
+        counts = stream_driver.run_closed_streams(
+            spark, f"{args.out}/_stream_input", args.out, refs, cat_cols,
+            window_seconds=args.stream_window,
+            watermark=f"{args.stream_watermark} seconds",
+        )
+        print(json.dumps({
+            "mode": "stream", "windows": n_windows, "tables": counts,
+            "wall_sec": round(time.perf_counter() - t0, 2), "out": args.out,
+        }))
+        return 0
+
     meta = meta_full
     if args.resume:
         meta = ckpt.filter_pending(meta_full)
@@ -308,13 +356,38 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if args.image_dedup:
-        from al_drift_detection_spark.functions.dedup import dedup_clusters, hamming_pairs
+        from al_drift_detection_spark.functions.dedup import (
+            dedup_clusters,
+            hamming_pairs,
+            incremental_hamming_pairs,
+        )
 
         # perceptual near-dup retrieval on the input_hint phash column: the
         # image analog of the text SimHash path — same band-rotation core
         fp = meta_full.select("image_id", "phash")
-        pairs = hamming_pairs(fp, "phash", "image_id", max_distance=3, bands=4)
-        clusters = dedup_clusters(fp.select("image_id"), pairs, id_col="image_id")
+        if args.image_dedup_store:
+            # INCREMENTAL: sign only images absent from the persisted banded
+            # store, probe new×(store∪new); a new image is dropped iff it
+            # near-dups ANY earlier-signed image or a smaller-id batchmate
+            # (pair ids are (least, greatest)-normalized, so that is
+            # exactly "appears as b_id")
+            pairs = incremental_hamming_pairs(
+                fp, args.image_dedup_store, "phash", "image_id",
+                max_distance=3, bands=4,
+            )
+            pairs.write.mode("overwrite").parquet(f"{args.out}/image_dedup_pairs")
+            # distinct ids on the build side: planted duplicate image_ids
+            # would otherwise fan the row-level left join out
+            keep = fp.select("image_id").distinct().join(
+                pairs.select(F.col("b_id").alias("image_id")).distinct(),
+                "image_id", "left_anti",
+            ).withColumn("keep", F.lit(True))
+            clusters = fp.select("image_id").join(
+                keep.select("image_id", "keep"), "image_id", "left"
+            ).na.fill({"keep": False})
+        else:
+            pairs = hamming_pairs(fp, "phash", "image_id", max_distance=3, bands=4)
+            clusters = dedup_clusters(fp.select("image_id"), pairs, id_col="image_id")
         clusters.write.mode("overwrite").parquet(f"{args.out}/image_dedup")
 
     if args.cat_drift:

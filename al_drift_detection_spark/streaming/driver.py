@@ -1,0 +1,226 @@
+"""End-to-end STREAMING driver surface (`runner --stream`): drive the
+closed-window verdict family (streaming/closed.py) over the images table as
+a real Structured Streaming job with parquet sinks — the streaming twin of
+the batch validation pass, runnable from the CLI rather than only from
+pytest memory-sink harnesses.
+
+The reference's detector is a windowed loop over an ever-growing corpus
+(gan.py:737-757 votes when a window completes); its streaming analog is a
+file-source feed whose event-time windows close at the watermark. The
+images table is positional (part/window_id — FIXTURES.md §1), so this
+driver mints a deterministic event time from the positional key:
+
+    ts = BASE + window_id·W + (xxhash64(image_id) mod W) seconds
+
+(W = --stream-window seconds). A positional window therefore maps 1:1 onto
+the event-time tumbling window [BASE + id·W, BASE + (id+1)·W) — the
+closed-window verdicts are keyed by the SAME row sets as the batch
+operators, making the batch ≡ streaming contract directly checkable from
+the CLI outputs (window_id = (window_start − BASE)/W).
+
+Staging (bounded-run mode): each positional window is written as ONE
+parquet file with strictly increasing mtimes, so `maxFilesPerTrigger=1`
+replays the corpus window-by-window in event-time order — every real
+window's close is triggered by the arrival of later files, and a final
+one-row SENTINEL file (event time past the last window end + the watermark
+delay) closes the tail windows. The sentinel's own window never closes and
+emits nothing, exactly the tests' convention (tests/test_closed_windows.py).
+Staging is how a BOUNDED table becomes a replayable feed for the CLI/e2e
+check; a production deployment points `spark.readStream` at the live
+Iceberg/file feed and skips it — the query graphs are identical.
+
+Scale shape: staging is one repartition("_b") write (one task per window,
+one file per window — O(windows) renames driver-side, no data through the
+driver); the four verdict streams share the pre-reduced closed-window
+plans whose per-trigger state input is O(chunks) partials, not raw rows
+(streaming/closed.py module docstring). References are the same
+deterministic batch references (window_id < ref_windows) the batch pass
+uses — a window's verdict never depends on other windows or on micro-batch
+boundaries.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BASE_TS = "2026-01-01 00:00:00"
+
+STAGE_DDL = (
+    "ts timestamp, image_id string, fmt string, caption string, w int, h int"
+)
+
+
+def mint_event_time(meta: DataFrame, window_seconds: int) -> DataFrame:
+    """Deterministic event time from the positional window key (module
+    docstring): every row of positional window k lands inside event-time
+    window [BASE + k·W, BASE + (k+1)·W). Pure JVM column math."""
+    base = F.unix_timestamp(F.lit(BASE_TS))
+    offset = F.pmod(F.xxhash64(F.col("image_id")), F.lit(window_seconds))
+    return meta.withColumn(
+        "ts",
+        F.timestamp_seconds(
+            base + F.col("window_id").cast("long") * window_seconds + offset
+        ),
+    )
+
+
+def stage_bounded_stream(
+    meta: DataFrame, stage_dir: str, window_seconds: int, watermark_seconds: int
+) -> int:
+    """Stage the bounded images table as a replayable event-time feed: one
+    parquet file per positional window (strictly increasing mtimes → file
+    discovery order = event-time order) plus the far-future sentinel file
+    that closes the tail windows. Returns the number of real windows.
+
+    One repartition("_b") shuffle gives one task per window value, hence
+    exactly one data file per `_b=N` directory; the driver then renames
+    O(windows) files — never touching row data."""
+    spark = meta.sparkSession
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    tmp = stage_dir + "__parts"
+    staged = mint_event_time(meta, window_seconds).select(
+        "ts", "image_id", "fmt", "caption", "w", "h",
+        F.col("window_id").alias("_b"),
+    )
+    staged.repartition("_b").write.mode("overwrite").partitionBy("_b").parquet(tmp)
+
+    os.makedirs(stage_dir, exist_ok=True)
+    wids = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(tmp) if d.startswith("_b=")
+    )
+    now = time.time()
+    for i, wid in enumerate(wids):
+        part_dir = os.path.join(tmp, f"_b={wid}")
+        files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        for j, f in enumerate(files):  # one file per window by construction
+            dst = os.path.join(stage_dir, f"batch_{wid:06d}_{j}.parquet")
+            os.replace(os.path.join(part_dir, f), dst)
+            # strictly increasing, all in the past — the sentinel written
+            # below is naturally newest
+            os.utime(dst, (now - len(wids) + i, now - len(wids) + i))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    n_windows = len(wids)
+    sentinel_ts = (max(wids) + 2) * window_seconds + watermark_seconds
+    sentinel = spark.createDataFrame(
+        [(None, "sentinel", "png", "x", 1, 1)], STAGE_DDL
+    ).withColumn(
+        "ts",
+        F.timestamp_seconds(F.unix_timestamp(F.lit(BASE_TS)) + F.lit(sentinel_ts)),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(stage_dir)
+    return n_windows
+
+
+def build_references(meta: DataFrame, ref_windows: int, cat_cols: list[str]) -> dict:
+    """The deterministic references the batch pass uses (window_id <
+    ref_windows), in the forms the closed-window builders take: quantile-grid
+    samples for KS/PSI/MMD (drift.build_reference_sample — bounded,
+    JVM-computed), per-window mean volume, null ratios, distinct ratio, and
+    per-category proportions with NULL → '(null)' (categorical_drift's
+    universe rule). One tiny agg per reference — O(ref windows) rows ever
+    reach the driver."""
+    from al_drift_detection_spark.drift import build_reference_sample
+
+    ref = meta.filter(F.col("window_id") < ref_windows)
+    samples = build_reference_sample(ref, ["w", "h"])
+
+    agg = ref.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("window_id").alias("nw"),
+        F.avg(F.col("caption").isNull().cast("double")).alias("null_caption"),
+        F.countDistinct("image_id").alias("n_ids"),
+    ).collect()[0]
+    refs = {
+        "samples": samples,
+        "volume": float(agg["n"]) / max(int(agg["nw"]), 1),
+        "null_ratios": {"caption": float(agg["null_caption"])},
+        "uniq_ratio": min(float(agg["n_ids"]) / max(int(agg["n"]), 1), 1.0),
+        "cat_props": {},
+    }
+    for col in cat_cols:
+        rows = (
+            ref.groupBy(
+                F.coalesce(F.col(col).cast("string"), F.lit("(null)")).alias("c")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        total = sum(r["n"] for r in rows)
+        refs["cat_props"][col] = {r["c"]: r["n"] / total for r in rows}
+    return refs
+
+
+def run_closed_streams(
+    spark: SparkSession,
+    stage_dir: str,
+    out_dir: str,
+    refs: dict,
+    cat_cols: list[str],
+    window_seconds: int = 300,
+    watermark: str = "60 seconds",
+    files_per_trigger: int = 1,
+) -> dict[str, int]:
+    """Run the four closed-window verdict streams over the staged feed with
+    parquet sinks + checkpoints, availableNow-bounded; returns per-table
+    emitted-window row counts. Each query reads the file source
+    independently (share-nothing), so a failed sink resumes from its own
+    checkpoint without touching the others — the streaming analog of the
+    batch checkpoint's per-partition resume."""
+    from al_drift_detection_spark.streaming.closed import (
+        closed_cat_drift,
+        closed_drift_scores,
+        closed_window_health,
+        closed_window_uniqueness,
+    )
+
+    window = f"{window_seconds} seconds"
+
+    def src():
+        return (
+            spark.readStream.schema(STAGE_DDL)
+            .option("maxFilesPerTrigger", files_per_trigger)
+            .parquet(stage_dir)
+        )
+
+    outs = {
+        "stream_drift": closed_drift_scores(
+            src(), "ts", ["w", "h"], refs["samples"],
+            window=window, watermark=watermark,
+        ),
+        "stream_health": closed_window_health(
+            src(), "ts", refs["volume"], refs["null_ratios"],
+            window=window, watermark=watermark,
+        ),
+        "stream_uniqueness": closed_window_uniqueness(
+            src(), "ts", "image_id", refs["uniq_ratio"],
+            window=window, watermark=watermark,
+        ),
+    }
+    for col in cat_cols:
+        outs[f"stream_cat_drift_{col}"] = closed_cat_drift(
+            src(), "ts", col, refs["cat_props"][col],
+            window=window, watermark=watermark,
+        )
+
+    queries = []
+    for name, df in outs.items():
+        queries.append(
+            df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{out_dir}/{name}")
+            .option("checkpointLocation", f"{out_dir}/stream_ckpt/{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+    for q in queries:
+        q.awaitTermination()
+
+    return {
+        name: spark.read.parquet(f"{out_dir}/{name}").count() for name in outs
+    }

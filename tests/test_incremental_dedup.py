@@ -117,3 +117,109 @@ def test_registry_entry_parity_column(spark):
     ).toPandas()
     assert len(out) > 0
     assert out["parity_with_full"].all()
+
+# ---- incremental Hamming/SimHash (fingerprint twin) ----------------------
+
+
+def _fps(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "phash"]),
+        "image_id string, phash long",
+    )
+
+
+@pytest.fixture()
+def fp_corpus(spark):
+    """Fingerprint batches with planted near-dups WITHIN and ACROSS batches:
+    a/b differ by 2 bits (batch 1), k a 1-bit twin of a (cross-batch), m/n
+    differ by 3 bits (batch 2); the rest differ in every band."""
+    base = 0x1234_5678_9ABC_DEF0
+    far1 = 0x0F0F_0F0F_0F0F_0F0F
+    far2 = -0x7071_2345_6789_ABCD
+    b1 = _fps(spark, [("a", base), ("b", base ^ 0b101), ("c", far1)])
+    b2 = _fps(spark, [("k", base ^ (1 << 40)), ("m", far2),
+                      ("n", far2 ^ 0b10101), ("z", 42)])
+    return b1, b2
+
+
+def test_incremental_hamming_union_equals_full(spark, fp_corpus, tmp_path):
+    from al_drift_detection_spark.functions.dedup import (
+        hamming_pairs,
+        incremental_hamming_pairs,
+        release,
+    )
+
+    b1, b2 = fp_corpus
+    store = str(tmp_path / "fp_banded")
+    p1 = incremental_hamming_pairs(b1, store, "phash", "image_id", 3, 4)
+    p2 = incremental_hamming_pairs(b2, store, "phash", "image_id", 3, 4)
+    inc = (
+        p1.unionByName(p2).select("a_id", "b_id", "hamming")
+        .toPandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    )
+    fullf = hamming_pairs(
+        b1.unionByName(b2), "phash", "image_id", max_distance=3, bands=4
+    )
+    full = fullf.toPandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    release(fullf)
+    pd.testing.assert_frame_equal(inc, full)
+    got = set(zip(inc["a_id"], inc["b_id"]))
+    assert ("a", "b") in got     # in-batch-1, 2 bits
+    assert ("a", "k") in got     # cross-batch, 1 bit
+    assert ("m", "n") in got     # in-batch-2, 3 bits
+
+
+def test_incremental_hamming_signs_only_new_and_idempotent(
+    spark, fp_corpus, tmp_path
+):
+    from al_drift_detection_spark.functions.dedup import incremental_hamming_pairs
+
+    b1, b2 = fp_corpus
+    store = str(tmp_path / "fp_banded")
+    incremental_hamming_pairs(b1, store, "phash", "image_id", 3, 4)
+    rows_after_b1 = spark.read.parquet(store).count()
+    assert rows_after_b1 == 3 * 4  # 3 fingerprints × 4 bands
+
+    reingest = b2.unionByName(b1.filter(F.col("image_id") == "a"))
+    p2 = incremental_hamming_pairs(reingest, store, "phash", "image_id", 3, 4)
+    assert p2.select("n_new_signed").head()[0] == 4  # only k/m/n/z signed
+    assert spark.read.parquet(store).count() == rows_after_b1 + 4 * 4
+
+    again = incremental_hamming_pairs(b2, store, "phash", "image_id", 3, 4)
+    assert again.count() == 0
+    assert spark.read.parquet(store).count() == rows_after_b1 + 4 * 4
+
+
+def test_incremental_simhash_registry_parity(spark):
+    """q_incremental_simhash_pairs on the real documents table: the
+    self-verifying parity column holds on every emitted pair."""
+    from al_drift_detection_spark.operators import REGISTRY
+
+    out = REGISTRY["q_incremental_simhash_pairs"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert out["parity_with_full"].all() if len(out) else True
+
+
+def test_runner_incremental_image_dedup(spark, tmp_path_factory):
+    """--image-dedup --image-dedup-store: second run over the SAME corpus
+    signs nothing new; keep/drop covers every current image and matches the
+    planted-dup expectation (random phashes → no ≤3-bit pairs at this
+    scale, all keep)."""
+    from al_drift_detection_spark import runner
+
+    root = tmp_path_factory.mktemp("incdedup")
+    out1, out2 = str(root / "o1"), str(root / "o2")
+    store = str(root / "phash_store")
+    args = ["--images", "synthetic:2000", "--master", "local[8]",
+            "--image-dedup", "--image-dedup-store", store]
+    assert runner.main(args + ["--out", out1]) == 0
+    keep1 = spark.read.parquet(f"{out1}/image_dedup").toPandas()
+    assert len(keep1) == 2000
+
+    assert runner.main(args + ["--out", out2]) == 0
+    pairs2 = spark.read.parquet(f"{out2}/image_dedup_pairs").toPandas()
+    # identical corpus re-run: nothing new signed, zero pairs emitted
+    assert len(pairs2) == 0
+    keep2 = spark.read.parquet(f"{out2}/image_dedup").toPandas()
+    assert len(keep2) == 2000 and keep2["keep"].all()

@@ -1,0 +1,89 @@
+"""`runner --stream` end-to-end: the closed-window verdict family as a real
+Structured Streaming job over the staged event-time feed, with parquet
+sinks — the streaming twin of the batch validation CLI. The event-time
+windows are keyed by the same row sets as the positional windows (driver.py
+mints ts from window_id), so the planted-drift golden of the batch pass
+(synthetic:12000 → drift vote fails exactly windows 4,5 on 'w') must hold
+verbatim in the streaming output."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+BASE = pd.Timestamp("2026-01-01 00:00:00")
+W = 300  # --stream-window default
+
+
+def _wid(pdf):
+    """window_start → positional window_id (driver.py's 1:1 mapping)."""
+    return ((pdf["window_start"] - BASE).dt.total_seconds() // W).astype(int)
+
+
+@pytest.fixture(scope="module")
+def stream_out(spark, tmp_path_factory):
+    from al_drift_detection_spark import runner
+
+    out = str(tmp_path_factory.mktemp("stream") / "out")
+    rc = runner.main([
+        "--images", "synthetic:12000", "--out", out, "--stream",
+        "--cat-drift", "fmt", "--master", "local[8]",
+    ])
+    assert rc == 0
+    return out
+
+
+def test_stream_drift_matches_batch_planted_golden(spark, stream_out):
+    """All 6 windows emit exactly once; the 2-of-3 vote fails windows 4,5 on
+    'w' (the planted shift) and passes the reference-era windows — the
+    batch CLI's verify golden, reproduced by the streaming path."""
+    got = spark.read.parquet(f"{stream_out}/stream_drift").toPandas()
+    got["wid"] = _wid(got)
+    votes = got[(got["kernel"] == "vote") & (got["column"] == "w")]
+    assert sorted(votes["wid"]) == [0, 1, 2, 3, 4, 5]
+    verdicts = votes.set_index("wid")["verdict"]
+    assert set(verdicts.loc[[4, 5]]) == {"fail"}
+    assert set(verdicts.loc[[0, 1, 2, 3]]) == {"pass"}
+    # one emission per (window, column, kernel) — no per-fragment dupes
+    assert not got.duplicated(["wid", "column", "kernel"]).any()
+    assert (got.groupby("wid")["n_rows"].max() == 2000).all()
+
+
+def test_stream_health_and_uniqueness_all_windows_pass(spark, stream_out):
+    """Uniform synthetic corpus: volume/completeness and KMV-uniqueness
+    verdicts emit once per window and pass everywhere (the ~24 planted dup
+    ids sit far under the 5% threshold — the batch --health golden)."""
+    health = spark.read.parquet(f"{stream_out}/stream_health").toPandas()
+    health["wid"] = _wid(health)
+    assert sorted(health[health["check"] == "volume"]["wid"]) == [0, 1, 2, 3, 4, 5]
+    assert (health["verdict"] == "pass").all()
+
+    uniq = spark.read.parquet(f"{stream_out}/stream_uniqueness").toPandas()
+    uniq["wid"] = _wid(uniq)
+    assert sorted(uniq["wid"]) == [0, 1, 2, 3, 4, 5]
+    assert (uniq["verdict"] == "pass").all()
+    assert (uniq["n_rows"] == 2000).all()
+
+
+def test_stream_cat_drift_no_false_positive(spark, stream_out):
+    """fmt is NOT planted to drift: all 6 closed windows pass with the
+    deterministic ref-universe dof (the batch --cat-drift golden)."""
+    cat = spark.read.parquet(f"{stream_out}/stream_cat_drift_fmt").toPandas()
+    cat["wid"] = _wid(cat)
+    assert sorted(cat["wid"]) == [0, 1, 2, 3, 4, 5]
+    assert (cat["verdict"] == "pass").all()
+    assert cat["dof"].nunique() == 1
+
+
+def test_stream_feed_is_replayable_per_window(spark, stream_out):
+    """The staged feed is one file per positional window + the sentinel —
+    maxFilesPerTrigger=1 replays the corpus window-by-window."""
+    import os
+
+    files = [
+        f for f in os.listdir(f"{stream_out}/_stream_input")
+        if f.endswith(".parquet")
+    ]
+    batch_files = [f for f in files if f.startswith("batch_")]
+    assert len(batch_files) == 6
+    assert len(files) - len(batch_files) == 1  # the sentinel

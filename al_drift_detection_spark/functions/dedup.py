@@ -199,6 +199,7 @@ def incremental_minhash_pairs(
     threshold: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sink=None,
 ) -> DataFrame:
     """INCREMENTAL MinHash-LSH dedup across corpus snapshots (VERDICT r5
     "What's missing" #1): a daily ingest signs ONLY its new docs and probes
@@ -220,11 +221,18 @@ def incremental_minhash_pairs(
        the union of every batch's output equals the one-shot
        minhash_lsh_pairs over the full corpus (parity pinned in
        tests/test_incremental_dedup.py);
-    4. pairs are materialized (localCheckpoint) BEFORE the new signatures
-       are appended to the store — a crash between the two re-signs the
-       batch on retry (ids still absent from the store) instead of silently
-       losing its pairs; the append is the last effect (exactly-once pair
-       emission per signed doc).
+    4. pairs are materialized (localCheckpoint) and — when the caller needs
+       a DURABLE emission — handed to `sink` BEFORE the new signatures are
+       appended to the store; the append is the last effect. A crash before
+       the append re-signs the batch on retry (ids still absent from the
+       store) and re-emits the SAME pairs into an idempotent sink; a replay
+       AFTER the append signs 0 docs and emits 0 pairs, and an
+       empty-frame dynamic-partition overwrite touches no partitions, so
+       the earlier emission survives — exactly-once pair emission per
+       signed doc end-to-end (pinned in tests/test_stream_dedup.py).
+       Writing the pairs only after this function returns leaves a
+       crash window (append done, sink not) that silently LOSES pairs —
+       pass `sink` instead.
 
     The store is plain parquet here; at deployment it is an Iceberg table
     bucketed on (band, bucket) (sources.write_table's bucket transform +
@@ -274,6 +282,8 @@ def incremental_minhash_pairs(
         .withColumn("n_new_signed", F.lit(n_new))
         .localCheckpoint(eager=True)  # materialize BEFORE the store append
     )
+    if sink is not None:
+        sink(pairs)  # durable emission BEFORE the append (docstring step 4)
     if n_new:
         banded_new.write.mode("append").parquet(store_path)
     banded_new.unpersist()
@@ -474,6 +484,7 @@ def incremental_hamming_pairs(
     id_col: str,
     max_distance: int = 3,
     bands: int = 4,
+    sink=None,
 ) -> DataFrame:
     """INCREMENTAL Hamming near-dup retrieval across corpus snapshots — the
     fingerprint twin of incremental_minhash_pairs, over ANY 64-bit
@@ -490,8 +501,12 @@ def incremental_hamming_pairs(
     ids normalize (least, greatest) so the union of every batch's output
     equals the one-shot hamming_pairs over the full corpus (parity pinned
     in tests/test_incremental_dedup.py); pairs materialize
-    (localCheckpoint) BEFORE the store append — crash between the two
-    re-signs the batch on retry instead of losing pairs. At deployment the
+    (localCheckpoint) and, when given, flow to the durable idempotent
+    `sink` BEFORE the store append — crash between the two re-signs the
+    batch on retry and re-emits the SAME pairs, crash after emits nothing
+    on replay and the earlier emission survives (exactly-once pair
+    emission; same contract as incremental_minhash_pairs step 4, pinned in
+    tests/test_stream_dedup.py). At deployment the
     store is an Iceberg table bucketed on (band, bval) so the probe is
     storage-partitioned: new-side shuffle O(batch), store side prunes to
     touched buckets.
@@ -544,6 +559,8 @@ def incremental_hamming_pairs(
         .withColumn("n_new_signed", F.lit(n_new))
         .localCheckpoint(eager=True)  # materialize BEFORE the store append
     )
+    if sink is not None:
+        sink(pairs)  # durable emission BEFORE the append (docstring)
     if n_new:
         banded_new.write.mode("append").parquet(store_path)
     banded_new.unpersist()
@@ -557,13 +574,14 @@ def incremental_simhash_pairs(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sink=None,
 ) -> DataFrame:
     """Incremental SimHash text dedup: fingerprint ONLY the batch's new docs
     (simhash) and probe the persisted banded store
     (incremental_hamming_pairs)."""
     return incremental_hamming_pairs(
         simhash(df_new, text_col, id_col), store_path, "simhash", id_col,
-        max_distance=max_distance, bands=bands,
+        max_distance=max_distance, bands=bands, sink=sink,
     )
 
 

@@ -371,11 +371,17 @@ def main(argv: list[str] | None = None) -> int:
             # near-dups ANY earlier-signed image or a smaller-id batchmate
             # (pair ids are (least, greatest)-normalized, so that is
             # exactly "appears as b_id")
+            # pairs write rides the `sink` seam so the DURABLE emission
+            # happens BEFORE the store append — writing after the call
+            # returns would leave a crash window (append done, pairs not)
+            # that a retry cannot repair (replay signs 0, emits 0)
             pairs = incremental_hamming_pairs(
                 fp, args.image_dedup_store, "phash", "image_id",
                 max_distance=3, bands=4,
+                sink=lambda p: p.write.mode("overwrite").parquet(
+                    f"{args.out}/image_dedup_pairs"
+                ),
             )
-            pairs.write.mode("overwrite").parquet(f"{args.out}/image_dedup_pairs")
             # distinct ids on the build side: planted duplicate image_ids
             # would otherwise fan the row-level left join out
             keep = fp.select("image_id").distinct().join(

@@ -306,3 +306,122 @@ def topk_per_query(
     )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+# =====================================================================
+# Persisted IVF index — continuous-ingest ANN
+# =====================================================================
+
+
+def build_ivf_index(
+    df: DataFrame,
+    index_path: str,
+    k: int = 16,
+    sample_n: int = 4096,
+    seed: int = 42,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Train and PERSIST an IVF index: `{index_path}/centroids` (k rows) +
+    `{index_path}/vectors` written partitioned by cell — the on-disk form
+    ivf_assign's docstring promises, so ivf_index_topk's n_probe filter is
+    PARTITION PRUNING at the scan (a query touches n_probe cell directories
+    out of the whole corpus; plan pinned in tests/test_ivf_index.py).
+
+    `repartition("cell")` before the write gives one task per cell value and
+    hence one file per cell directory per build (the bucketed-write
+    convention — joins/scans never re-sort). Returns the trained centroids.
+    """
+    spark = df.sparkSession
+    centroids = train_ivf_centroids(df, k, sample_n, seed, iters, vec_col, id_col)
+    spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    (
+        ivf_assign(df, centroids, vec_col, id_col)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/vectors")
+    )
+    return centroids
+
+
+def load_ivf_centroids(spark, index_path: str) -> list[list[float]]:
+    """Read the persisted centroid set back in cell order (k tiny rows)."""
+    rows = spark.read.parquet(f"{index_path}/centroids").orderBy("cell").collect()
+    return [[float(x) for x in r["centroid"]] for r in rows]
+
+
+def update_ivf_index(
+    df_new: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """INCREMENTAL index update: assign ONLY vectors whose id is absent from
+    the index with the FROZEN trained centroids and append them to their
+    cell partitions — a daily ingest never re-assigns (or re-trains over)
+    the corpus. Reference analog: reset_top_layer keeps the trained lower
+    layers frozen and fits only the new head
+    (/root/reference/gan.py:161-170 — SURVEY §4 row 4); here the centroid
+    set is the frozen model and the new batch is the only data touched.
+
+    Because assignment under frozen centroids is a pure per-row function,
+    the union of every batch's appended rows equals a one-shot ivf_assign
+    over the full corpus (parity pinned in tests/test_ivf_index.py) — the
+    index never degrades relative to a rebuild until the DATA drifts enough
+    that the centroids should move, which is exactly what the engine's
+    embedding-drift operator (drift.embedding_drift) detects; re-train then
+    is build_ivf_index again. The id-pruned membership scan reads ONLY the
+    id column (ReadSchema pruning); at deployment the vectors table is
+    Iceberg, whose id-column bloom/stats prune the anti-join's store side.
+
+    Returns the number of newly assigned vectors (0 ⇒ idempotent replay).
+    """
+    spark = df_new.sparkSession
+    centroids = load_ivf_centroids(spark, index_path)
+    existing = spark.read.parquet(f"{index_path}/vectors").select(
+        F.col(id_col)
+    )
+    assigned = ivf_assign(
+        df_new.join(existing, id_col, "left_anti"), centroids, vec_col, id_col
+    ).persist()
+    n_new = assigned.count()
+    if n_new:
+        (
+            assigned.repartition("cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{index_path}/vectors")
+        )
+    assigned.unpersist()
+    return n_new
+
+
+def ivf_index_topk(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN query against the PERSISTED index: probe cells are computed from
+    the k tiny centroid rows driver-side, and the cell filter lands on the
+    partition column of the vectors table — the scan reads n_probe
+    directories, not the corpus (PartitionFilters pinned in
+    tests/test_ivf_index.py). Same ranking contract as ivf_topk."""
+    centroids = load_ivf_centroids(spark, index_path)
+    probe_cells = ivf_probe_cells(query_vec, centroids, n_probe)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(f"{index_path}/vectors")
+        .filter(F.col("cell").isin(probe_cells))
+        .select(id_col, F.round(cosine(F.col(vec_col), qcol), 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )

@@ -440,6 +440,103 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ivf_index_oracle_sql() -> str:
+    """FULL DuckDB oracle for q_ivf_index_topk: the _ivf_oracle_sql
+    technique applied to the PERSISTED incremental index — centroids are
+    trained on the EVEN-id build batch only (the bit-exact xxhash64 sample
+    replica, restricted to even ids before ordering, then the shared numpy
+    _spherical_kmeans), every vector is assigned under those frozen
+    centroids (build + incremental update are together exhaustive, and
+    frozen-centroid assignment is a pure per-row function — batch
+    boundaries cannot change it), and n_new_assigned is the odd-id count
+    the update must report. Assignment, n_probe pruning, ranking, and the
+    incremental-accounting column are all value-checked in SQL."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from al_drift_detection_spark.functions.similarity import (
+        _spherical_kmeans,
+        ivf_probe_cells,
+    )
+    from al_drift_detection_spark.operators.xxh64_replica import xxhash64_long_int
+
+    P = _IVF_PARAMS
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    flat = t.column("embedding").combine_chunks().flatten().to_numpy()
+    X = flat.reshape(len(ids), len(flat) // len(ids)).astype(np.float64)
+
+    even = ids % 2 == 0
+    ids_e, X_e = ids[even], X[even]
+    order = np.argsort(xxhash64_long_int(ids_e, P["seed"]), kind="stable")[: P["sample_n"]]
+    cents = _spherical_kmeans(X_e[order], P["k"], P["seed"], P["iters"])
+    qvec = [float(x) for x in X[ids == 0][0]]
+    probe = ivf_probe_cells(qvec, cents, P["n_probe"])
+
+    lits = [f"[{', '.join(repr(float(x)) for x in c)}]" for c in cents]
+    sims = ", ".join(f"list_cosine_similarity(e, {c})" for c in lits)
+    return f"""
+    WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT e AS qe FROM p WHERE vec_id = 0),
+    assigned AS (
+      SELECT vec_id, e, list_position(sims, list_aggregate(sims, 'max')) AS cell
+      FROM (SELECT vec_id, e, [{sims}] AS sims FROM p)
+    )
+    SELECT vec_id, round(list_cosine_similarity(e, qe), 4) AS cos,
+           (SELECT count(*) FROM p WHERE vec_id % 2 = 1) AS n_new_assigned
+    FROM assigned, q WHERE cell IN ({', '.join(str(c) for c in probe)})
+    ORDER BY cos DESC, vec_id LIMIT 10
+    """
+
+
+@register(
+    "q_ivf_index_topk",
+    _ivf_index_oracle_sql,
+    "PERSISTED incremental IVF index (similarity.build_ivf_index / "
+    "update_ivf_index / ivf_index_topk; ref gan.py:161-170 frozen-layer "
+    "incremental-retrain analog): even-id batch trains + writes the index "
+    "cell-PARTITIONED, the full table then updates it — only odd ids are "
+    "assigned (frozen centroids) and appended to their cell directories; "
+    "the query probes n_probe cells via PARTITION PRUNING at the scan. "
+    "FULL lazy DuckDB oracle (_ivf_index_oracle_sql: even-trained "
+    "centroids as SQL literals via the bit-exact xxhash64 replica) "
+    "value-checks assignment, pruning, ranking, and the n_new_assigned "
+    "accounting; build/update parity, idempotent replay, and the "
+    "PartitionFilters plan are pinned in tests/test_ivf_index.py",
+)
+def q_ivf_index_topk(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from al_drift_detection_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        update_ivf_index,
+    )
+
+    P = _IVF_PARAMS
+    emb = _t(spark, sf, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        build_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0), path,
+            k=P["k"], sample_n=P["sample_n"], seed=P["seed"], iters=P["iters"],
+        )
+        n_new = update_ivf_index(emb, path)
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        # collect before the temp index is deleted (the returned frame's
+        # scan is lazy over the on-disk cell partitions)
+        rows = ivf_index_topk(spark, path, q, k=10, n_probe=P["n_probe"]).collect()
+        return spark.createDataFrame(
+            [(r["vec_id"], r["cos"], n_new) for r in rows],
+            "vec_id long, cos double, n_new_assigned long",
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 @register(
     "q_tfidf_topk",
     """

@@ -58,6 +58,10 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     "q_volume_anomaly",
     "q_completeness_drift",
     "q_ingestion_gaps",
+    # persisted-index twin of the in-window q_ivf_topk (same trained
+    # centroids + ranking contract; adds on-disk layout + incremental
+    # update accounting, full oracle via _ivf_index_oracle_sql)
+    "q_ivf_index_topk",
 }
 
 

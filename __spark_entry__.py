@@ -26,11 +26,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # spec.sql may be a zero-arg builder (LAZY oracle — q_ivf_topk derives
-    # its SQL from data-trained centroid literals; building at import time
-    # would put parquet I/O on every package import)
-    return {
-        name: spec.sql() if callable(spec.sql) else spec.sql
-        for name, spec in REGISTRY.items()
-        if spec.sql is not None
-    }
+    # spec.sql may be a zero-arg builder (LAZY oracle — the IVF entries
+    # derive their SQL from data-trained centroid literals; building at
+    # import time would put parquet I/O on every package import). A builder
+    # that fails (e.g. its sf_dir is absent in this environment) degrades
+    # ONLY its own entry to rows-only rather than failing the whole dict.
+    out: dict[str, str] = {}
+    for name, spec in REGISTRY.items():
+        if spec.sql is None:
+            continue
+        if callable(spec.sql):
+            try:
+                out[name] = spec.sql()
+            except Exception as ex:  # noqa: BLE001 — degrade, don't abort
+                import sys
+
+                print(f"oracle_sql: lazy builder for {name} failed "
+                      f"({ex}); entry degrades to rows-only", file=sys.stderr)
+        else:
+            out[name] = spec.sql
+    return out

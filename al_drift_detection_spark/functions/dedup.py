@@ -239,10 +239,13 @@ def incremental_minhash_pairs(
     merge_upsert seam) so the probe join is storage-partitioned — the
     new-side shuffle is O(batch), the store side prunes to touched buckets.
 
-    Output: (a_id, b_id, est_jaccard, n_new_signed) — every pair involving
-    ≥1 newly-signed doc; n_new_signed (constant column) reports how many
-    docs this batch actually signed, the idempotence/efficiency metric the
-    tests pin (batch re-run ⇒ 0)."""
+    Output: (a_id, b_id, est_jaccard, a_new, b_new, n_new_signed) — every
+    pair involving ≥1 newly-signed doc; a_new/b_new record which side(s) of
+    the normalized pair this batch signed (the durable-ledger input of
+    incremental_keep's first-signed-wins verdicts — see
+    incremental_hamming_pairs); n_new_signed (constant column) reports how
+    many docs this batch actually signed, the idempotence/efficiency metric
+    the tests pin (batch re-run ⇒ 0)."""
     import os
 
     spark = df_new.sparkSession
@@ -261,10 +264,17 @@ def incremental_minhash_pairs(
     ).persist()
     n_new = banded_new.select("id").distinct().count()
 
+    # the _new marker rides the probe side only (store schema unchanged);
+    # the a side is always new by construction
     all_banded = (
-        store.unionByName(banded_new) if store is not None else banded_new
+        store.withColumn("_new", F.lit(False)).unionByName(
+            banded_new.withColumn("_new", F.lit(True))
+        )
+        if store is not None
+        else banded_new.withColumn("_new", F.lit(True))
     )
     a, b_ = banded_new.alias("a"), all_banded.alias("b")
+    a_is_least = F.col("a.id") < F.col("b.id")
     pairs = (
         a.join(
             b_,
@@ -276,6 +286,8 @@ def incremental_minhash_pairs(
             F.least(F.col("a.id"), F.col("b.id")).alias("a_id"),
             F.greatest(F.col("a.id"), F.col("b.id")).alias("b_id"),
             _est_jaccard(k).alias("est_jaccard"),
+            F.when(a_is_least, F.lit(True)).otherwise(F.col("b._new")).alias("a_new"),
+            F.when(a_is_least, F.col("b._new")).otherwise(F.lit(True)).alias("b_new"),
         )
         .dropDuplicates(["a_id", "b_id"])
         .filter(F.col("est_jaccard") >= threshold)
@@ -420,6 +432,31 @@ def dedup_clusters(
 
 
 
+def banded_fingerprints(
+    fp: DataFrame, fp_col: str, id_col: str, bands: int
+) -> DataFrame:
+    """Split a 64-bit fingerprint into `bands` equal bit-bands → one
+    (id, _fp, band, bval) row per band. The ONE place the band geometry
+    (width, shift direction, mask) lives: hamming_pairs and
+    incremental_hamming_pairs both call it, so the incremental-vs-one-shot
+    pair-set parity their docstrings promise cannot drift apart through an
+    edit to a single copy (the banded_signatures precedent on the MinHash
+    side)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col(fp_col), b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    return fp.select(
+        F.col(id_col).alias("id"),
+        F.col(fp_col).alias("_fp"),
+        F.posexplode(band_vals).alias("band", "bval"),
+    )
+
+
 def hamming_pairs(
     fp: DataFrame,
     fp_col: str,
@@ -442,21 +479,9 @@ def hamming_pairs(
     """
     if max_distance >= bands:
         raise ValueError("need bands > max_distance for the pigeonhole guarantee")
-    width = 64 // bands
-    mask = (1 << width) - 1
-    band_vals = F.array(
-        *[
-            F.shiftrightunsigned(F.col(fp_col), b * width).bitwiseAND(F.lit(mask))
-            for b in range(bands)
-        ]
-    )
     # persisted: both self-join sides share the fingerprint pipeline, which
     # would otherwise execute twice (broadcast + probe sides don't reuse)
-    banded = fp.select(
-        F.col(id_col).alias("id"),
-        F.col(fp_col).alias("_fp"),
-        F.posexplode(band_vals).alias("band", "bval"),
-    ).persist()
+    banded = banded_fingerprints(fp, fp_col, id_col, bands).persist()
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp")))
     out = (
@@ -511,7 +536,12 @@ def incremental_hamming_pairs(
     storage-partitioned: new-side shuffle O(batch), store side prunes to
     touched buckets.
 
-    Output: (a_id, b_id, hamming, n_new_signed)."""
+    Output: (a_id, b_id, hamming, a_new, b_new, n_new_signed). The a_new /
+    b_new flags record which side(s) of the NORMALIZED pair were newly
+    signed by this batch — the information a durable pair ledger needs to
+    replay FIRST-SIGNED-WINS keep/drop verdicts later (incremental_keep):
+    the newly-signed side of a new×stored pair loses; in a new×new pair the
+    greater id loses. Every pair has ≥1 new side by construction."""
     import os
 
     if max_distance >= bands:
@@ -524,24 +554,21 @@ def incremental_hamming_pairs(
             store.select(F.col("id").alias(id_col)).distinct(), id_col, "left_anti"
         )
 
-    width = 64 // bands
-    mask = (1 << width) - 1
-    band_vals = F.array(
-        *[
-            F.shiftrightunsigned(F.col(fp_col), b * width).bitwiseAND(F.lit(mask))
-            for b in range(bands)
-        ]
-    )
-    banded_new = new_fp.select(
-        F.col(id_col).alias("id"),
-        F.col(fp_col).alias("_fp"),
-        F.posexplode(band_vals).alias("band", "bval"),
-    ).persist()
+    banded_new = banded_fingerprints(new_fp, fp_col, id_col, bands).persist()
     n_new = banded_new.select("id").distinct().count()
 
-    all_banded = store.unionByName(banded_new) if store is not None else banded_new
+    # the _new marker rides the probe side only (store schema unchanged);
+    # the a side is always new by construction
+    all_banded = (
+        store.withColumn("_new", F.lit(False)).unionByName(
+            banded_new.withColumn("_new", F.lit(True))
+        )
+        if store is not None
+        else banded_new.withColumn("_new", F.lit(True))
+    )
     a, b_ = banded_new.alias("a"), all_banded.alias("b")
     ham = F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp")))
+    a_is_least = F.col("a.id") < F.col("b.id")
     pairs = (
         a.join(
             b_,
@@ -553,6 +580,8 @@ def incremental_hamming_pairs(
             F.least(F.col("a.id"), F.col("b.id")).alias("a_id"),
             F.greatest(F.col("a.id"), F.col("b.id")).alias("b_id"),
             ham.cast("int").alias("hamming"),
+            F.when(a_is_least, F.lit(True)).otherwise(F.col("b._new")).alias("a_new"),
+            F.when(a_is_least, F.col("b._new")).otherwise(F.lit(True)).alias("b_new"),
         )
         .filter(F.col("hamming") <= max_distance)
         .dropDuplicates(["a_id", "b_id"])
@@ -565,6 +594,44 @@ def incremental_hamming_pairs(
         banded_new.write.mode("append").parquet(store_path)
     banded_new.unpersist()
     return pairs
+
+
+def incremental_keep(
+    ids: DataFrame, ledger: DataFrame, id_col: str
+) -> DataFrame:
+    """FIRST-SIGNED-WINS keep verdicts from a cumulative incremental pair
+    ledger (the a_new/b_new-flagged output of incremental_hamming_pairs /
+    incremental_minhash_pairs accumulated across batches): a doc loses iff
+    it was the NEWLY-SIGNED side of a pair whose other side was already in
+    the store (the earlier copy was admitted first), or the greater id of a
+    new×new batchmate pair. Deterministic under replay — verdicts are a
+    pure function of the durable ledger, so a crash-retried batch that
+    signs 0 docs and emits 0 pairs reproduces the SAME verdicts from the
+    surviving ledger rows (unlike deriving them from the in-flight batch's
+    pair frame, which is empty on replay).
+
+    Note the deliberate semantic difference from the one-shot path:
+    dedup_clusters keeps the MIN-ID representative of each connected
+    cluster (arrival order unknowable in one shot); incremental keep is
+    first-signed-wins (the standard streaming-dedup rule — an admitted doc
+    is never retroactively dropped by a later near-dup). The two agree
+    whenever ids arrive in increasing order.
+
+    Returns `ids` (any multiplicity) + a boolean `keep` column."""
+    dropped = (
+        ledger.filter(F.col("b_new"))
+        .select(F.col("b_id").alias(id_col))
+        .unionByName(
+            ledger.filter(F.col("a_new") & ~F.col("b_new")).select(
+                F.col("a_id").alias(id_col)
+            )
+        )
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return ids.join(dropped, id_col, "left").select(
+        *ids.columns, F.col("_dropped").isNull().alias("keep")
+    )
 
 
 def incremental_simhash_pairs(

@@ -105,7 +105,9 @@ GATE_FRONT: list[str] = [
     "q_split_assignment",
     "q_salted_agg",
     "q_sequence_checksum",
-    # ANN path (rows-only; recall floors in tests/test_ann_recall.py)
+    # ANN path (full literal-model oracles since r5/r6 — trained
+    # centroids/hyperplanes as SQL literals; recall floors additionally
+    # pinned in tests/test_ann_recall.py)
     "q_ivf_topk",
     "q_lsh_ann_topk",
     "q_cosine_neardup_pairs",

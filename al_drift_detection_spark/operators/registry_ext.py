@@ -495,8 +495,9 @@ def _ivf_index_oracle_sql() -> str:
     "q_ivf_index_topk",
     _ivf_index_oracle_sql,
     "PERSISTED incremental IVF index (similarity.build_ivf_index / "
-    "update_ivf_index / ivf_index_topk; ref gan.py:161-170 frozen-layer "
-    "incremental-retrain analog): even-id batch trains + writes the index "
+    "update_ivf_index / ivf_index_topk; SURVEY.md §4 row 4 / ref "
+    "gan.py:161-170 frozen-layer incremental-retrain analog, applied to "
+    "the brief's ANN family): even-id batch trains + writes the index "
     "cell-PARTITIONED, the full table then updates it — only odd ids are "
     "assigned (frozen centroids) and appended to their cell directories; "
     "the query probes n_probe cells via PARTITION PRUNING at the scan. "

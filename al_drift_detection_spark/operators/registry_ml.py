@@ -856,8 +856,9 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q_incremental_dedup_pairs",
     None,
-    "incremental MinHash-LSH dedup across corpus snapshots (VERDICT r5 "
-    "missing #1; ref gan.py:161-170 incremental-vs-full retrain analog): "
+    "incremental MinHash-LSH dedup across corpus snapshots (SURVEY.md §4 "
+    "row 4's incremental-vs-full retrain distinction applied to the brief's "
+    "dedup family; VERDICT r5 missing #1; ref gan.py:161-170): "
     "batch 1 builds the signature/band store, batch 2 signs ONLY its new "
     "docs and probes the persisted store (new×all bucketed band join). "
     "SELF-VERIFYING rows-only entry: parity_with_full compares the union "
@@ -880,33 +881,39 @@ def q_incremental_dedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
         )
         inc = b1.unionByName(b2).select("a_id", "b_id", "est_jaccard")
         full = D.minhash_lsh_pairs(docs, k=32, bands=8)
-        # incremental ∪ must equal the one-shot pair set exactly (full-outer
-        # presence check; exceptAll trips a Catalyst attribute-binding bug on
-        # this plan shape in Spark 4.1)
-        keys = ["a_id", "b_id", "est_jaccard"]
-        ic = inc.groupBy(keys).agg(F.count(F.lit(1)).alias("n_inc"))
-        fc = full.groupBy(keys).agg(F.count(F.lit(1)).alias("n_full"))
-        mismatch = (
-            ic.join(fc, keys, "full_outer")
-            .filter(
-                F.col("n_inc").isNull()
-                | F.col("n_full").isNull()
-                | (F.col("n_inc") != F.col("n_full"))
-            )
-            .count()
-        )
-        D.release(full)
-        return inc.withColumn("parity_with_full", F.lit(mismatch == 0))
+        return _parity_with_full(inc, full, ["a_id", "b_id", "est_jaccard"])
     finally:
         shutil.rmtree(store.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def _parity_with_full(inc, full, keys):
+    """Self-verification shared by the incremental dedup entries: the union
+    of per-batch pair outputs must equal the one-shot recompute exactly
+    (full-outer presence check; exceptAll trips a Catalyst
+    attribute-binding bug on this plan shape in Spark 4.1). Returns `inc`
+    with the boolean parity_with_full column the gate hashes."""
+    ic = inc.groupBy(keys).agg(F.count(F.lit(1)).alias("n_inc"))
+    fc = full.groupBy(keys).agg(F.count(F.lit(1)).alias("n_full"))
+    mismatch = (
+        ic.join(fc, keys, "full_outer")
+        .filter(
+            F.col("n_inc").isNull()
+            | F.col("n_full").isNull()
+            | (F.col("n_inc") != F.col("n_full"))
+        )
+        .count()
+    )
+    D.release(full)
+    return inc.withColumn("parity_with_full", F.lit(mismatch == 0))
 
 
 @register(
     "q_incremental_simhash_pairs",
     None,
     "incremental SimHash dedup across corpus snapshots (fingerprint twin of "
-    "q_incremental_dedup_pairs; ref gan.py:161-170 incremental-vs-full "
-    "retrain analog): batch 1 builds the banded fingerprint store, batch 2 "
+    "q_incremental_dedup_pairs; SURVEY.md §4 row 4 incremental-vs-full "
+    "retrain analog, ref gan.py:161-170): "
+    "batch 1 builds the banded fingerprint store, batch 2 "
     "signs ONLY its new docs and probes new×(store∪new) on the (band, "
     "band-value) key with the exact bit_count(xor)≤d filter. SELF-VERIFYING "
     "rows-only entry: parity_with_full compares the union of both batches' "
@@ -929,20 +936,7 @@ def q_incremental_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
         )
         inc = b1.unionByName(b2).select("a_id", "b_id", "hamming")
         full = D.simhash_pairs(docs, max_distance=3, bands=4)
-        keys = ["a_id", "b_id", "hamming"]
-        ic = inc.groupBy(keys).agg(F.count(F.lit(1)).alias("n_inc"))
-        fc = full.groupBy(keys).agg(F.count(F.lit(1)).alias("n_full"))
-        mismatch = (
-            ic.join(fc, keys, "full_outer")
-            .filter(
-                F.col("n_inc").isNull()
-                | F.col("n_full").isNull()
-                | (F.col("n_inc") != F.col("n_full"))
-            )
-            .count()
-        )
-        D.release(full)
-        return inc.withColumn("parity_with_full", F.lit(mismatch == 0))
+        return _parity_with_full(inc, full, ["a_id", "b_id", "hamming"])
     finally:
         shutil.rmtree(store.rsplit("/", 1)[0], ignore_errors=True)
 

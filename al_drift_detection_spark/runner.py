@@ -180,6 +180,11 @@ def main(argv: list[str] | None = None) -> int:
         from al_drift_detection_spark.orbits import NON_FEATURE_COLS
         from al_drift_detection_spark.sources import read_orbit_csvs
 
+        if args.orbits is None:
+            ap.error("--crossings needs --orbits (the labeled corpus CSVs)")
+        if args.drifts is None:
+            ap.error("--crossings needs --drifts (a '{orbit} {drift}' file, "
+                     "e.g. a previous --orbits run's drifts.txt)")
         if args.sets > 1 and "{set}" not in args.drifts:
             ap.error("--crossings --sets N needs a '{set}' placeholder in --drifts")
         corpus = read_orbit_csvs(spark, args.orbits, schema=args.orbit_schema)
@@ -367,30 +372,60 @@ def main(argv: list[str] | None = None) -> int:
         fp = meta_full.select("image_id", "phash")
         if args.image_dedup_store:
             # INCREMENTAL: sign only images absent from the persisted banded
-            # store, probe new×(store∪new); a new image is dropped iff it
-            # near-dups ANY earlier-signed image or a smaller-id batchmate
-            # (pair ids are (least, greatest)-normalized, so that is
-            # exactly "appears as b_id")
-            # pairs write rides the `sink` seam so the DURABLE emission
-            # happens BEFORE the store append — writing after the call
-            # returns would leave a crash window (append done, pairs not)
-            # that a retry cannot repair (replay signs 0, emits 0)
-            pairs = incremental_hamming_pairs(
-                fp, args.image_dedup_store, "phash", "image_id",
-                max_distance=3, bands=4,
-                sink=lambda p: p.write.mode("overwrite").parquet(
-                    f"{args.out}/image_dedup_pairs"
-                ),
+            # store, probe new×(store∪new). The durable pair record is a
+            # LEDGER beside the store, partitioned by a store-generation
+            # batch key (deterministic under crash-retry: the store is
+            # unchanged until the append, so a replay that re-signs hits
+            # the SAME partition with the SAME pairs; a replay after the
+            # append emits an empty frame whose dynamic-partition overwrite
+            # touches nothing — earlier emissions survive). The write rides
+            # the `sink` seam so the durable emission happens BEFORE the
+            # store append — writing after the call returns would leave a
+            # crash window (append done, pairs not) that a retry cannot
+            # repair (replay signs 0, emits 0).
+            import os as _os
+
+            from al_drift_detection_spark.functions.dedup import incremental_keep
+
+            store = args.image_dedup_store
+            ledger_path = store.rstrip("/") + "_pairs"
+            batch_key = (
+                spark.read.parquet(store).select("id").distinct().count()
+                if _os.path.exists(store)
+                else 0
             )
-            # distinct ids on the build side: planted duplicate image_ids
+
+            def _sink(p):
+                (
+                    p.withColumn("_batch_id", F.lit(int(batch_key)))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(ledger_path)
+                )
+
+            pairs = incremental_hamming_pairs(
+                fp, store, "phash", "image_id",
+                max_distance=3, bands=4, sink=_sink,
+            )
+            # per-run convenience copy (THIS run's emissions; the ledger is
+            # the durable cumulative record — a replay run's copy is empty)
+            pairs.write.mode("overwrite").parquet(f"{args.out}/image_dedup_pairs")
+            # keep/drop is FIRST-SIGNED-WINS, derived from the cumulative
+            # ledger, never from the in-flight batch frame — so a replayed
+            # run (0 signed, 0 pairs) reproduces the first run's verdicts
+            # (incremental_keep docstring). Explicit-schema read: a pair-less
+            # first run leaves a ledger directory without inferable schema.
+            ledger = spark.read.schema(
+                "a_id string, b_id string, hamming int, a_new boolean, "
+                "b_new boolean, n_new_signed long, _batch_id long"
+            ).parquet(ledger_path)
+            # distinct ids on the verdict side: planted duplicate image_ids
             # would otherwise fan the row-level left join out
-            keep = fp.select("image_id").distinct().join(
-                pairs.select(F.col("b_id").alias("image_id")).distinct(),
-                "image_id", "left_anti",
-            ).withColumn("keep", F.lit(True))
-            clusters = fp.select("image_id").join(
-                keep.select("image_id", "keep"), "image_id", "left"
-            ).na.fill({"keep": False})
+            keep = incremental_keep(
+                fp.select("image_id").distinct(), ledger, "image_id"
+            )
+            clusters = fp.select("image_id").join(keep, "image_id", "left")
         else:
             pairs = hamming_pairs(fp, "phash", "image_id", max_distance=3, bands=4)
             clusters = dedup_clusters(fp.select("image_id"), pairs, id_col="image_id")

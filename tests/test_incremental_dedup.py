@@ -190,6 +190,84 @@ def test_incremental_hamming_signs_only_new_and_idempotent(
     assert spark.read.parquet(store).count() == rows_after_b1 + 4 * 4
 
 
+def test_pair_flags_and_first_signed_wins_keep(spark, fp_corpus, tmp_path):
+    """a_new/b_new record which NORMALIZED side each batch signed, and
+    incremental_keep derives first-signed-wins verdicts from the cumulative
+    ledger — including the case a naive 'drop b_id' rule gets wrong: a new
+    image whose stored twin has the GREATER id (pair ('a','k'): 'a' stored,
+    'k' new → drop 'k'; and batch 3's 'A' < stored 'a' → pair ('A','a')
+    puts the STORED twin at b_id, yet 'A' must be the one dropped)."""
+    from al_drift_detection_spark.functions.dedup import (
+        incremental_hamming_pairs,
+        incremental_keep,
+    )
+
+    b1, b2 = fp_corpus
+    store = str(tmp_path / "fp_banded")
+    p1 = incremental_hamming_pairs(b1, store, "phash", "image_id", 3, 4)
+    p2 = incremental_hamming_pairs(b2, store, "phash", "image_id", 3, 4)
+    flags = {
+        (r["a_id"], r["b_id"]): (r["a_new"], r["b_new"])
+        for r in p1.unionByName(p2).collect()
+    }
+    assert flags[("a", "b")] == (True, True)    # both new in batch 1
+    assert flags[("a", "k")] == (False, True)   # 'a' stored, 'k' new
+    assert flags[("m", "n")] == (True, True)    # both new in batch 2
+
+    # batch 3: 'A' sorts BEFORE its stored twin 'a' → lands at a_id
+    base = 0x1234_5678_9ABC_DEF0
+    b3 = _fps(spark, [("A", base ^ 0b1)])
+    p3 = incremental_hamming_pairs(b3, store, "phash", "image_id", 3, 4)
+    flags3 = {
+        (r["a_id"], r["b_id"]): (r["a_new"], r["b_new"]) for r in p3.collect()
+    }
+    assert flags3[("A", "a")] == (True, False)  # new side is a_id this time
+
+    ledger = p1.unionByName(p2).unionByName(p3)
+    ids = spark.createDataFrame(
+        [(x,) for x in ["a", "b", "c", "k", "m", "n", "z", "A"]],
+        "image_id string",
+    )
+    keep = {
+        r["image_id"]: r["keep"]
+        for r in incremental_keep(ids, ledger, "image_id").collect()
+    }
+    # first-signed-wins: a admitted first; b (greater batchmate), k (twin of
+    # stored a), n (greater batchmate), A (twin of stored a, SMALLER id —
+    # the naive-rule regression) all dropped
+    assert keep == {"a": True, "c": True, "m": True, "z": True,
+                    "b": False, "k": False, "n": False, "A": False}
+
+    # replay stability: verdicts are a pure function of the durable ledger —
+    # a retried batch that signs 0 docs leaves them unchanged
+    p3_replay = incremental_hamming_pairs(b3, store, "phash", "image_id", 3, 4)
+    assert p3_replay.count() == 0
+    keep_replay = {
+        r["image_id"]: r["keep"]
+        for r in incremental_keep(ids, ledger, "image_id").collect()
+    }
+    assert keep_replay == keep
+
+
+def test_minhash_pair_flags(spark, corpus, tmp_path):
+    """The MinHash twin carries the same a_new/b_new ledger flags: the
+    cross-batch dup (0 stored, 10 new) flags (False, True); in-batch pairs
+    flag (True, True)."""
+    from al_drift_detection_spark.functions.dedup import incremental_minhash_pairs
+
+    b1, b2 = corpus
+    store = str(tmp_path / "banded")
+    p1 = incremental_minhash_pairs(b1, store, k=16, bands=4)
+    p2 = incremental_minhash_pairs(b2, store, k=16, bands=4)
+    flags = {
+        (r["a_id"], r["b_id"]): (r["a_new"], r["b_new"])
+        for r in p1.unionByName(p2).collect()
+    }
+    assert flags[(0, 1)] == (True, True)
+    assert flags[(0, 10)] == (False, True)
+    assert flags[(11, 12)] == (True, True)
+
+
 def test_incremental_simhash_registry_parity(spark):
     """q_incremental_simhash_pairs on the real documents table: the
     self-verifying parity column holds on every emitted pair."""
@@ -223,3 +301,89 @@ def test_runner_incremental_image_dedup(spark, tmp_path_factory):
     assert len(pairs2) == 0
     keep2 = spark.read.parquet(f"{out2}/image_dedup").toPandas()
     assert len(keep2) == 2000 and keep2["keep"].all()
+
+
+def _planted_images(spark, rows):
+    """Minimal input_hint-shaped corpus (no bytes — the runner only needs
+    them under --decode) with plantable phashes."""
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["image_id", "w", "h", "fmt", "caption", "phash",
+                           "part", "window_id"]
+        ),
+        "image_id string, w int, h int, fmt string, caption string, "
+        "phash long, part int, window_id int",
+    )
+
+
+def test_runner_incremental_image_dedup_planted_and_replayed(
+    spark, tmp_path_factory
+):
+    """The CLI's incremental image-dedup verdicts survive the two failure
+    modes of a naive per-run derivation: (a) a new image whose stored twin
+    has the GREATER id is still the one dropped (first-signed-wins, not
+    drop-b_id), and (b) a replayed run — same command, same --out — signs
+    nothing yet reproduces the SAME verdicts from the durable ledger
+    instead of marking every known duplicate keep=True."""
+    from al_drift_detection_spark import runner
+
+    root = tmp_path_factory.mktemp("incdedup_planted")
+    store = str(root / "phash_store")
+    base = 0x1234_5678_9ABC_DEF0
+
+    def mk(i, image_id, phash):
+        return (image_id, 32 + i, 32, "png", f"cap {i}", phash,
+                i % 2, i % 4)
+
+    # 8-bit spreads keep every planted pair of distinct images ≥ 8 bits
+    # apart except the deliberate near-dups below
+    corpus_a = [mk(i, f"r{i:02d}", base ^ (0xFF << (4 * i))) for i in range(10)]
+    corpus_a += [mk(10, "r10", ~base), mk(11, "r11", ~base ^ 0b1)]  # in-batch pair
+    in1 = str(root / "in1")
+    _planted_images(spark, corpus_a).write.parquet(in1)
+    ref = str(root / "ref")  # referential check's phash whitelist
+    _planted_images(
+        spark, corpus_a + [mk(12, "a_new", (base ^ (0xFF << 20)) ^ 0b10),
+                           mk(13, "s_unique", 0x0F0F_0F0F_0F0F_0F0F)]
+    ).select("image_id", "phash").write.parquet(ref)
+    out1 = str(root / "o1")
+    assert runner.main([
+        "--images", in1, "--ref", ref, "--out", out1, "--master", "local[8]",
+        "--image-dedup", "--image-dedup-store", store,
+    ]) == 0
+    keep1 = dict(
+        spark.read.parquet(f"{out1}/image_dedup").toPandas()
+        .itertuples(index=False)
+    )
+    assert keep1["r10"] and not keep1["r11"]  # greater batchmate dropped
+
+    # run 2: 'a_new' near-dups STORED 'r05' but sorts BEFORE it → lands at
+    # a_id; a drop-b_id rule would evict the already-admitted r05 instead
+    corpus_b = corpus_a + [
+        mk(12, "a_new", (base ^ (0xFF << 20)) ^ 0b10),  # 1 bit off r05's phash
+        mk(13, "s_unique", 0x0F0F_0F0F_0F0F_0F0F),
+    ]
+    in2 = str(root / "in2")
+    _planted_images(spark, corpus_b).write.parquet(in2)
+    out2 = str(root / "o2")
+    run2 = ["--images", in2, "--ref", ref, "--out", out2,
+            "--master", "local[8]",
+            "--image-dedup", "--image-dedup-store", store]
+    assert runner.main(run2) == 0
+    pairs2 = spark.read.parquet(f"{out2}/image_dedup_pairs").toPandas()
+    assert set(zip(pairs2["a_id"], pairs2["b_id"])) == {("a_new", "r05")}
+    keep2 = dict(
+        spark.read.parquet(f"{out2}/image_dedup").toPandas()
+        .itertuples(index=False)
+    )
+    assert keep2["r05"] and not keep2["a_new"]  # stored twin stays admitted
+    assert not keep2["r11"] and keep2["s_unique"]
+
+    # replay: same command, same --out — crash-retry shape
+    assert runner.main(run2) == 0
+    assert spark.read.parquet(f"{out2}/image_dedup_pairs").count() == 0
+    keep_replay = dict(
+        spark.read.parquet(f"{out2}/image_dedup").toPandas()
+        .itertuples(index=False)
+    )
+    assert keep_replay == keep2  # verdicts survive the replay

@@ -51,11 +51,19 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
-    qs, sqls = E.queries(), E.oracle_sql()
+    from al_drift_detection_spark.operators import REGISTRY
+
+    qs = E.queries()
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # resolve lazy oracle builders per-name AFTER the filter: a sweep of
+        # one unrelated query must not pay (or depend on) the IVF builders'
+        # parquet reads + k-means trainings
+        spec_sql = REGISTRY[name].sql
+        sqls = {name: spec_sql() if callable(spec_sql) else spec_sql} \
+            if spec_sql is not None else {}
         spark.catalog.clearCache()  # no cross-query persisted-frame buildup
         try:
             got = fn(spark, sf).toPandas()
@@ -91,15 +99,17 @@ def main() -> int:
             continue
         print(f"OK    {name}: {len(g)} rows")
     # the AUTHORITATIVE registry counts (docs reference this artifact —
-    # CLAUDE.md / README / COVERAGE quote numbers from here, not by hand)
+    # CLAUDE.md / README / COVERAGE quote numbers from here, not by hand);
+    # counted from spec.sql PRESENCE, not resolved SQL strings
     from al_drift_detection_spark.operators import GATE_WINDOW
 
+    has_oracle = {n for n, spec in REGISTRY.items() if spec.sql is not None}
     window = list(qs)[:GATE_WINDOW]
     print(
-        f"\nregistry: {len(qs)} entries, {len(sqls)} with DuckDB oracles; "
+        f"\nregistry: {len(qs)} entries, {len(has_oracle)} with DuckDB oracles; "
         f"gate window = first {GATE_WINDOW} "
-        f"({sum(1 for n in window if n in sqls)} oracle + "
-        f"{sum(1 for n in window if n not in sqls)} rows-only)"
+        f"({sum(1 for n in window if n in has_oracle)} oracle + "
+        f"{sum(1 for n in window if n not in has_oracle)} rows-only)"
     )
     print(f"{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
     return 1 if n_fail else 0

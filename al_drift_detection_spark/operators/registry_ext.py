@@ -812,12 +812,43 @@ def q_ingestion_gaps(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_schema_check",
-    None,
+    """
+    WITH actual AS (
+      SELECT column_name AS col,
+             CASE data_type
+               WHEN 'BIGINT' THEN 'bigint'
+               WHEN 'VARCHAR' THEN 'string'
+               WHEN 'INTEGER' THEN 'int'
+               WHEN 'DOUBLE' THEN 'double'
+               WHEN 'FLOAT' THEN 'float'
+               WHEN 'REAL' THEN 'float'
+               WHEN 'BOOLEAN' THEN 'boolean'
+               WHEN 'BLOB' THEN 'binary'
+               ELSE lower(data_type)
+             END AS typ
+      FROM information_schema.columns WHERE table_name = 'documents'
+    ),
+    expected(col, typ) AS (
+      VALUES ('doc_id', 'bigint'), ('text', 'string'), ('lang', 'string'),
+             ('source', 'int'), ('quality', 'double')
+    )
+    SELECT coalesce(e.col, a.col) AS "column",
+           e.typ AS expected_type,
+           a.typ AS actual_type,
+           CASE WHEN a.col IS NULL THEN 'missing'
+                WHEN e.col IS NULL THEN 'unexpected'
+                WHEN e.typ <> a.typ THEN 'type_mismatch'
+                ELSE 'ok' END AS status
+    FROM expected e FULL OUTER JOIN actual a ON e.col = a.col
+    """,
     "SCHEMA validation (the north_star's 'schema + constraint validation' "
     "schema half; ref util.py:78-96 fixed-column contract): documents "
     "schema vs an expected DDL with one planted type mismatch and one "
     "missing column -> (column, expected_type, actual_type, status) verdict "
-    "rows; pure metadata (no job) -> no ANSI oracle; golden pytest",
+    "rows. FULL oracle: DuckDB independently reads the parquet schema via "
+    "information_schema.columns (its type names mapped to Spark "
+    "simpleStrings) against the same expected-DDL literals — both sides "
+    "inspect metadata only, no data scan",
 )
 def q_schema_check(spark: SparkSession, sf: str) -> DataFrame:
     from al_drift_detection_spark.functions.health import schema_check

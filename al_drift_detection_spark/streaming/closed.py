@@ -9,7 +9,9 @@ reference's detector only votes when a window CLOSES (gan.py:737-757 — it
 never emits on a partial window). These operators reproduce that contract
 with applyInPandasWithState + EventTimeTimeout:
 
-- group key = the tumbling event-time window (start, end) of ts_col;
+- group key = the event-time window (start, end) of ts_col — tumbling by
+  default, SLIDING when `slide` is given (each overlapping window instance
+  is its own group/state/timeout — see _windowed);
 - per micro-batch, each INPUT PARTITION's fragment is first reduced to
   mergeable partials (row/null counts, bounded category counts, bounded
   samples, KMV sketches) by a DISTRIBUTED mapInPandas pre-reducer — one
@@ -67,14 +69,22 @@ HEALTH_OUT_SCHEMA = (
 HEALTH_STATE_SCHEMA = "n long, nulls array<long>"
 
 
-def _windowed(stream_df: DataFrame, ts_col: str, window: str):
-    """Frame with the tumbling window's (start, end) as columns — the group
-    key for the stateful close. Parquet NTZ timestamps are cast (session TZ
-    pinned UTC, values unchanged — streaming_window_stats convention). The
-    watermark is declared AFTER the pre-reducer (on `_pre_ts`): mapInPandas
-    mints new attributes, which would sever a watermark declared here."""
+def _windowed(stream_df: DataFrame, ts_col: str, window: str, slide: str | None = None):
+    """Frame with the event-time window's (start, end) as columns — the
+    group key for the stateful close. Tumbling by default; a `slide` <
+    `window` makes the family SLIDING (the streaming twin of the batch W8
+    sliding shape): Catalyst's TimeWindowing rule fans each row out to its
+    ceil(window/slide) overlapping windows, every downstream piece — the
+    pre-reducer's per-(window × chunk) partials, the (start, end) state
+    key, the per-window-end timeout — is already window-instance-keyed, so
+    each overlapping window closes independently with a verdict over its
+    full row set. Parquet NTZ timestamps are cast (session TZ pinned UTC,
+    values unchanged — streaming_window_stats convention). The watermark is
+    declared AFTER the pre-reducer (on `_pre_ts`): mapInPandas mints new
+    attributes, which would sever a watermark declared here."""
     d = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    return d.withColumn("_w", F.window(F.col(ts_col), window)).withColumn(
+    w = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    return d.withColumn("_w", w).withColumn(
         "_w_start", F.col("_w.start")
     ).withColumn("_w_end", F.col("_w.end"))
 
@@ -130,6 +140,7 @@ def closed_cat_drift(
     ref_props: dict[str, float],
     window: str = "5 minutes",
     watermark: str = "10 minutes",
+    slide: str | None = None,
     alpha: float = 0.01,
     eps: float = 1e-6,
 ) -> DataFrame:
@@ -185,7 +196,7 @@ def closed_cat_drift(
         return
         yield  # pragma: no cover — generator form
 
-    win = _windowed(stream_df, ts_col, window)
+    win = _windowed(stream_df, ts_col, window, slide)
     # the category is cast/coalesced with the SAME Spark expressions as the
     # batch operator so the two bucket identically for every input type
     cat = F.coalesce(F.col(cat_col).cast("string"), F.lit("(null)")).alias("_cat")
@@ -203,6 +214,7 @@ def closed_window_health(
     ref_null_ratios: dict[str, float],
     window: str = "5 minutes",
     watermark: str = "10 minutes",
+    slide: str | None = None,
     low: float = 0.5,
     high: float = 2.0,
     threshold: float = 0.05,
@@ -260,7 +272,7 @@ def closed_window_health(
         return
         yield  # pragma: no cover — generator form
 
-    win = _windowed(stream_df, ts_col, window)
+    win = _windowed(stream_df, ts_col, window, slide)
     reduced = _pre_reduce(
         win, ts_col, cols, reduce_group, "_n long, _nulls array<long>", watermark,
     )
@@ -282,6 +294,7 @@ def closed_drift_scores(
     ref_samples: dict,
     window: str = "5 minutes",
     watermark: str = "10 minutes",
+    slide: str | None = None,
     ks_alpha: float = 0.01,
     psi_threshold: float = 0.25,
     mmd_threshold: float = 0.05,
@@ -373,7 +386,7 @@ def closed_drift_scores(
         return
         yield  # pragma: no cover — generator form
 
-    win = _windowed(stream_df, ts_col, window)
+    win = _windowed(stream_df, ts_col, window, slide)
     reduced = _pre_reduce(
         win, ts_col, value_cols, reduce_group,
         "_n long, _samples array<array<double>>", watermark,
@@ -395,6 +408,7 @@ def closed_window_uniqueness(
     ref_ratio: float,
     window: str = "5 minutes",
     watermark: str = "10 minutes",
+    slide: str | None = None,
     threshold: float = 0.05,
     k: int = 4096,
 ) -> DataFrame:
@@ -474,7 +488,7 @@ def closed_window_uniqueness(
         return
         yield  # pragma: no cover — generator form
 
-    win = _windowed(stream_df, ts_col, window)
+    win = _windowed(stream_df, ts_col, window, slide)
     # xxhash64 is a signed long; shift to uniform [0, 1) JVM-side — only the
     # hash crosses into Python, never the key bytes. NULL keys must map to a
     # NULL hash explicitly: xxhash64(NULL) returns the SEED (never NULL),

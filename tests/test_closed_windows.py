@@ -466,3 +466,60 @@ def test_closed_drift_scores_over_cap_fragment_volume(spark, tmp_path_factory):
     assert got.loc["ks", "statistic"] == pytest.approx(
         batch.loc["ks", "statistic"], abs=0.05
     )
+
+
+def test_closed_sliding_windows_health(spark, tmp_path_factory):
+    """slide < window makes the closed family SLIDING (streaming twin of
+    the batch W8 sliding shape): every overlapping window instance closes
+    independently with exact counts over ITS full row set — rows planted in
+    three 2-minute lanes must appear in both 4-minute windows covering each
+    lane."""
+    from al_drift_detection_spark.streaming.closed import closed_window_health
+
+    inp = str(tmp_path_factory.mktemp("slide") / "in")
+
+    def lane(offset_s, n, n_null):
+        return pd.DataFrame({
+            "ts": [BASE + pd.Timedelta(seconds=offset_s + 2 * i) for i in range(n)],
+            "caption": [None if i < n_null else f"c{i}" for i in range(n)],
+        })
+
+    frames = [lane(0, 10, 2), lane(120, 20, 5), lane(240, 30, 0)]
+    sentinel = pd.DataFrame({"ts": [BASE + pd.Timedelta(hours=1)], "caption": ["x"]})
+    _write_batches(
+        spark, inp, frames + [sentinel], schema="ts timestamp, caption string"
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, caption string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = closed_window_health(
+        stream, "ts", ref_volume=30.0, ref_null_ratios={"caption": 0.0},
+        window="4 minutes", watermark="1 minute", slide="2 minutes",
+    )
+    _run_stream(out, "slide_out")
+    got = spark.sql("SELECT * FROM slide_out").toPandas()
+
+    vol = got[got["check"] == "volume"].set_index("window_start")
+    # four closed window instances, each the union of its two 2-min lanes
+    want_n = {
+        BASE - pd.Timedelta(minutes=2): 10,
+        BASE: 30,
+        BASE + pd.Timedelta(minutes=2): 50,
+        BASE + pd.Timedelta(minutes=4): 30,
+    }
+    assert {k: int(v) for k, v in vol["n_rows"].items()} == want_n
+    assert vol.loc[BASE - pd.Timedelta(minutes=2), "verdict"] == "fail"  # 10/30
+    assert (vol.loc[list(want_n)[1:], "verdict"] == "pass").all()
+
+    comp = got[got["check"] == "completeness"].set_index("window_start")
+    want_ratio = {
+        BASE - pd.Timedelta(minutes=2): 0.2,
+        BASE: round(7 / 30, 6),
+        BASE + pd.Timedelta(minutes=2): 0.1,
+        BASE + pd.Timedelta(minutes=4): 0.0,
+    }
+    assert {k: float(v) for k, v in comp["metric"].items()} == want_ratio
+    assert comp.loc[BASE + pd.Timedelta(minutes=4), "verdict"] == "pass"
+    assert (comp.drop(BASE + pd.Timedelta(minutes=4))["verdict"] == "fail").all()

@@ -62,6 +62,9 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # centroids + ranking contract; adds on-disk layout + incremental
     # update accounting, full oracle via _ivf_index_oracle_sql)
     "q_ivf_index_topk",
+    # schema half of the validation family (verdict/constraint halves are
+    # in-window); oracle is a metadata-only information_schema comparison
+    "q_schema_check",
 }
 
 

@@ -155,6 +155,12 @@ def main(argv: list[str] | None = None) -> int:
         "--stream-watermark", type=int, default=60, metavar="SECONDS",
         help="watermark (lateness allowance) for --stream (default 60)",
     )
+    ap.add_argument(
+        "--stream-slide", type=int, default=None, metavar="SECONDS",
+        help="slide interval for --stream: overlapping event-time windows "
+        "(< --stream-window) — each window instance closes independently "
+        "with a verdict over its full row set; default tumbling",
+    )
     ap.add_argument("--resume", action="store_true", help="skip partitions already passed in checkpoint")
     ap.add_argument("--run-id", default="run1")
     ap.add_argument(
@@ -326,6 +332,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, f"{args.out}/_stream_input", args.out, refs, cat_cols,
             window_seconds=args.stream_window,
             watermark=f"{args.stream_watermark} seconds",
+            slide_seconds=args.stream_slide,
         )
         print(json.dumps({
             "mode": "stream", "windows": n_windows, "tables": counts,

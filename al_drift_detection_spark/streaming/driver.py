@@ -165,6 +165,7 @@ def run_closed_streams(
     window_seconds: int = 300,
     watermark: str = "60 seconds",
     files_per_trigger: int = 1,
+    slide_seconds: int | None = None,
 ) -> dict[str, int]:
     """Run the four closed-window verdict streams over the staged feed with
     parquet sinks + checkpoints, availableNow-bounded; returns per-table
@@ -180,6 +181,7 @@ def run_closed_streams(
     )
 
     window = f"{window_seconds} seconds"
+    slide = f"{slide_seconds} seconds" if slide_seconds else None
 
     def src():
         return (
@@ -191,21 +193,21 @@ def run_closed_streams(
     outs = {
         "stream_drift": closed_drift_scores(
             src(), "ts", ["w", "h"], refs["samples"],
-            window=window, watermark=watermark,
+            window=window, watermark=watermark, slide=slide,
         ),
         "stream_health": closed_window_health(
             src(), "ts", refs["volume"], refs["null_ratios"],
-            window=window, watermark=watermark,
+            window=window, watermark=watermark, slide=slide,
         ),
         "stream_uniqueness": closed_window_uniqueness(
             src(), "ts", "image_id", refs["uniq_ratio"],
-            window=window, watermark=watermark,
+            window=window, watermark=watermark, slide=slide,
         ),
     }
     for col in cat_cols:
         outs[f"stream_cat_drift_{col}"] = closed_cat_drift(
             src(), "ts", col, refs["cat_props"][col],
-            window=window, watermark=watermark,
+            window=window, watermark=watermark, slide=slide,
         )
 
     queries = []

@@ -87,3 +87,25 @@ def test_stream_feed_is_replayable_per_window(spark, stream_out):
     batch_files = [f for f in files if f.startswith("batch_")]
     assert len(batch_files) == 6
     assert len(files) - len(batch_files) == 1  # the sentinel
+
+
+def test_stream_slide_cli(spark, tmp_path_factory):
+    """--stream-slide S: overlapping window instances, each closing
+    independently. With 3 positional windows (900 s of events) and
+    slide = W/2, the closed instances are the 7 starts spaced 150 s from
+    -150 s to +750 s, and every row lands in exactly TWO instances — so
+    volume n_rows sums to 2 x corpus size."""
+    from al_drift_detection_spark import runner
+
+    out = str(tmp_path_factory.mktemp("slide_cli") / "out")
+    rc = runner.main([
+        "--images", "synthetic:6000", "--out", out, "--stream",
+        "--stream-slide", "150", "--master", "local[8]",
+    ])
+    assert rc == 0
+    health = spark.read.parquet(f"{out}/stream_health").toPandas()
+    vol = health[health["check"] == "volume"].sort_values("window_start")
+    starts = ((vol["window_start"] - BASE).dt.total_seconds()).astype(int).tolist()
+    assert starts == list(range(-150, 751, 150))
+    assert ((vol["window_end"] - vol["window_start"]).dt.total_seconds() == W).all()
+    assert vol["n_rows"].sum() == 2 * 6000

@@ -1,0 +1,126 @@
+"""Mergeable HyperLogLog uniqueness sketches (Apache DataSketches via the
+Spark built-ins hll_sketch_agg / hll_union_agg / hll_sketch_estimate — pure
+JVM partial+final aggregation, no UDF anywhere).
+
+The north_star names "HyperLogLog-sketch uniqueness on image_id/phash"
+explicitly: at 10^12 images an exact count_distinct shuffles every key, and a
+CUMULATIVE uniqueness series ("how many distinct ids so far, per window")
+re-shuffles the whole history per window. Sketches fix both: one pass folds
+each window into a few-KB binary sketch; cumulative/corpus-level answers are
+unions of the PER-WINDOW sketches — O(windows × sketch_size), no second look
+at the data. The same mergeability gives INCREMENTAL uniqueness across corpus
+snapshots (the engine's round-6 theme — incremental dedup, incremental IVF):
+a daily ingest sketches only its own rows and appends to a persisted sketch
+store; corpus-lifetime distinct counts are unions over the store (reference
+analog: the incremental-vs-full retrain distinction, /root/reference/
+gan.py:161-170 — SURVEY.md §4 row 4, applied to the A2/§2.10 uniqueness
+surface; exact/approx twins live in functions/health.uniqueness_drift).
+
+The estimate is verified two ways: q_hll_uniqueness emits the estimate-vs-
+exact verdict column (the exact side via the scale-safe first-occurrence
+cumulative below — one groupBy(id), never a per-window re-shuffle) under a
+DuckDB oracle that recomputes the exact side independently; and the
+union-merge identity (sketch(A) ∪ sketch(B) estimates exactly what
+sketch(A ∪ B) estimates — HLL register state is order- and
+partition-insensitive) is pinned in tests/test_sketches.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def window_hll_sketches(
+    df: DataFrame, col: str, window_col: str, lgk: int = 12
+) -> DataFrame:
+    """One HLL sketch (+ row count) per window: a single partial+final
+    aggregate pass — the map side folds each partition's rows into a local
+    sketch, the reduce side unions sketches, nothing else shuffles.
+    Output: (window_col, n_rows, sketch:binary, est:long)."""
+    return df.groupBy(window_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias("sketch"),
+    ).withColumn("est", F.hll_sketch_estimate("sketch"))
+
+
+def cumulative_uniqueness(sketches: DataFrame, window_col: str) -> DataFrame:
+    """Cumulative distinct-count series from PER-WINDOW sketches alone: for
+    each window t, union the sketches of windows ≤ t (prefix self-join over
+    the O(windows)-by-construction sketch frame — the raw data is never
+    touched again). Output: (window_col, est_cum:long)."""
+    a = sketches.select(F.col(window_col).alias("_t"))
+    b = sketches.select(F.col(window_col).alias("_i"), "sketch")
+    return (
+        a.join(b, F.col("_i") <= F.col("_t"))
+        .groupBy("_t")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_cum"))
+        .select(F.col("_t").alias(window_col), "est_cum")
+    )
+
+
+def exact_cumulative_distinct(
+    df: DataFrame, col: str, window_col: str
+) -> DataFrame:
+    """Scale-safe EXACT cumulative distinct twin (the verification side):
+    distinct count over windows ≤ t == count of ids whose FIRST occurrence
+    window is ≤ t — one groupBy(id) → per-window first-occurrence counts →
+    prefix sum over the aggregated O(windows) frame. Never joins raw rows
+    per window. Output: (window_col, n_exact_cum:long)."""
+    first = df.groupBy(col).agg(F.min(window_col).alias("_fw"))
+    per_w = first.groupBy("_fw").agg(F.count(F.lit(1)).alias("_nf"))
+    wids = df.select(window_col).distinct()
+    w = Window.orderBy(window_col).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        wids.join(per_w, wids[window_col] == per_w["_fw"], "left")
+        .select(window_col, F.coalesce("_nf", F.lit(0)).alias("_nf"))
+        .withColumn("n_exact_cum", F.sum("_nf").over(w))
+        .select(window_col, "n_exact_cum")
+    )
+
+
+def update_hll_store(
+    df_new: DataFrame,
+    store_path: str,
+    col: str,
+    window_col: str,
+    snapshot_id: int,
+    lgk: int = 12,
+) -> None:
+    """Append one snapshot's per-window sketches to the persisted store —
+    the incremental ingest tick: sketch ONLY the new snapshot's rows (one
+    aggregate pass over df_new), append O(windows) sketch rows. Idempotent
+    per snapshot: re-running the same snapshot_id dynamic-partition
+    overwrites its own rows rather than duplicating them (the crash-retry
+    contract the incremental dedup store uses)."""
+    (
+        window_hll_sketches(df_new, col, window_col, lgk=lgk)
+        .withColumn("_snapshot", F.lit(int(snapshot_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_snapshot")
+        .parquet(store_path)
+    )
+
+
+def store_uniqueness(
+    spark: SparkSession, store_path: str, window_col: str
+) -> DataFrame:
+    """Distinct-count answers from the STORE alone (no raw data): per-window
+    estimates (sketches of the same window across snapshots union-merged)
+    plus the corpus-lifetime estimate as window NULL. O(store rows) work."""
+    if not os.path.exists(store_path):
+        raise FileNotFoundError(store_path)
+    st = spark.read.parquet(store_path)
+    per_w = st.groupBy(window_col).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    total = st.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+        F.sum("n_rows").alias("n_rows"),
+    ).select(F.lit(None).cast(per_w.schema[window_col].dataType).alias(window_col), "est", "n_rows")
+    return per_w.unionByName(total)

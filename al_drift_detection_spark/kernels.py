@@ -286,6 +286,58 @@ def wasserstein_1d(ref: np.ndarray, cur: np.ndarray) -> float:
     return float(np.sum(np.abs(cdf_r - cdf_c) * deltas))
 
 
+def cvm_2samp(ref: np.ndarray, cur: np.ndarray) -> float:
+    """Two-sample Cramér–von Mises criterion T (Anderson 1962) in its ECDF
+    form: T = (n·m/N²) · Σ_z (F_ref(z) − F_cur(z))² summed over ALL N = n+m
+    combined observations z (with multiplicity; ECDFs right-continuous, so
+    ties contribute the shared post-tie ECDF value — the same convention the
+    relational distinct-value pre-agg produces). Equals the classic
+    rank-based U/(n·m·N) − (4mn−1)/(6N) on tie-free data (pytest-pinned).
+    CvM integrates the SQUARED ECDF gap over the combined sample — the
+    whole-distribution companion to KS's single sup-norm point, more
+    sensitive to broad small shifts. Oracle twin: q_cvm_drift.
+    """
+    ref = np.asarray(ref, dtype=np.float64)
+    cur = np.asarray(cur, dtype=np.float64)
+    n, m = len(ref), len(cur)
+    if n == 0 or m == 0:
+        return 0.0
+    z = np.concatenate([ref, cur])
+    fr = np.searchsorted(np.sort(ref), z, side="right") / n
+    fc = np.searchsorted(np.sort(cur), z, side="right") / m
+    return float(n * m / (n + m) ** 2 * np.sum((fr - fc) ** 2))
+
+
+def energy_distance(ref: np.ndarray, cur: np.ndarray) -> float:
+    """Squared energy distance (Székely–Rizzo) between two samples, the
+    V-statistic form: D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'| with each expectation
+    the mean over ALL n² ordered pairs (diagonal zeros included — the plain
+    cross-join mean, which is what the relational twin computes). Works on
+    1-D or multivariate rows (axis 0 = samples); Euclidean metric. The
+    distance-based multivariate two-sample statistic that needs NO kernel
+    bandwidth choice — the tuning-free companion to mmd_rbf for embedding
+    drift. Oracle twin: q_energy_distance.
+    """
+    ref = np.asarray(ref, dtype=np.float64)
+    cur = np.asarray(cur, dtype=np.float64)
+    if ref.ndim == 1:
+        ref = ref[:, None]
+    if cur.ndim == 1:
+        cur = cur[:, None]
+    if ref.shape[0] == 0 or cur.shape[0] == 0:
+        return 0.0
+
+    def mean_dist(a: np.ndarray, b: np.ndarray) -> float:
+        d2 = (
+            np.sum(a * a, axis=1)[:, None]
+            + np.sum(b * b, axis=1)[None, :]
+            - 2.0 * (a @ b.T)
+        )
+        return float(np.mean(np.sqrt(np.maximum(d2, 0.0))))
+
+    return 2.0 * mean_dist(ref, cur) - mean_dist(ref, ref) - mean_dist(cur, cur)
+
+
 def subsample(x: np.ndarray, max_n: int) -> np.ndarray:
     """Deterministic even-stride subsample (stable under reruns — the
     determinism fix for the reference's per-run random seeding,

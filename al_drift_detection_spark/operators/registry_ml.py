@@ -1446,3 +1446,331 @@ def q_crossing_report(spark: SparkSession, sf: str) -> DataFrame:
         label_col="label", smoothing=False,
     )
     return rep["prf"]
+
+
+# =====================================================================
+# Extended drift kernels + sequential change detectors + sketch
+# uniqueness (round 6: SURVEY.md §2.10 family extensions; north_star
+# "HyperLogLog-sketch uniqueness"; drift-literature sequential tests)
+# =====================================================================
+@register(
+    "q_cvm_drift",
+    """
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS r,
+             CASE WHEN event_id % 2 = 1 THEN 1.0 ELSE 0.0 END AS c
+      FROM events
+    ),
+    tot AS (SELECT sum(r) AS nr, sum(c) AS nc FROM s),
+    g AS (SELECT v, sum(r) AS dr, sum(c) AS dc FROM s GROUP BY v),
+    e AS (
+      SELECT v, dr, dc,
+             sum(dr) OVER (ORDER BY v) AS cr,
+             sum(dc) OVER (ORDER BY v) AS cc
+      FROM g
+    ),
+    i AS (
+      SELECT sum(pow(cr / nr - cc / nc, 2) * (dr + dc)) AS s2,
+             max(nr) AS nr, max(nc) AS nc
+      FROM e, tot
+    )
+    SELECT round(nr * nc / pow(nr + nc, 2) * s2, 6) AS cvm_stat FROM i
+    """,
+    "SURVEY.md §2.10 drift-kernel family: two-sample Cramér–von Mises "
+    "criterion in its ECDF form — T = (n·m/N²)·Σ_z (F_ref(z) − F_cur(z))² "
+    "over the combined sample — the SQUARED-gap whole-distribution companion "
+    "to KS's single sup point (more sensitive to broad small shifts). Same "
+    "scale shape as q_wasserstein: distinct-value pre-agg (persisted, read "
+    "events once), then the bucketed two-pass cumulative "
+    "(operators/windows.global_cumulative, RANGE frame = right-continuous "
+    "ECDF at ties) — no single-partition sort. Kernel twin kernels.cvm_2samp "
+    "(pytest vs the classic rank-based U-formula on tie-free data)",
+)
+def q_cvm_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions._persist import attach_persisted
+    from al_drift_detection_spark.operators.windows import global_cumulative
+
+    s = _t(spark, sf, "events").select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_id") % 2 == 0, 1.0).otherwise(0.0).alias("r"),
+        F.when(F.col("event_id") % 2 == 1, 1.0).otherwise(0.0).alias("c"),
+    )
+    g = (
+        s.groupBy("v")
+        .agg(F.sum("r").alias("dr"), F.sum("c").alias("dc"))
+        .persist()  # same rationale as q_wasserstein: events read ONCE
+    )
+    tot = g.agg(F.sum("dr").alias("nr"), F.sum("dc").alias("nc"))
+    cum = global_cumulative(
+        g, bucket=F.floor(F.col("v")), order_cols=["v"], sums={"cr": "dr", "cc": "dc"}
+    )
+    inner = cum.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.pow(F.col("cr") / F.col("nr") - F.col("cc") / F.col("nc"), F.lit(2.0))
+            * (F.col("dr") + F.col("dc"))
+        ).alias("_s2"),
+        F.first("nr").alias("nr"),
+        F.first("nc").alias("nc"),
+    )
+    out = inner.select(
+        F.round(
+            F.col("nr") * F.col("nc") / F.pow(F.col("nr") + F.col("nc"), F.lit(2.0))
+            * F.col("_s2"),
+            6,
+        ).alias("cvm_stat")
+    )
+    return attach_persisted(out, g)
+
+
+@register(
+    "q_energy_distance",
+    """
+    WITH r AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE vec_id < 400 AND vec_id % 2 = 0
+    ),
+    c AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE vec_id < 400 AND vec_id % 2 = 1
+    ),
+    exy AS (SELECT avg(list_distance(a.e, b.e)) AS t FROM r a, c b),
+    exx AS (SELECT avg(list_distance(a.e, b.e)) AS t FROM r a, r b),
+    eyy AS (SELECT avg(list_distance(a.e, b.e)) AS t FROM c a, c b)
+    SELECT round(2 * exy.t - exx.t - eyy.t, 6) AS energy_dist
+    FROM exy, exx, eyy
+    """,
+    "SURVEY.md §2.10 drift-kernel family: squared ENERGY DISTANCE "
+    "(Székely–Rizzo V-statistic, D² = 2E|X−Y| − E|X−X'| − E|Y−Y'|, Euclidean, "
+    "diagonal-inclusive cross-join means) between the two embedding sides — "
+    "the tuning-free multivariate two-sample companion to q_mmd_rbf (no "
+    "kernel bandwidth to pick). Same BOUNDED-sample shape as the MMD entry "
+    "(200/200 rows); distances are pure JVM array exprs (zip_with + "
+    "aggregate + sqrt — no UDF). Kernel twin kernels.energy_distance "
+    "(pytest vs direct numpy pairwise means on 1-D and multivariate data)",
+)
+def q_energy_distance(spark: SparkSession, sf: str) -> DataFrame:
+    emb = (
+        _t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 400)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    r = emb.filter(F.col("vec_id") % 2 == 0).select(F.col("e").alias("ae"))
+    c = emb.filter(F.col("vec_id") % 2 == 1).select(F.col("e").alias("be"))
+
+    def dist(a, b):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+        )
+
+    exy = r.crossJoin(c).agg(F.avg(dist(F.col("ae"), F.col("be"))).alias("exy"))
+    exx = (
+        r.crossJoin(r.select(F.col("ae").alias("ae2")))
+        .agg(F.avg(dist(F.col("ae"), F.col("ae2"))).alias("exx"))
+    )
+    eyy = (
+        c.crossJoin(c.select(F.col("be").alias("be2")))
+        .agg(F.avg(dist(F.col("be"), F.col("be2"))).alias("eyy"))
+    )
+    return (
+        exy.crossJoin(exx)
+        .crossJoin(eyy)
+        .select(
+            F.round(
+                2 * F.col("exy") - F.col("exx") - F.col("eyy"), 6
+            ).alias("energy_dist")
+        )
+    )
+
+
+@register(
+    "q_page_hinkley",
+    """
+    WITH s AS (
+      SELECT CAST(floor(event_id / 500) AS BIGINT) AS window_id, avg(value) AS x
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT window_id, x, avg(x) OVER w AS cum_mean FROM s
+      WINDOW w AS (ORDER BY window_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    m AS (
+      SELECT window_id, x, cum_mean,
+             sum(x - cum_mean - 0.05) OVER w AS mt_inc,
+             sum(x - cum_mean + 0.05) OVER w AS mt_dec
+      FROM d
+      WINDOW w AS (ORDER BY window_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    p AS (
+      SELECT window_id, x, cum_mean, mt_inc, mt_dec,
+             mt_inc - min(mt_inc) OVER w AS ph_inc,
+             max(mt_dec) OVER w - mt_dec AS ph_dec
+      FROM m
+      WINDOW w AS (ORDER BY window_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT window_id, round(x, 6) AS x, round(cum_mean, 6) AS cum_mean,
+           round(mt_inc, 6) AS mt_inc, round(mt_dec, 6) AS mt_dec,
+           round(ph_inc, 6) AS ph_inc, round(ph_dec, 6) AS ph_dec,
+           (round(ph_inc, 6) > 25.0 OR round(ph_dec, 6) > 25.0) AS alarm
+    FROM p
+    """,
+    "SURVEY.md §2.10 extended: two-sided PAGE-HINKLEY sequential change "
+    "detector over the per-window mean-value METRIC SERIES (the engine's own "
+    "S8 metrics rows) — the drift-detection-literature test for 'when did "
+    "the level shift', complementing the two-window KS/PSI/MMD family "
+    "(ref's windowed vote loop, gan.py:737-757). Raw rows fold into ONE "
+    "per-window aggregate; the ordered windows run over the O(windows) "
+    "series (functions/changepoint.page_hinkley; the alarm here re-derives "
+    "from 6dp-rounded statistics so both engines compare identical values). "
+    "Planted-shift alarm behavior pinned in tests/test_changepoint.py",
+)
+def q_page_hinkley(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.changepoint import page_hinkley
+
+    series = (
+        _t(spark, sf, "events")
+        .groupBy(F.floor(F.col("event_id") / 500).cast("long").alias("window_id"))
+        .agg(F.avg("value").alias("x"))
+    )
+    out = page_hinkley(series, "window_id", "x", delta=0.05, threshold=25.0)
+    ph_i, ph_d = F.round("ph_inc", 6), F.round("ph_dec", 6)
+    return out.select(
+        "window_id",
+        F.round("x", 6).alias("x"),
+        F.round("cum_mean", 6).alias("cum_mean"),
+        F.round("mt_inc", 6).alias("mt_inc"),
+        F.round("mt_dec", 6).alias("mt_dec"),
+        ph_i.alias("ph_inc"),
+        ph_d.alias("ph_dec"),
+        ((ph_i > 25.0) | (ph_d > 25.0)).alias("alarm"),
+    )
+
+
+@register(
+    "q_ddm_error_rate",
+    """
+    WITH s AS (
+      SELECT CAST(floor(event_id / 500) AS BIGINT) AS window_id,
+             count(*) AS n,
+             CAST(sum(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS BIGINT) AS err
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT window_id, n, err,
+             CAST(sum(n) OVER w AS DOUBLE) AS cn,
+             CAST(sum(err) OVER w AS DOUBLE) AS ce
+      FROM s
+      WINDOW w AS (ORDER BY window_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    e AS (
+      SELECT window_id, n, err, ce / cn AS p_cum,
+             sqrt(ce / cn * (1 - ce / cn) / cn) AS s_cum
+      FROM d
+    ),
+    f AS (
+      SELECT *, p_cum + s_cum AS ps,
+             min(p_cum + s_cum) OVER
+               (ORDER BY window_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ps_min
+      FROM e
+    ),
+    arg AS (
+      SELECT a.window_id, min(b.window_id) AS am
+      FROM f a JOIN f b ON b.window_id <= a.window_id AND b.ps = a.ps_min
+      GROUP BY 1
+    )
+    SELECT f.window_id, f.n, f.err,
+           round(f.p_cum, 6) AS p_cum, round(f.s_cum, 6) AS s_cum,
+           round(x.p_cum, 6) AS p_min, round(x.s_cum, 6) AS s_min,
+           CAST(CASE WHEN f.p_cum + f.s_cum > x.p_cum + 3 * x.s_cum THEN 2
+                     WHEN f.p_cum + f.s_cum > x.p_cum + 2 * x.s_cum THEN 1
+                     ELSE 0 END AS INTEGER) AS level
+    FROM f JOIN arg ON f.window_id = arg.window_id
+           JOIN f x ON x.window_id = arg.am
+    """,
+    "SURVEY.md §2.10 extended: windowed DDM (Drift Detection Method, Gama "
+    "et al. 2004) over the per-window ERROR-RATE series — cumulative "
+    "p_t ± binomial s_t against the stored (p_min, s_min) register, "
+    "warning/drift levels at 2σ/3σ (the ref detector's pass/warn/fail "
+    "verdict ladder, gan.py:737-757, as the published sequential test). "
+    "All inputs are integer counts, so both engines derive bitwise-identical "
+    "doubles and the level column needs no rounding tolerance "
+    "(functions/changepoint.ddm_levels; planted-jump levels pinned in "
+    "tests/test_changepoint.py)",
+)
+def q_ddm_error_rate(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.changepoint import ddm_levels
+
+    series = (
+        _t(spark, sf, "events")
+        .groupBy(F.floor(F.col("event_id") / 500).cast("long").alias("window_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") > 150).cast("long")).alias("err"),
+        )
+    )
+    out = ddm_levels(series, "window_id", "n", "err")
+    return out.select(
+        "window_id",
+        "n",
+        "err",
+        F.round("p_cum", 6).alias("p_cum"),
+        F.round("s_cum", 6).alias("s_cum"),
+        F.round("p_min", 6).alias("p_min"),
+        F.round("s_min", 6).alias("s_min"),
+        "level",
+    )
+
+
+@register(
+    "q_hll_uniqueness",
+    """
+    WITH e AS (
+      SELECT CAST(floor(event_id / 500) AS BIGINT) AS window_id, user_id
+      FROM events
+    ),
+    w AS (SELECT DISTINCT window_id FROM e)
+    SELECT w.window_id,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_exact_cum,
+           TRUE AS est_ok
+    FROM w JOIN e ON e.window_id <= w.window_id
+    GROUP BY 1
+    """,
+    "north_star 'HyperLogLog-sketch uniqueness' (SURVEY.md §2.4 A2 at "
+    "scale): per-window DataSketches HLL sketches (hll_sketch_agg — one "
+    "partial+final JVM pass), cumulative distinct-count series from "
+    "UNIONING the per-window sketches alone (hll_union_agg over the "
+    "O(windows) sketch frame — the raw data is read once, unlike the "
+    "oracle's prefix re-scan which is exactly what sketches make "
+    "unnecessary), self-verified in-row: est_ok = |estimate − exact| ≤ 5% "
+    "(lgK=12 ⇒ rsd≈1.6%), with the exact side from the scale-safe "
+    "first-occurrence cumulative (functions/sketches). The DuckDB oracle "
+    "recomputes the exact side independently and expects est_ok TRUE — a "
+    "drifting sketch flips the verdict and fails the hash. Union-merge "
+    "identity + incremental snapshot store pinned in tests/test_sketches.py",
+)
+def q_hll_uniqueness(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.sketches import (
+        cumulative_uniqueness,
+        exact_cumulative_distinct,
+        window_hll_sketches,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        F.floor(F.col("event_id") / 500).cast("long").alias("window_id"), "user_id"
+    )
+    sk = window_hll_sketches(ev, "user_id", "window_id")
+    est = cumulative_uniqueness(sk, "window_id")
+    ex = exact_cumulative_distinct(ev, "user_id", "window_id")
+    return ex.join(est, "window_id").select(
+        "window_id",
+        F.col("n_exact_cum").cast("long").alias("n_exact_cum"),
+        (
+            F.abs(F.col("est_cum").cast("double") - F.col("n_exact_cum"))
+            <= 0.05 * F.col("n_exact_cum")
+        ).alias("est_ok"),
+    )

@@ -1,0 +1,162 @@
+"""Sequential change detectors (functions/changepoint) + the round-6 kernel
+additions (kernels.cvm_2samp / energy_distance): numpy-twin parity, planted
+level shifts alarming where planted (and nowhere earlier), and plan-shape
+sanity (one aggregate over raw rows; ordered windows only above it)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from al_drift_detection_spark.functions.changepoint import ddm_levels, page_hinkley
+from al_drift_detection_spark.kernels import cvm_2samp, energy_distance
+
+RNG = np.random.default_rng(7)
+
+
+# ---- kernels: CvM ----------------------------------------------------------
+def rank_cvm(ref: np.ndarray, cur: np.ndarray) -> float:
+    """Classic rank-based two-sample CvM (Anderson 1962):
+    U/(n·m·N) − (4mn−1)/(6N). Valid for tie-free data."""
+    n, m = len(ref), len(cur)
+    N = n + m
+    combined = np.sort(np.concatenate([ref, cur]))
+    r = np.searchsorted(combined, np.sort(ref)) + 1
+    s = np.searchsorted(combined, np.sort(cur)) + 1
+    u = n * np.sum((r - np.arange(1, n + 1)) ** 2) + m * np.sum(
+        (s - np.arange(1, m + 1)) ** 2
+    )
+    return float(u / (n * m * N) - (4 * m * n - 1) / (6 * N))
+
+
+def test_cvm_matches_rank_formula_tie_free():
+    a = RNG.normal(0, 1, 311)
+    b = RNG.normal(0.4, 1.2, 233)
+    assert cvm_2samp(a, b) == pytest.approx(rank_cvm(a, b), abs=1e-10)
+
+
+def test_cvm_identical_and_shifted():
+    a = RNG.normal(0, 1, 400)
+    assert cvm_2samp(a, a) == pytest.approx(0.0, abs=1e-12)
+    b = RNG.normal(2.0, 1, 400)
+    assert cvm_2samp(a, b) > 10 * cvm_2samp(a, a + 0.01)
+
+
+def test_cvm_handles_ties():
+    # heavy ties: ECDF form must stay finite, symmetric, zero on equality
+    a = np.repeat([1.0, 2.0, 3.0], 50)
+    b = np.repeat([1.0, 2.0, 4.0], 50)
+    assert cvm_2samp(a, a) == pytest.approx(0.0, abs=1e-12)
+    assert cvm_2samp(a, b) == pytest.approx(cvm_2samp(b, a), abs=1e-12)
+    assert cvm_2samp(a, b) > 0
+
+
+# ---- kernels: energy distance ----------------------------------------------
+def brute_energy(a: np.ndarray, b: np.ndarray) -> float:
+    if a.ndim == 1:
+        a, b = a[:, None], b[:, None]
+    d = lambda x, y: np.mean(
+        np.sqrt(((x[:, None, :] - y[None, :, :]) ** 2).sum(-1))
+    )
+    return 2 * d(a, b) - d(a, a) - d(b, b)
+
+
+def test_energy_distance_matches_bruteforce_1d_and_nd():
+    a1, b1 = RNG.normal(0, 1, 80), RNG.normal(0.7, 1, 90)
+    assert energy_distance(a1, b1) == pytest.approx(brute_energy(a1, b1), rel=1e-10)
+    a2, b2 = RNG.normal(0, 1, (60, 5)), RNG.normal(0.5, 1, (70, 5))
+    assert energy_distance(a2, b2) == pytest.approx(brute_energy(a2, b2), rel=1e-10)
+
+
+def test_energy_distance_zero_on_identical_and_detects_shift():
+    a = RNG.normal(0, 1, (100, 4))
+    assert energy_distance(a, a) == pytest.approx(0.0, abs=1e-9)
+    assert energy_distance(a, a + 1.5) > 1.0
+
+
+# ---- page_hinkley over a planted level shift -------------------------------
+def _series(spark, values):
+    return spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "t long, x double"
+    )
+
+
+def test_page_hinkley_alarms_at_planted_shift(spark):
+    vals = [10.0 + 0.01 * (i % 3) for i in range(30)] + [13.0] * 20
+    out = (
+        page_hinkley(_series(spark, vals), "t", "x", delta=0.05, threshold=5.0)
+        .orderBy("t")
+        .collect()
+    )
+    alarms = [r["t"] for r in out if r["alarm"]]
+    assert alarms, "planted +3.0 shift never alarmed"
+    assert min(alarms) >= 30, "alarm fired before the planted shift"
+    # the increase side carries the alarm; mt keeps accumulating after
+    first = next(r for r in out if r["alarm"])
+    assert first["ph_inc"] > 5.0 and first["ph_dec"] < 5.0
+
+
+def test_page_hinkley_quiet_on_stationary_series(spark):
+    # dedicated generator: alarm-free-ness must not depend on how many draws
+    # earlier tests consumed from the shared module RNG
+    vals = 10.0 + 0.3 * np.random.default_rng(11).standard_normal(50)
+    out = page_hinkley(_series(spark, vals), "t", "x", delta=0.05, threshold=5.0)
+    assert out.filter(F.col("alarm")).count() == 0
+
+
+def test_page_hinkley_decrease_side(spark):
+    vals = [10.0] * 30 + [7.0] * 20
+    out = page_hinkley(_series(spark, vals), "t", "x", delta=0.05, threshold=5.0)
+    hit = out.filter(F.col("alarm")).orderBy("t").first()
+    assert hit is not None and hit["ph_dec"] > 5.0
+
+
+# ---- windowed DDM -----------------------------------------------------------
+def _err_series(spark, pairs):
+    return spark.createDataFrame(
+        [(i, int(n), int(e)) for i, (n, e) in enumerate(pairs)],
+        "t long, n long, err long",
+    )
+
+
+def test_ddm_levels_on_planted_error_jump(spark):
+    # 20 clean windows at p≈0.05, then the error rate quadruples
+    pairs = [(500, 25)] * 20 + [(500, 200)] * 10
+    out = ddm_levels(_err_series(spark, pairs), "t", "n", "err").orderBy("t").collect()
+    assert all(r["level"] == 0 for r in out[:20])
+    assert out[-1]["level"] == 2, "sustained 4x error jump must reach drift level"
+    assert any(r["level"] >= 1 for r in out[20:]), "warning level never reached"
+    # the stored minimum register froze at the clean-period minimum
+    assert out[-1]["p_min"] == pytest.approx(0.05, abs=0.01)
+
+
+def test_ddm_stays_quiet_on_stationary_errors(spark):
+    pairs = [
+        (500, 24 + int(k)) for k in np.random.default_rng(13).integers(0, 4, 25)
+    ]
+    out = ddm_levels(_err_series(spark, pairs), "t", "n", "err")
+    assert out.filter(F.col("level") == 2).count() == 0
+
+
+def test_ddm_p_min_is_earliest_on_ties(spark):
+    # two windows with identical (p, s) prefixes — argmin must pick the first
+    pairs = [(100, 10), (100, 10), (100, 50)]
+    out = ddm_levels(_err_series(spark, pairs), "t", "n", "err").orderBy("t").collect()
+    # cumulative p: 0.1, 0.1, then jump; s shrinks with n so ps_min is at t=1;
+    # ties in ps between distinct rows resolve to the earliest t
+    assert out[0]["p_min"] == pytest.approx(out[0]["p_cum"])
+    assert out[2]["p_min"] == pytest.approx(0.1, abs=1e-9)
+
+
+# ---- registry plan shape ----------------------------------------------------
+def test_detector_entries_aggregate_before_ordered_windows(spark):
+    """The sequential detectors must reduce raw rows with ONE aggregate before
+    any ordered window / prefix join runs (the O(windows)-series contract in
+    the module docstring) — their plans pass the registry-wide audit because
+    an Aggregate sits in every window subtree."""
+    from al_drift_detection_spark.operators import REGISTRY
+    from tests.test_plans import SF, audit_window_shapes, plan_of
+
+    for q in ("q_page_hinkley", "q_ddm_error_rate", "q_hll_uniqueness"):
+        assert not audit_window_shapes(plan_of(REGISTRY[q].fn(spark, SF))), q

@@ -1,0 +1,127 @@
+"""HLL sketch uniqueness (functions/sketches): estimate accuracy at real
+cardinalities, the union-merge identity that makes cumulative/incremental
+answers possible without re-reading data, and the persisted snapshot store's
+incremental + idempotent-replay contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from al_drift_detection_spark.functions.sketches import (
+    cumulative_uniqueness,
+    exact_cumulative_distinct,
+    store_uniqueness,
+    update_hll_store,
+    window_hll_sketches,
+)
+
+
+def _docs(spark, n=20_000, windows=10, card=5_000):
+    # id space wraps at `card` so windows share ids — cumulative distinct
+    # saturates and per-window/cumulative answers genuinely differ
+    return spark.range(n).select(
+        (F.col("id") % windows).alias("w"),
+        F.concat(F.lit("u"), (F.col("id") * 2654435761 % card).cast("string")).alias(
+            "uid"
+        ),
+    )
+
+
+def test_per_window_estimates_within_rsd(spark):
+    df = _docs(spark)
+    sk = window_hll_sketches(df, "uid", "w", lgk=12)
+    exact = df.groupBy("w").agg(F.countDistinct("uid").alias("ex"))
+    joined = sk.join(exact, "w").collect()
+    assert len(joined) == 10
+    for r in joined:
+        assert abs(r["est"] - r["ex"]) <= 0.05 * r["ex"], (r["w"], r["est"], r["ex"])
+
+
+def test_union_merge_identity(spark):
+    """sketch(A) ∪ sketch(B) must estimate EXACTLY what sketch(A ∪ B)
+    estimates — HLL register state is order- and partition-insensitive, the
+    property every cumulative/incremental answer here rests on."""
+    df = _docs(spark)
+    halves = window_hll_sketches(
+        df.withColumn("half", (F.col("w") < 5).cast("int")), "uid", "half"
+    )
+    merged = halves.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
+    ).head()["est"]
+    oneshot = (
+        df.agg(F.hll_sketch_agg("uid", F.lit(12)).alias("s"))
+        .select(F.hll_sketch_estimate("s").alias("est"))
+        .head()["est"]
+    )
+    assert merged == oneshot
+
+
+def test_cumulative_matches_exact_twin(spark):
+    df = _docs(spark)
+    est = cumulative_uniqueness(window_hll_sketches(df, "uid", "w"), "w")
+    exact = exact_cumulative_distinct(df, "uid", "w")
+    rows = exact.join(est, "w").orderBy("w").collect()
+    assert len(rows) == 10
+    last = None
+    for r in rows:
+        assert abs(r["est_cum"] - r["n_exact_cum"]) <= 0.05 * r["n_exact_cum"]
+        if last is not None:  # both series are monotone non-decreasing
+            assert r["n_exact_cum"] >= last
+        last = r["n_exact_cum"]
+
+
+def test_exact_cumulative_twin_is_exact(spark):
+    df = _docs(spark, n=3_000, windows=6, card=800)
+    got = {
+        r["w"]: r["n_exact_cum"]
+        for r in exact_cumulative_distinct(df, "uid", "w").collect()
+    }
+    for w in range(6):
+        want = df.filter(F.col("w") <= w).select("uid").distinct().count()
+        assert got[w] == want, w
+
+
+def test_incremental_store_equals_one_shot(spark, tmp_path):
+    """Two snapshot ingests (each sketching ONLY its own rows) must answer
+    identically to a one-shot sketch over the full corpus — per window and
+    corpus-wide — and replaying a snapshot must be a no-op (idempotent
+    dynamic-partition overwrite)."""
+    store = str(tmp_path / "hll_store")
+    df = _docs(spark)
+    snap1, snap2 = df.filter(F.col("w") < 5), df.filter(F.col("w") >= 5)
+    update_hll_store(snap1, store, "uid", "w", snapshot_id=1)
+    update_hll_store(snap2, store, "uid", "w", snapshot_id=2)
+
+    total_row = (
+        store_uniqueness(spark, store, "w").filter(F.col("w").isNull()).head()
+    )
+    oneshot = (
+        df.agg(F.hll_sketch_agg("uid", F.lit(12)).alias("s"))
+        .select(F.hll_sketch_estimate("s").alias("est"))
+        .head()["est"]
+    )
+    assert total_row["est"] == oneshot
+    assert total_row["n_rows"] == df.count()
+
+    # replaying snapshot 2 (crash-retry) changes nothing
+    update_hll_store(snap2, store, "uid", "w", snapshot_id=2)
+    again = store_uniqueness(spark, store, "w").filter(F.col("w").isNull()).head()
+    assert again["est"] == oneshot and again["n_rows"] == df.count()
+
+    # per-window answers from the store match direct per-window sketches
+    direct = {
+        r["w"]: r["est"] for r in window_hll_sketches(df, "uid", "w").collect()
+    }
+    from_store = {
+        r["w"]: r["est"]
+        for r in store_uniqueness(spark, store, "w").filter(
+            F.col("w").isNotNull()
+        ).collect()
+    }
+    assert from_store == direct
+
+
+def test_store_missing_path_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        store_uniqueness(spark, str(tmp_path / "nope"), "w")

@@ -125,6 +125,24 @@ def main(argv: list[str] | None = None) -> int:
         "signatures; also writes the image_dedup_pairs/ table",
     )
     ap.add_argument(
+        "--changepoint", action="store_true",
+        help="sequential change detectors over the per-window metric series: "
+        "two-sided Page-Hinkley on each drift column's per-window mean "
+        "(normalized by the reference windows' per-window-mean location/"
+        "scale) and windowed DDM on the caption-null rate — writes the "
+        "changepoint/ and ddm_nullrate/ tables",
+    )
+    ap.add_argument(
+        "--ph-delta", type=float, default=0.05, metavar="D",
+        help="Page-Hinkley tolerated drift per step, in reference-window "
+        "std units (default 0.05)",
+    )
+    ap.add_argument(
+        "--ph-threshold", type=float, default=4.0, metavar="L",
+        help="Page-Hinkley alarm threshold, in reference-window std units "
+        "(default 4.0)",
+    )
+    ap.add_argument(
         "--health", action="store_true",
         help="windowed data-health checks: per-window row-VOLUME anomaly and "
         "per-column NULL-RATIO drift vs the reference windows — writes the "
@@ -522,6 +540,55 @@ def main(argv: list[str] | None = None) -> int:
             f"{args.out}/health_uniqueness"
         )
         release(uniq)
+
+    if args.changepoint:
+        from al_drift_detection_spark.functions.changepoint import (
+            ddm_levels,
+            page_hinkley,
+        )
+
+        # Page-Hinkley over each drift column's per-window mean, the series
+        # the scalar kernels also watch — but SEQUENTIAL: "when did the level
+        # shift", cumulative over the run, vs the kernels' per-window
+        # two-sample verdicts. The series is normalized by the REFERENCE
+        # windows' per-window-mean location/scale so --ph-delta/--ph-threshold
+        # are dimensionless and one default works across columns; a
+        # degenerate reference (zero std) falls back to unscaled deviations.
+        frames = []
+        for col in ("w", "h"):
+            series = meta_full.groupBy("window_id").agg(
+                F.avg(F.col(col).cast("double")).alias("x")
+            )
+            ref_st = (
+                series.filter(F.col("window_id") < args.ref_windows)
+                .agg(F.avg("x").alias("mu"), F.stddev("x").alias("sd"))
+                .collect()[0]  # one row — the O(windows) series' ref slice
+            )
+            sd = ref_st["sd"] if ref_st["sd"] else 1.0
+            norm = series.select(
+                "window_id", ((F.col("x") - ref_st["mu"]) / sd).alias("x")
+            )
+            out = page_hinkley(
+                norm, "window_id", "x",
+                delta=args.ph_delta, threshold=args.ph_threshold,
+            )
+            frames.append(out.withColumn("column", F.lit(col)))
+        cp = frames[0]
+        for f in frames[1:]:
+            cp = cp.unionByName(f)
+        cp.orderBy("column", "window_id").write.mode("overwrite").parquet(
+            f"{args.out}/changepoint"
+        )
+        # windowed DDM on the caption-null rate — the binomial per-window
+        # error signal the completeness check already tracks, here with the
+        # sequential warn/drift ladder (level 0/1/2)
+        nser = meta_full.groupBy("window_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("caption").isNull().cast("long")).alias("err"),
+        )
+        ddm_levels(nser, "window_id", "n", "err").orderBy(
+            "window_id"
+        ).write.mode("overwrite").parquet(f"{args.out}/ddm_nullrate")
 
     if args.expect_schema:
         from al_drift_detection_spark.functions.health import schema_check

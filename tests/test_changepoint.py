@@ -149,6 +149,29 @@ def test_ddm_p_min_is_earliest_on_ties(spark):
     assert out[2]["p_min"] == pytest.approx(0.1, abs=1e-9)
 
 
+# ---- CLI surface -------------------------------------------------------------
+def test_changepoint_cli_alarms_on_planted_windows(spark, tmp_path):
+    """`runner --changepoint` over the synthetic corpus: Page-Hinkley must
+    alarm exactly on the planted-drift windows (4, 5 — where the batch vote
+    fails) and stay quiet on the clean reference era; DDM on the stationary
+    caption-null rate must report level 0 everywhere."""
+    from al_drift_detection_spark import runner
+
+    out = str(tmp_path / "cp")
+    rc = runner.main([
+        "--images", "synthetic:12000", "--out", out, "--changepoint",
+        "--master", "local[8]",
+    ])
+    assert rc == 0
+    cp = spark.read.parquet(f"{out}/changepoint").toPandas()
+    assert set(cp["column"]) == {"w", "h"}
+    w_alarms = sorted(cp[(cp["column"] == "w") & cp["alarm"]]["window_id"])
+    assert w_alarms == [4, 5]
+    assert not cp[(cp["window_id"] < 4) & cp["alarm"]].shape[0]
+    ddm = spark.read.parquet(f"{out}/ddm_nullrate").toPandas()
+    assert len(ddm) == 6 and (ddm["level"] == 0).all()
+
+
 # ---- registry plan shape ----------------------------------------------------
 def test_detector_entries_aggregate_before_ordered_windows(spark):
     """The sequential detectors must reduce raw rows with ONE aggregate before

@@ -32,6 +32,17 @@ def attach_persisted(out: DataFrame, *children: DataFrame) -> DataFrame:
     return out
 
 
+def propagate_persisted(out: DataFrame, *srcs: DataFrame) -> DataFrame:
+    """Move the persisted children attached to `srcs` onto `out` — for
+    callers that derive a new frame (join/select) from an operator's output
+    and return THAT: the release obligation follows the returned frame."""
+    kids = [c for s in srcs for c in getattr(s, _ATTR, [])]
+    for s in srcs:
+        if hasattr(s, _ATTR):
+            setattr(s, _ATTR, [])
+    return attach_persisted(out, *kids)
+
+
 def release(df: DataFrame) -> None:
     """Unpersist every persisted child attached to `df` (no-op otherwise)."""
     for child in getattr(df, _ATTR, []):

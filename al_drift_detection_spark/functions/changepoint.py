@@ -84,6 +84,35 @@ def page_hinkley(
     )
 
 
+def normalized_page_hinkley(
+    series: DataFrame,
+    order_col: str,
+    value_col: str,
+    ref_upto,
+    delta: float = 0.05,
+    threshold: float = 4.0,
+) -> DataFrame:
+    """page_hinkley over a series STANDARDIZED by the location/scale of its
+    reference prefix (rows with order_col < ref_upto) — so delta/threshold
+    are dimensionless reference-std units and one default works across
+    metrics (per-window means, volumes, drift statistics). A degenerate
+    reference (zero/undefined std) falls back to unscaled deviations. The
+    one collect is a single row off the already-O(windows) series."""
+    ref = (
+        series.filter(F.col(order_col) < ref_upto)
+        .agg(F.avg(value_col).alias("mu"), F.stddev(value_col).alias("sd"))
+        .collect()[0]
+    )
+    mu = ref["mu"] if ref["mu"] is not None else 0.0
+    sd = ref["sd"] if ref["sd"] else 1.0
+    norm = series.select(
+        order_col, ((F.col(value_col) - mu) / sd).alias(value_col)
+    )
+    return page_hinkley(
+        norm, order_col, value_col, delta=delta, threshold=threshold
+    )
+
+
 def ddm_levels(
     series: DataFrame,
     order_col: str,
@@ -108,7 +137,13 @@ def ddm_levels(
     compare IEEE-identical doubles in both engines.
 
     Output: (order_col, n_col, err_col, p_cum, s_cum, p_min, s_min, level).
+    The windowed frame is persisted — it feeds the argmin self-join's two
+    sides AND the final join (the CLAUDE.md shared-child rule: without it
+    the caller's raw-table aggregate re-executes ~3x). Caller releases via
+    functions._persist.release.
     """
+    from al_drift_detection_spark.functions._persist import attach_persisted
+
     w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
     d = (
         series.withColumn("_cn", F.sum(n_col).over(w).cast("double"))
@@ -120,6 +155,7 @@ def ddm_levels(
         )
         .withColumn("_ps", F.col("p_cum") + F.col("s_cum"))
         .withColumn("_ps_min", F.min("_ps").over(w))
+        .persist()
     )
     # earliest prefix row achieving the running min of p+s: equality on the
     # engine's own double (bitwise-stable — min() returns one of the joined
@@ -157,16 +193,14 @@ def ddm_levels(
         )
         .otherwise(0)
     )
-    return (
-        d.join(arg, order_col)
-        .select(
-            order_col,
-            n_col,
-            err_col,
-            "p_cum",
-            "s_cum",
-            "p_min",
-            "s_min",
-            lvl.cast("int").alias("level"),
-        )
+    out = d.join(arg, order_col).select(
+        order_col,
+        n_col,
+        err_col,
+        "p_cum",
+        "s_cum",
+        "p_min",
+        "s_min",
+        lvl.cast("int").alias("level"),
     )
+    return attach_persisted(out, d)

@@ -190,6 +190,61 @@ def minhash_lsh_pairs(
     return attach_persisted(cand.filter(F.col("est_jaccard") >= threshold), banded)
 
 
+def _committed_gens(store_path: str) -> list[int]:
+    import os
+
+    if not os.path.isdir(store_path):
+        return []
+    return sorted(
+        int(f[len("_gen_") : -len(".committed")])
+        for f in os.listdir(store_path)
+        if f.startswith("_gen_") and f.endswith(".committed")
+    )
+
+
+def read_signature_store(spark, store_path: str):
+    """Read the incremental signature/fingerprint store — COMMITTED
+    generations only. Each batch append is a `gen=K/` directory made visible
+    by an atomically-renamed `_gen_K.committed` marker written AFTER the
+    data files (the Iceberg-snapshot pattern in miniature; at deployment the
+    store is an Iceberg table whose appends are real atomic snapshots). A
+    crash anywhere inside a batch append therefore leaves the store
+    LOGICALLY UNCHANGED: the marker-less gen directory is invisible to the
+    membership anti-join and to probes, so the retry re-signs the same docs
+    and OVERWRITES the same generation — no doc can end up half-indexed
+    with only some of its band rows (a plain parquet append commits task
+    files non-atomically, so a mid-commit crash used to persist a subset of
+    a doc's bands forever: the id-level anti-join skipped re-signing while
+    probes missed the absent bands — review-caught). Returns None when no
+    committed generation exists."""
+    import os
+
+    gens = _committed_gens(store_path)
+    if not gens:
+        return None
+    return spark.read.parquet(
+        *[os.path.join(store_path, f"gen={g}") for g in gens]
+    )
+
+
+def _commit_store_generation(banded_new: DataFrame, store_path: str) -> None:
+    """Append one batch's signatures as the next generation (see
+    read_signature_store): data files first (full-directory overwrite, so a
+    crash-retry rewrites rather than duplicates), then the atomic marker
+    rename that makes them visible. The generation number is deterministic
+    under replay — a crashed, marker-less attempt is not counted."""
+    import os
+
+    gens = _committed_gens(store_path)
+    g = (gens[-1] + 1) if gens else 0
+    banded_new.write.mode("overwrite").parquet(
+        os.path.join(store_path, f"gen={g}")
+    )
+    tmp = os.path.join(store_path, f"._gen_{g}.tmp")
+    open(tmp, "w").close()
+    os.replace(tmp, os.path.join(store_path, f"_gen_{g}.committed"))
+
+
 def incremental_minhash_pairs(
     df_new: DataFrame,
     store_path: str,
@@ -232,12 +287,18 @@ def incremental_minhash_pairs(
        signed doc end-to-end (pinned in tests/test_stream_dedup.py).
        Writing the pairs only after this function returns leaves a
        crash window (append done, sink not) that silently LOSES pairs —
-       pass `sink` instead.
+       pass `sink` instead. The append itself is ALL-OR-NOTHING: each
+       batch lands as a generation directory made visible only by an
+       atomically-renamed commit marker (read_signature_store), so a crash
+       mid-append leaves the store logically unchanged and the retry
+       re-signs — a doc can never be half-indexed with a subset of its
+       band rows (pinned in tests/test_incremental_dedup.py).
 
-    The store is plain parquet here; at deployment it is an Iceberg table
-    bucketed on (band, bucket) (sources.write_table's bucket transform +
-    merge_upsert seam) so the probe join is storage-partitioned — the
-    new-side shuffle is O(batch), the store side prunes to touched buckets.
+    The store is generation-committed parquet here; at deployment it is an
+    Iceberg table bucketed on (band, bucket) (sources.write_table's bucket
+    transform + merge_upsert seam) whose appends are atomic snapshots — the
+    probe join is storage-partitioned: the new-side shuffle is O(batch),
+    the store side prunes to touched buckets.
 
     Output: (a_id, b_id, est_jaccard, a_new, b_new, n_new_signed) — every
     pair involving ≥1 newly-signed doc; a_new/b_new record which side(s) of
@@ -246,18 +307,17 @@ def incremental_minhash_pairs(
     incremental_hamming_pairs); n_new_signed (constant column) reports how
     many docs this batch actually signed, the idempotence/efficiency metric
     the tests pin (batch re-run ⇒ 0)."""
-    import os
-
     spark = df_new.sparkSession
-    store = (
-        spark.read.parquet(store_path)
-        if os.path.exists(store_path)
-        else None
-    )
+    store = read_signature_store(spark, store_path)
     new_docs = df_new
     if store is not None:
+        # .distinct(): the store holds `bands` rows per doc — dedupe the
+        # membership projection before the anti-join build (the hamming
+        # twin's shape; review-caught divergence)
         new_docs = df_new.join(
-            store.select(F.col("id").alias(id_col)), id_col, "left_anti"
+            store.select(F.col("id").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
         )
     banded_new = banded_signatures(
         new_docs, k, bands, n, text_col, id_col
@@ -297,7 +357,7 @@ def incremental_minhash_pairs(
     if sink is not None:
         sink(pairs)  # durable emission BEFORE the append (docstring step 4)
     if n_new:
-        banded_new.write.mode("append").parquet(store_path)
+        _commit_store_generation(banded_new, store_path)
     banded_new.unpersist()
     return pairs
 
@@ -531,7 +591,9 @@ def incremental_hamming_pairs(
     batch on retry and re-emits the SAME pairs, crash after emits nothing
     on replay and the earlier emission survives (exactly-once pair
     emission; same contract as incremental_minhash_pairs step 4, pinned in
-    tests/test_stream_dedup.py). At deployment the
+    tests/test_stream_dedup.py); the append itself is a generation commit
+    (read_signature_store — marker-visible, all-or-nothing, crash-mid-append
+    invisible and re-signed on retry). At deployment the
     store is an Iceberg table bucketed on (band, bval) so the probe is
     storage-partitioned: new-side shuffle O(batch), store side prunes to
     touched buckets.
@@ -542,12 +604,10 @@ def incremental_hamming_pairs(
     replay FIRST-SIGNED-WINS keep/drop verdicts later (incremental_keep):
     the newly-signed side of a new×stored pair loses; in a new×new pair the
     greater id loses. Every pair has ≥1 new side by construction."""
-    import os
-
     if max_distance >= bands:
         raise ValueError("need bands > max_distance for the pigeonhole guarantee")
     spark = fp_new.sparkSession
-    store = spark.read.parquet(store_path) if os.path.exists(store_path) else None
+    store = read_signature_store(spark, store_path)
     new_fp = fp_new
     if store is not None:
         new_fp = fp_new.join(
@@ -591,7 +651,7 @@ def incremental_hamming_pairs(
     if sink is not None:
         sink(pairs)  # durable emission BEFORE the append (docstring)
     if n_new:
-        banded_new.write.mode("append").parquet(store_path)
+        _commit_store_generation(banded_new, store_path)
     banded_new.unpersist()
     return pairs
 

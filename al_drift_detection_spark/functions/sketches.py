@@ -51,15 +51,24 @@ def cumulative_uniqueness(sketches: DataFrame, window_col: str) -> DataFrame:
     """Cumulative distinct-count series from PER-WINDOW sketches alone: for
     each window t, union the sketches of windows ≤ t (prefix self-join over
     the O(windows)-by-construction sketch frame — the raw data is never
-    touched again). Output: (window_col, est_cum:long)."""
-    a = sketches.select(F.col(window_col).alias("_t"))
-    b = sketches.select(F.col(window_col).alias("_i"), "sketch")
-    return (
+    touched again). The sketch frame is persisted: both sides of the
+    non-equi self-join share its expensive child (the full raw-table HLL
+    aggregation), and broadcast build + probe sides cannot reuse an
+    exchange (the CLAUDE.md self-join rule) — without it the scan+sketch
+    stage runs twice. Caller releases via functions._persist.release.
+    Output: (window_col, est_cum:long)."""
+    from al_drift_detection_spark.functions._persist import attach_persisted
+
+    sk = sketches.persist()
+    a = sk.select(F.col(window_col).alias("_t"))
+    b = sk.select(F.col(window_col).alias("_i"), "sketch")
+    out = (
         a.join(b, F.col("_i") <= F.col("_t"))
         .groupBy("_t")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_cum"))
         .select(F.col("_t").alias(window_col), "est_cum")
     )
+    return attach_persisted(out, sk)
 
 
 def exact_cumulative_distinct(
@@ -69,8 +78,17 @@ def exact_cumulative_distinct(
     distinct count over windows ≤ t == count of ids whose FIRST occurrence
     window is ≤ t — one groupBy(id) → per-window first-occurrence counts →
     prefix sum over the aggregated O(windows) frame. Never joins raw rows
-    per window. Output: (window_col, n_exact_cum:long)."""
-    first = df.groupBy(col).agg(F.min(window_col).alias("_fw"))
+    per window. NULL keys are excluded — matching hll_sketch_agg and SQL
+    count(DISTINCT ...), which both ignore NULLs; a raw groupBy would count
+    the null group as one extra 'distinct' value and diverge from the
+    estimate and the oracle (review-caught; same null-parity class as
+    closed_window_uniqueness's r5 fix). Output:
+    (window_col, n_exact_cum:long)."""
+    first = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.min(window_col).alias("_fw"))
+    )
     per_w = first.groupBy("_fw").agg(F.count(F.lit(1)).alias("_nf"))
     wids = df.select(window_col).distinct()
     w = Window.orderBy(window_col).rowsBetween(Window.unboundedPreceding, 0)

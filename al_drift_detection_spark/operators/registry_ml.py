@@ -1713,16 +1713,21 @@ def q_ddm_error_rate(spark: SparkSession, sf: str) -> DataFrame:
             F.sum((F.col("value") > 150).cast("long")).alias("err"),
         )
     )
+    from al_drift_detection_spark.functions._persist import propagate_persisted
+
     out = ddm_levels(series, "window_id", "n", "err")
-    return out.select(
-        "window_id",
-        "n",
-        "err",
-        F.round("p_cum", 6).alias("p_cum"),
-        F.round("s_cum", 6).alias("s_cum"),
-        F.round("p_min", 6).alias("p_min"),
-        F.round("s_min", 6).alias("s_min"),
-        "level",
+    return propagate_persisted(
+        out.select(
+            "window_id",
+            "n",
+            "err",
+            F.round("p_cum", 6).alias("p_cum"),
+            F.round("s_cum", 6).alias("s_cum"),
+            F.round("p_min", 6).alias("p_min"),
+            F.round("s_min", 6).alias("s_min"),
+            "level",
+        ),
+        out,
     )
 
 
@@ -1763,10 +1768,12 @@ def q_hll_uniqueness(spark: SparkSession, sf: str) -> DataFrame:
     ev = _t(spark, sf, "events").select(
         F.floor(F.col("event_id") / 500).cast("long").alias("window_id"), "user_id"
     )
+    from al_drift_detection_spark.functions._persist import propagate_persisted
+
     sk = window_hll_sketches(ev, "user_id", "window_id")
     est = cumulative_uniqueness(sk, "window_id")
     ex = exact_cumulative_distinct(ev, "user_id", "window_id")
-    return ex.join(est, "window_id").select(
+    out = ex.join(est, "window_id").select(
         "window_id",
         F.col("n_exact_cum").cast("long").alias("n_exact_cum"),
         (
@@ -1774,3 +1781,4 @@ def q_hll_uniqueness(spark: SparkSession, sf: str) -> DataFrame:
             <= 0.05 * F.col("n_exact_cum")
         ).alias("est_ok"),
     )
+    return propagate_persisted(out, est)

@@ -352,6 +352,55 @@ def main(argv: list[str] | None = None) -> int:
             watermark=f"{args.stream_watermark} seconds",
             slide_seconds=args.stream_slide,
         )
+        if args.changepoint:
+            # sequential detector over the STREAMING verdict series: the
+            # closed-window sinks are durable O(windows) tables, so the
+            # detector recomputes exactly over the accumulated series after
+            # each drain — in a continuous deployment the same call rides a
+            # foreachBatch on the verdict sink, giving per-trigger alarms
+            # with identical end state (the detector is a pure function of
+            # the series prefix). Signals: per-window volume (health
+            # n_rows) and each drift column's KS statistic.
+            from al_drift_detection_spark.functions.changepoint import (
+                normalized_page_hinkley,
+            )
+
+            wid = (
+                (F.unix_timestamp("window_start")
+                 - F.unix_timestamp(F.lit(stream_driver.BASE_TS)))
+                / args.stream_window
+            ).cast("long").alias("window_id")
+            frames = []
+            vol = (
+                spark.read.parquet(f"{args.out}/stream_health")
+                .select(wid, F.col("n_rows").cast("double").alias("x"))
+                .distinct()  # one n_rows per window, repeated across checks
+            )
+            frames.append(
+                normalized_page_hinkley(
+                    vol, "window_id", "x", args.ref_windows,
+                    delta=args.ph_delta, threshold=args.ph_threshold,
+                ).withColumn("signal", F.lit("volume"))
+            )
+            drift_tbl = spark.read.parquet(f"{args.out}/stream_drift").filter(
+                F.col("kernel") == "ks"
+            )
+            for col in ("w", "h"):
+                ser = drift_tbl.filter(F.col("column") == col).select(
+                    wid, F.col("statistic").alias("x")
+                )
+                frames.append(
+                    normalized_page_hinkley(
+                        ser, "window_id", "x", args.ref_windows,
+                        delta=args.ph_delta, threshold=args.ph_threshold,
+                    ).withColumn("signal", F.lit(f"ks:{col}"))
+                )
+            cp = frames[0]
+            for f in frames[1:]:
+                cp = cp.unionByName(f)
+            cp.orderBy("signal", "window_id").write.mode("overwrite").parquet(
+                f"{args.out}/stream_changepoint"
+            )
         print(json.dumps({
             "mode": "stream", "windows": n_windows, "tables": counts,
             "wall_sec": round(time.perf_counter() - t0, 2), "out": args.out,
@@ -408,15 +457,20 @@ def main(argv: list[str] | None = None) -> int:
             # store append — writing after the call returns would leave a
             # crash window (append done, pairs not) that a retry cannot
             # repair (replay signs 0, emits 0).
-            import os as _os
-
-            from al_drift_detection_spark.functions.dedup import incremental_keep
+            from al_drift_detection_spark.functions.dedup import (
+                incremental_keep,
+                read_signature_store,
+            )
 
             store = args.image_dedup_store
             ledger_path = store.rstrip("/") + "_pairs"
+            # COMMITTED store generations only (read_signature_store): a
+            # crashed, marker-less append is invisible, so the replay's
+            # batch key matches the original attempt's
+            store_df = read_signature_store(spark, store)
             batch_key = (
-                spark.read.parquet(store).select("id").distinct().count()
-                if _os.path.exists(store)
+                store_df.select("id").distinct().count()
+                if store_df is not None
                 else 0
             )
 
@@ -544,32 +598,22 @@ def main(argv: list[str] | None = None) -> int:
     if args.changepoint:
         from al_drift_detection_spark.functions.changepoint import (
             ddm_levels,
-            page_hinkley,
+            normalized_page_hinkley,
         )
 
         # Page-Hinkley over each drift column's per-window mean, the series
         # the scalar kernels also watch — but SEQUENTIAL: "when did the level
         # shift", cumulative over the run, vs the kernels' per-window
-        # two-sample verdicts. The series is normalized by the REFERENCE
-        # windows' per-window-mean location/scale so --ph-delta/--ph-threshold
-        # are dimensionless and one default works across columns; a
-        # degenerate reference (zero std) falls back to unscaled deviations.
+        # two-sample verdicts. Normalization by the reference windows'
+        # location/scale makes --ph-delta/--ph-threshold dimensionless
+        # (functions/changepoint.normalized_page_hinkley).
         frames = []
         for col in ("w", "h"):
             series = meta_full.groupBy("window_id").agg(
                 F.avg(F.col(col).cast("double")).alias("x")
             )
-            ref_st = (
-                series.filter(F.col("window_id") < args.ref_windows)
-                .agg(F.avg("x").alias("mu"), F.stddev("x").alias("sd"))
-                .collect()[0]  # one row — the O(windows) series' ref slice
-            )
-            sd = ref_st["sd"] if ref_st["sd"] else 1.0
-            norm = series.select(
-                "window_id", ((F.col("x") - ref_st["mu"]) / sd).alias("x")
-            )
-            out = page_hinkley(
-                norm, "window_id", "x",
+            out = normalized_page_hinkley(
+                series, "window_id", "x", args.ref_windows,
                 delta=args.ph_delta, threshold=args.ph_threshold,
             )
             frames.append(out.withColumn("column", F.lit(col)))
@@ -582,13 +626,17 @@ def main(argv: list[str] | None = None) -> int:
         # windowed DDM on the caption-null rate — the binomial per-window
         # error signal the completeness check already tracks, here with the
         # sequential warn/drift ladder (level 0/1/2)
+        from al_drift_detection_spark.functions._persist import release
+
         nser = meta_full.groupBy("window_id").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("caption").isNull().cast("long")).alias("err"),
         )
-        ddm_levels(nser, "window_id", "n", "err").orderBy(
-            "window_id"
-        ).write.mode("overwrite").parquet(f"{args.out}/ddm_nullrate")
+        ddm = ddm_levels(nser, "window_id", "n", "err")
+        ddm.orderBy("window_id").write.mode("overwrite").parquet(
+            f"{args.out}/ddm_nullrate"
+        )
+        release(ddm)
 
     if args.expect_schema:
         from al_drift_detection_spark.functions.health import schema_check

@@ -106,6 +106,11 @@ def stage_bounded_stream(
     shutil.rmtree(tmp, ignore_errors=True)
 
     n_windows = len(wids)
+    if not wids:
+        raise ValueError(
+            "stage_bounded_stream: the input table produced no windows "
+            "(zero rows?) — nothing to stream"
+        )
     sentinel_ts = (max(wids) + 2) * window_seconds + watermark_seconds
     sentinel = spark.createDataFrame(
         [(None, "sentinel", "png", "x", 1, 1)], STAGE_DDL

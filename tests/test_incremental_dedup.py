@@ -387,3 +387,71 @@ def test_runner_incremental_image_dedup_planted_and_replayed(
         .itertuples(index=False)
     )
     assert keep_replay == keep2  # verdicts survive the replay
+
+
+def test_crashed_append_is_invisible_and_retried(spark, corpus, tmp_path):
+    """Generation-commit atomicity (review finding): a crash ANYWHERE inside
+    the store append — even after all of a batch's data files landed —
+    leaves the store logically unchanged (no commit marker → invisible), so
+    the retry re-signs the whole batch, overwrites the same generation, and
+    the final store + pair output are identical to a crash-free run. A
+    plain parquet append could persist a SUBSET of a doc's band rows, which
+    the id-level anti-join would then never repair."""
+    import os
+
+    from al_drift_detection_spark.functions.dedup import (
+        banded_signatures,
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+        read_signature_store,
+        release,
+    )
+
+    b1, b2 = corpus
+    p1 = incremental_minhash_pairs(b1, str(tmp_path / "banded"), k=16, bands=4)
+    p1.count()
+    store = str(tmp_path / "banded")
+
+    # simulate the crashed batch-2 append: data files fully written (the
+    # worst case — a partial-file crash is strictly more invisible), marker
+    # never renamed into place
+    crashed = banded_signatures(
+        b2.join(
+            read_signature_store(spark, store).select(
+                F.col("id").alias("doc_id")
+            ).distinct(),
+            "doc_id",
+            "left_anti",
+        ),
+        16, 4, 3, "text", "doc_id",
+    )
+    crashed.write.mode("overwrite").parquet(os.path.join(store, "gen=1"))
+    assert not os.path.exists(os.path.join(store, "_gen_1.committed"))
+
+    # the crashed generation is invisible: batch-2 docs still count as new
+    visible = read_signature_store(spark, store)
+    assert visible.select("id").distinct().count() == 4  # batch 1 only
+
+    # the retry re-signs ALL of batch 2, overwrites gen=1, commits it
+    p2 = incremental_minhash_pairs(b2, store, k=16, bands=4)
+    assert p2.head()["n_new_signed"] == 4  # re-signed the WHOLE batch
+    assert os.path.exists(os.path.join(store, "_gen_1.committed"))
+    assert read_signature_store(spark, store).select("id").distinct().count() == 8
+
+    # pair parity with the one-shot recompute over the full corpus
+    full = minhash_lsh_pairs(b1.unionByName(b2), k=16, bands=4)
+    want = {
+        (r["a_id"], r["b_id"]) for r in full.select("a_id", "b_id").collect()
+    }
+    release(full)
+    got = {
+        (r["a_id"], r["b_id"])
+        for p in (p1, p2)
+        for r in p.select("a_id", "b_id").collect()
+    }
+    assert got == want
+
+    # a further replay signs nothing and mints no new generation
+    p3 = incremental_minhash_pairs(b2, store, k=16, bands=4)
+    assert p3.count() == 0
+    assert not os.path.exists(os.path.join(store, "gen=2"))

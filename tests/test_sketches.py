@@ -125,3 +125,34 @@ def test_incremental_store_equals_one_shot(spark, tmp_path):
 def test_store_missing_path_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         store_uniqueness(spark, str(tmp_path / "nope"), "w")
+
+
+def test_null_keys_excluded_everywhere(spark):
+    """NULL ids must not count as a distinct value (review finding): SQL
+    count(DISTINCT) and hll_sketch_agg both ignore NULLs — the exact
+    first-occurrence twin must too, or est-vs-exact (and the DuckDB oracle
+    compare) diverge by exactly 1 from the first null-bearing window on."""
+    df = spark.range(100).select(
+        (F.col("id") % 4).alias("w"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.concat(F.lit("u"), (F.col("id") % 30).cast("string")))
+        .alias("uid"),
+    )
+    got = {
+        r["w"]: r["n_exact_cum"]
+        for r in exact_cumulative_distinct(df, "uid", "w").collect()
+    }
+    for w in range(4):
+        want = (
+            df.filter((F.col("w") <= w) & F.col("uid").isNotNull())
+            .select("uid")
+            .distinct()
+            .count()
+        )
+        assert got[w] == want, w
+    # and the estimate agrees with the null-free exact count
+    est = cumulative_uniqueness(window_hll_sketches(df, "uid", "w"), "w")
+    rows = est.join(
+        exact_cumulative_distinct(df, "uid", "w"), "w"
+    ).collect()
+    assert all(r["est_cum"] == r["n_exact_cum"] for r in rows)  # tiny card → exact

@@ -27,10 +27,24 @@ def stream_out(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("stream") / "out")
     rc = runner.main([
         "--images", "synthetic:12000", "--out", out, "--stream",
-        "--cat-drift", "fmt", "--master", "local[8]",
+        "--cat-drift", "fmt", "--changepoint", "--master", "local[8]",
     ])
     assert rc == 0
     return out
+
+
+def test_stream_changepoint_alarms_on_planted_windows(spark, stream_out):
+    """--stream --changepoint: the sequential Page-Hinkley over the
+    STREAMING verdict series (closed-window sinks) alarms exactly where the
+    planted shift lands — ks:w / ks:h fire on windows 4,5 and nowhere
+    earlier; the uniform volume series stays quiet (its degenerate
+    reference std falls back to unscaled zero deviations)."""
+    cp = spark.read.parquet(f"{stream_out}/stream_changepoint").toPandas()
+    assert set(cp["signal"]) == {"volume", "ks:w", "ks:h"}
+    for sig in ("ks:w", "ks:h"):
+        alarms = sorted(cp[(cp["signal"] == sig) & cp["alarm"]]["window_id"])
+        assert alarms == [4, 5], sig
+    assert not cp[(cp["signal"] == "volume") & cp["alarm"]].shape[0]
 
 
 def test_stream_drift_matches_batch_planted_golden(spark, stream_out):
@@ -109,3 +123,18 @@ def test_stream_slide_cli(spark, tmp_path_factory):
     assert starts == list(range(-150, 751, 150))
     assert ((vol["window_end"] - vol["window_start"]).dt.total_seconds() == W).all()
     assert vol["n_rows"].sum() == 2 * 6000
+
+
+def test_stage_empty_corpus_raises_clearly(spark, tmp_path):
+    """An empty input table must fail staging with a clear error, not a bare
+    max()-of-empty ValueError deep in the wid scan (review finding)."""
+    import pytest as _pytest
+
+    from al_drift_detection_spark.streaming.driver import stage_bounded_stream
+
+    empty = spark.createDataFrame(
+        [], "image_id string, fmt string, caption string, w int, h int, "
+        "window_id long, part int",
+    )
+    with _pytest.raises(ValueError, match="no windows"):
+        stage_bounded_stream(empty, str(tmp_path / "stage"), 300, 60)

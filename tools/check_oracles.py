@@ -60,10 +60,19 @@ def main() -> int:
             continue
         # resolve lazy oracle builders per-name AFTER the filter: a sweep of
         # one unrelated query must not pay (or depend on) the IVF builders'
-        # parquet reads + k-means trainings
+        # parquet reads + k-means trainings. A FAILING builder degrades that
+        # one entry to rows-only (matching __spark_entry__.oracle_sql) —
+        # it must not abort the sweep before the authoritative summary line
         spec_sql = REGISTRY[name].sql
-        sqls = {name: spec_sql() if callable(spec_sql) else spec_sql} \
-            if spec_sql is not None else {}
+        try:
+            sqls = {name: spec_sql() if callable(spec_sql) else spec_sql} \
+                if spec_sql is not None else {}
+        except Exception as ex:
+            print(
+                f"ROWS  {name}: oracle builder failed "
+                f"({str(ex).splitlines()[0][:120]}) — degraded to rows-only"
+            )
+            sqls = {}
         spark.catalog.clearCache()  # no cross-query persisted-frame buildup
         try:
             got = fn(spark, sf).toPandas()

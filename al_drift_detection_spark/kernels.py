@@ -308,6 +308,43 @@ def cvm_2samp(ref: np.ndarray, cur: np.ndarray) -> float:
     return float(n * m / (n + m) ** 2 * np.sum((fr - fc) ** 2))
 
 
+def ad_2samp(ref: np.ndarray, cur: np.ndarray) -> float:
+    """Two-sample Anderson-Darling statistic A²akN (Scholz & Stephens 1987,
+    k=2, TIE-ADJUSTED midrank version): over the L distinct pooled values
+    with multiplicities l_j, half-step cumulatives B_aj = B_{j−1} + l_j/2
+    (pooled) and M_aij likewise per sample,
+
+        A² = (N−1)/N · Σ_i (1/n_i) Σ_j (l_j/N) (N·M_aij − n_i·B_aj)²
+                                     / (B_aj (N − B_aj) − N l_j / 4)
+
+    — the EDF test that up-weights the TAILS, completing the trio with KS
+    (sup point) and CvM (integrated squared gap). E[A²] ≈ k−1 = 1 under the
+    null; pytest pins closeness to the independent continuous Pettitt
+    M_j-rank formula on tie-free data (the midrank adjustment is an O(1/N)
+    perturbation there) plus null/shift behavior. Oracle twin: q_ad_drift.
+    """
+    ref = np.asarray(ref, dtype=np.float64)
+    cur = np.asarray(cur, dtype=np.float64)
+    n, m = len(ref), len(cur)
+    N = n + m
+    if n == 0 or m == 0:
+        return 0.0
+    vals, l = np.unique(np.concatenate([ref, cur]), return_counts=True)
+    lr = np.searchsorted(np.sort(ref), vals, side="right") - np.searchsorted(
+        np.sort(ref), vals, side="left"
+    )
+    lc = l - lr
+    B = np.cumsum(l) - l / 2.0
+    Mr = np.cumsum(lr) - lr / 2.0
+    Mc = np.cumsum(lc) - lc / 2.0
+    denom = B * (N - B) - N * l / 4.0
+    ok = denom > 0  # the all-ties single-value edge contributes nothing
+    inner = (l / N) * (
+        (N * Mr - n * B) ** 2 / n + (N * Mc - m * B) ** 2 / m
+    )
+    return float((N - 1) / N * np.sum(inner[ok] / denom[ok]))
+
+
 def energy_distance(ref: np.ndarray, cur: np.ndarray) -> float:
     """Squared energy distance (Székely–Rizzo) between two samples, the
     V-statistic form: D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'| with each expectation

@@ -1782,3 +1782,181 @@ def q_hll_uniqueness(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("est_ok"),
     )
     return propagate_persisted(out, est)
+
+
+@register(
+    "q_ad_drift",
+    """
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS r,
+             CASE WHEN event_id % 2 = 1 THEN 1.0 ELSE 0.0 END AS c
+      FROM events
+    ),
+    tot AS (SELECT sum(r) AS nr, sum(c) AS nc, sum(r) + sum(c) AS nn FROM s),
+    g AS (SELECT v, sum(r) AS dr, sum(c) AS dc FROM s GROUP BY v),
+    e AS (
+      SELECT v, dr, dc, dr + dc AS l,
+             sum(dr) OVER (ORDER BY v) AS cr,
+             sum(dc) OVER (ORDER BY v) AS cc
+      FROM g
+    ),
+    terms AS (
+      SELECT (l / nn) * (
+               pow(nn * (cr - dr / 2) - nr * (cr + cc - l / 2), 2) / nr
+             + pow(nn * (cc - dc / 2) - nc * (cr + cc - l / 2), 2) / nc
+             ) / ((cr + cc - l / 2) * (nn - (cr + cc - l / 2)) - nn * l / 4)
+             AS term,
+             nn
+      FROM e, tot
+      WHERE (cr + cc - l / 2) * (nn - (cr + cc - l / 2)) - nn * l / 4 > 0
+    )
+    SELECT round((max(nn) - 1) / max(nn) * sum(term), 6) AS ad_stat FROM terms
+    """,
+    "SURVEY.md §2.10 drift-kernel family: two-sample ANDERSON-DARLING "
+    "A²akN (Scholz-Stephens 1987 tie-adjusted midrank form) — the "
+    "tail-weighted EDF test completing the trio with KS (sup point) and "
+    "CvM (integrated squared gap); the alarm for tail/scale drift both "
+    "miss. Same scale shape as q_cvm_drift/q_wasserstein: distinct-value "
+    "pre-agg (persisted), bucketed two-pass cumulative, one final "
+    "aggregate. Kernel twin kernels.ad_2samp (pytest vs the independent "
+    "continuous Pettitt rank formula on tie-free data + null≈1/shift/tie "
+    "behavior)",
+)
+def q_ad_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions._persist import attach_persisted
+    from al_drift_detection_spark.operators.windows import global_cumulative
+
+    s = _t(spark, sf, "events").select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_id") % 2 == 0, 1.0).otherwise(0.0).alias("r"),
+        F.when(F.col("event_id") % 2 == 1, 1.0).otherwise(0.0).alias("c"),
+    )
+    g = (
+        s.groupBy("v")
+        .agg(F.sum("r").alias("dr"), F.sum("c").alias("dc"))
+        .persist()  # events read ONCE (q_wasserstein rationale)
+    )
+    tot = g.agg(
+        F.sum("dr").alias("nr"),
+        F.sum("dc").alias("nc"),
+        (F.sum("dr") + F.sum("dc")).alias("nn"),
+    )
+    cum = global_cumulative(
+        g, bucket=F.floor(F.col("v")), order_cols=["v"], sums={"cr": "dr", "cc": "dc"}
+    )
+    l = F.col("dr") + F.col("dc")
+    b_a = F.col("cr") + F.col("cc") - l / 2  # pooled midrank cumulative
+    mr_a = F.col("cr") - F.col("dr") / 2
+    mc_a = F.col("cc") - F.col("dc") / 2
+    nn, nr, nc = F.col("nn"), F.col("nr"), F.col("nc")
+    denom = b_a * (nn - b_a) - nn * l / 4
+    term = (
+        (l / nn)
+        * (
+            F.pow(nn * mr_a - nr * b_a, F.lit(2.0)) / nr
+            + F.pow(nn * mc_a - nc * b_a, F.lit(2.0)) / nc
+        )
+        / denom
+    )
+    out = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(denom > 0)
+        .agg(
+            F.round(
+                (F.max(nn) - 1) / F.max(nn) * F.sum(term), 6
+            ).alias("ad_stat")
+        )
+    )
+    return attach_persisted(out, g)
+
+
+@register(
+    "q_ewma_control",
+    """
+    WITH s AS (
+      SELECT CAST(floor(event_id / 500) AS BIGINT) AS window_id, avg(value) AS x
+      FROM events GROUP BY 1
+    ),
+    ref AS (SELECT avg(x) AS mu0, stddev(x) AS sd0 FROM s WHERE window_id < 4),
+    z AS (
+      SELECT a.window_id, a.x,
+             0.2 * sum(pow(0.8, a.window_id - b.window_id) * b.x)
+               + pow(0.8, a.window_id + 1) * max(mu0) AS z
+      FROM s a JOIN s b ON b.window_id <= a.window_id, ref
+      GROUP BY a.window_id, a.x
+    ),
+    lim AS (
+      SELECT window_id, x, z,
+             mu0 + 3 * sd0 * sqrt(0.2 / 1.8 * (1 - pow(0.8, 2 * (window_id + 1)))) AS ucl,
+             mu0 - 3 * sd0 * sqrt(0.2 / 1.8 * (1 - pow(0.8, 2 * (window_id + 1)))) AS lcl,
+             mu0
+      FROM z, ref
+    )
+    SELECT window_id, round(x, 6) AS x, round(z, 6) AS z,
+           round(ucl, 6) AS ucl, round(lcl, 6) AS lcl,
+           (round(z, 6) > round(ucl, 6) OR round(z, 6) < round(lcl, 6)) AS signal
+    FROM lim
+    """,
+    "SURVEY.md §2.10 extended: EWMA CONTROL CHART over the per-window "
+    "mean-value series — the production-monitoring classic between Shewhart "
+    "(memoryless) and CUSUM/Page-Hinkley (full memory): z_t = λx_t + "
+    "(1−λ)z_{t−1}, z_0 = μ_ref, with time-varying ±L·σ_ref·"
+    "sqrt(λ/(2−λ)(1−(1−λ)^{2t})) limits (λ=0.2, L=3). The recurrence is "
+    "expanded EXACTLY as a geometric-weight prefix join over the "
+    "O(windows)-by-construction series (contiguous window ids — both "
+    "engines sum identical bounded-power terms; signals compare "
+    "6dp-rounded values). Reference/limits derived relationally from the "
+    "window_id < 4 reference era — no driver collect anywhere",
+)
+def q_ewma_control(spark: SparkSession, sf: str) -> DataFrame:
+    lam, big_l, ref_w = 0.2, 3.0, 4
+    s = (
+        _t(spark, sf, "events")
+        .groupBy(F.floor(F.col("event_id") / 500).cast("long").alias("window_id"))
+        .agg(F.avg("value").alias("x"))
+        .persist()  # shared by the ref agg + both prefix-join sides
+    )
+    ref = s.filter(F.col("window_id") < ref_w).agg(
+        F.avg("x").alias("mu0"), F.stddev("x").alias("sd0")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    z = (
+        a.join(b, F.col("b.window_id") <= F.col("a.window_id"))
+        .crossJoin(F.broadcast(ref))
+        .groupBy(F.col("a.window_id").alias("window_id"), F.col("a.x").alias("x"))
+        .agg(
+            (
+                lam
+                * F.sum(
+                    F.pow(
+                        F.lit(1 - lam),
+                        F.col("a.window_id") - F.col("b.window_id"),
+                    )
+                    * F.col("b.x")
+                )
+                + F.pow(F.lit(1 - lam), F.col("a.window_id") + 1) * F.max("mu0")
+            ).alias("z")
+        )
+    )
+    band = (
+        F.lit(big_l)
+        * F.col("sd0")
+        * F.sqrt(
+            F.lit(lam / (2 - lam))
+            * (1 - F.pow(F.lit(1 - lam), 2 * (F.col("window_id") + 1)))
+        )
+    )
+    lim = z.crossJoin(F.broadcast(ref)).select(
+        "window_id",
+        F.round("x", 6).alias("x"),
+        F.round("z", 6).alias("z"),
+        F.round(F.col("mu0") + band, 6).alias("ucl"),
+        F.round(F.col("mu0") - band, 6).alias("lcl"),
+    )
+    from al_drift_detection_spark.functions._persist import attach_persisted
+
+    out = lim.withColumn(
+        "signal", (F.col("z") > F.col("ucl")) | (F.col("z") < F.col("lcl"))
+    )
+    return attach_persisted(out, s)

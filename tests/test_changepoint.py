@@ -183,3 +183,85 @@ def test_detector_entries_aggregate_before_ordered_windows(spark):
 
     for q in ("q_page_hinkley", "q_ddm_error_rate", "q_hll_uniqueness"):
         assert not audit_window_shapes(plan_of(REGISTRY[q].fn(spark, SF))), q
+
+
+# ---- kernels: Anderson-Darling ----------------------------------------------
+def pettitt_ad(x: np.ndarray, y: np.ndarray) -> float:
+    """Independent continuous two-sample AD (Pettitt 1976 M_j-rank form) —
+    the tie-free classic the midrank A²akN perturbs by O(1/N)."""
+    n, m = len(x), len(y)
+    N = n + m
+    pooled = np.sort(np.concatenate([x, y]))
+    M = np.searchsorted(np.sort(x), pooled, side="right")[: N - 1]
+    j = np.arange(1, N)
+    return float(np.sum((M * N - j * n) ** 2 / (j * (N - j))) / (n * m))
+
+
+def test_ad_close_to_pettitt_on_tie_free_data():
+    from al_drift_detection_spark.kernels import ad_2samp
+
+    rng = np.random.default_rng(3)
+    a, b = rng.normal(0, 1, 400), rng.normal(0, 1, 350)
+    got, ref = ad_2samp(a, b), pettitt_ad(a, b)
+    assert got == pytest.approx(ref, rel=0.02)
+
+
+def test_ad_null_shift_and_tail_behavior():
+    from al_drift_detection_spark.kernels import ad_2samp
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(0, 1, 400)
+    null = ad_2samp(a, rng.normal(0, 1, 400))
+    assert null < 3  # E[A²] ≈ 1 under the null (heavy-tailed, hence slack)
+    assert ad_2samp(a, rng.normal(0.5, 1, 400)) > 10
+    # pure SCALE drift (tails) — the case AD exists for
+    assert ad_2samp(a, rng.normal(0, 1.8, 400)) > 10
+    # ties stay finite; identical samples score 0
+    t = np.repeat([1.0, 2.0, 3.0], 80)
+    assert ad_2samp(t, t) == pytest.approx(0.0, abs=1e-12)
+    assert np.isfinite(ad_2samp(t, np.repeat([1.0, 2.0, 4.0], 80)))
+
+
+def test_ad_registry_entry_matches_kernel(spark):
+    """The relational A²akN must equal the numpy kernel on the same split —
+    the same distinct-value/midrank algebra through two implementations."""
+    import pandas as pd
+
+    from al_drift_detection_spark.kernels import ad_2samp
+    from al_drift_detection_spark.operators import REGISTRY
+    from tests.test_plans import SF
+
+    got = REGISTRY["q_ad_drift"].fn(spark, SF).head()["ad_stat"]
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "value"])
+    ref = ev[ev.event_id % 2 == 0]["value"].to_numpy()
+    cur = ev[ev.event_id % 2 == 1]["value"].to_numpy()
+    assert got == pytest.approx(ad_2samp(ref, cur), abs=1e-6)
+
+
+# ---- EWMA control chart -------------------------------------------------------
+def test_ewma_registry_entry_matches_recurrence(spark):
+    """The prefix-join expansion must equal the textbook recurrence
+    z_t = λx_t + (1−λ)z_{t−1} run directly in numpy, limits included."""
+    import pandas as pd
+
+    from al_drift_detection_spark.operators import REGISTRY
+    from tests.test_plans import SF
+
+    rows = (
+        REGISTRY["q_ewma_control"].fn(spark, SF).orderBy("window_id").toPandas()
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "value"])
+    series = (
+        ev.assign(w=ev.event_id // 500).groupby("w")["value"].mean().sort_index()
+    )
+    lam, big_l = 0.2, 3.0
+    mu0 = series.iloc[:4].mean()
+    sd0 = series.iloc[:4].std(ddof=1)
+    z = mu0
+    for t, (w, x) in enumerate(series.items(), start=1):
+        z = lam * x + (1 - lam) * z
+        band = big_l * sd0 * np.sqrt(lam / (2 - lam) * (1 - (1 - lam) ** (2 * t)))
+        row = rows[rows.window_id == w].iloc[0]
+        assert row["z"] == pytest.approx(z, abs=1e-5), w
+        assert row["ucl"] == pytest.approx(mu0 + band, abs=1e-5), w
+        assert bool(row["signal"]) == bool(z > mu0 + band or z < mu0 - band), w

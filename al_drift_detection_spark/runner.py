@@ -125,6 +125,15 @@ def main(argv: list[str] | None = None) -> int:
         "signatures; also writes the image_dedup_pairs/ table",
     )
     ap.add_argument(
+        "--hll-store", default=None, metavar="PATH",
+        help="persisted per-window HyperLogLog sketch store for INCREMENTAL "
+        "uniqueness: sketch THIS run's rows as one snapshot (keyed by "
+        "--run-id — a crash-retried run overwrites its own snapshot), then "
+        "answer per-window + corpus-lifetime distinct-image_id counts from "
+        "the store alone (no raw-data rescan) — writes the "
+        "hll_uniqueness/ table",
+    )
+    ap.add_argument(
         "--changepoint", action="store_true",
         help="sequential change detectors over the per-window metric series: "
         "two-sided Page-Hinkley on each drift column's per-window mean "
@@ -594,6 +603,29 @@ def main(argv: list[str] | None = None) -> int:
             f"{args.out}/health_uniqueness"
         )
         release(uniq)
+
+    if args.hll_store:
+        import zlib
+
+        from al_drift_detection_spark.functions.sketches import (
+            store_uniqueness,
+            update_hll_store,
+        )
+
+        # snapshot key = stable hash of --run-id: a crash-retried run
+        # dynamic-overwrites its OWN snapshot partition (idempotent), a new
+        # run-id appends a new snapshot; estimates are union-merges over the
+        # store, so re-sketching identical rows never inflates the distinct
+        # count (HLL registers are value-idempotent) — only n_rows, which
+        # counts ingested rows by design
+        snap = zlib.crc32(args.run_id.encode())
+        update_hll_store(
+            meta_full.select("window_id", "image_id"),
+            args.hll_store, "image_id", "window_id", snapshot_id=snap,
+        )
+        store_uniqueness(spark, args.hll_store, "window_id").orderBy(
+            F.col("window_id").asc_nulls_last()
+        ).write.mode("overwrite").parquet(f"{args.out}/hll_uniqueness")
 
     if args.changepoint:
         from al_drift_detection_spark.functions.changepoint import (

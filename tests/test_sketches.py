@@ -156,3 +156,39 @@ def test_null_keys_excluded_everywhere(spark):
         exact_cumulative_distinct(df, "uid", "w"), "w"
     ).collect()
     assert all(r["est_cum"] == r["n_exact_cum"] for r in rows)  # tiny card → exact
+
+
+def test_hll_store_cli_incremental_and_idempotent(spark, tmp_path):
+    """`runner --hll-store`: per-window + lifetime distinct counts answered
+    from the persisted sketch store; re-running the SAME --run-id is a true
+    no-op (snapshot overwrite), a new run-id re-sketching identical rows
+    leaves every ESTIMATE unchanged (HLL registers are value-idempotent)
+    while n_rows counts the doubled ingest."""
+    from al_drift_detection_spark import runner
+
+    out, store = str(tmp_path / "o1"), str(tmp_path / "hll")
+    args = ["--images", "synthetic:6000", "--master", "local[8]",
+            "--hll-store", store]
+    assert runner.main(["--out", out, "--run-id", "r1", *args]) == 0
+    first = spark.read.parquet(f"{out}/hll_uniqueness").toPandas()
+    total = first[first.window_id.isnull()].iloc[0]
+    assert total["n_rows"] == 6000
+    # a handful of planted duplicate ids → estimate within the lgK=12 rsd
+    # of the ~6000 true distinct count
+    assert abs(total["est"] - 6000) <= 0.05 * 6000
+
+    # same run-id replay: byte-identical answers
+    assert runner.main(["--out", str(tmp_path / "o2"), "--run-id", "r1", *args]) == 0
+    replay = spark.read.parquet(f"{tmp_path}/o2/hll_uniqueness").toPandas()
+    t2 = replay[replay.window_id.isnull()].iloc[0]
+    assert t2["est"] == total["est"] and t2["n_rows"] == total["n_rows"]
+
+    # new run-id over the same corpus: estimates unchanged, n_rows doubled
+    assert runner.main(["--out", str(tmp_path / "o3"), "--run-id", "r2", *args]) == 0
+    again = spark.read.parquet(f"{tmp_path}/o3/hll_uniqueness").toPandas()
+    t3 = again[again.window_id.isnull()].iloc[0]
+    assert t3["est"] == total["est"]
+    assert t3["n_rows"] == 2 * total["n_rows"]
+    per_w1 = first[first.window_id.notnull()].set_index("window_id")["est"]
+    per_w3 = again[again.window_id.notnull()].set_index("window_id")["est"]
+    assert per_w1.equals(per_w3)

@@ -16,15 +16,17 @@ order is therefore CURATED, not accidental:
   in tests/test_plans.py) were demoted to make driver-gate room for the
   r3-r4 families q_wasserstein (extended drift kernel) and
   q_uniqueness_drift (health);
-- 11 oracle entries are DEMOTED past the window as redundant twins of
+- 12 oracle entries are DEMOTED past the window as redundant twins of
   in-window entries (the gate re-checks the same operator family):
   q_ks_statistic (⊂ q_ks_pvalue), q_except_keys (≡ q_anti_join shape),
   q_lag_features (⊂ q_sequence_checksum), q_accuracy / q_per_class_accuracy
-  (derivable from q_confusion_matrix), q_prf_per_class (single-scope subset
-  of q_crossing_report's scoped PRF), q_split_counts (⊂ q_split_assignment),
-  q_topk_per_query (≡ q_cosine_topk family), q_minmax_class_counts
-  (≡ q_value_counts/q_class_weights agg shape), plus the r6-rotated
-  q_value_counts and q_topn_global.
+  (derivable from q_confusion_matrix), q_prf_per_class / q_error_sdi
+  (single-scope subsets of q_crossing_report's scoped PRF/SDI — the SDI
+  slot went to q_page_hinkley, the new sequential-detector family's
+  representative, in the late-r6 rotation), q_split_counts
+  (⊂ q_split_assignment), q_topk_per_query (≡ q_cosine_topk family),
+  q_minmax_class_counts (≡ q_value_counts/q_class_weights agg shape), plus
+  the r6-rotated q_value_counts and q_topn_global.
   They all still carry oracles and run in tools/check_oracles.py (the
   full-registry replica) and the pytest suite.
 
@@ -74,17 +76,21 @@ GATE_FRONT: list[str] = [
     "q_regexp_extract",
     "q_label_remap",
     "q_abs_gap_flags",
-    # metric block (A6, A8) + the cnn.py end-to-end (its scoped PRF oracle
-    # supersedes the single-scope q_prf_per_class, demoted as a twin)
+    # metric block (A6) + the cnn.py end-to-end (its scoped PRF/SDI oracles
+    # supersede the single-scope q_prf_per_class and q_error_sdi, demoted
+    # as twins — q_error_sdi in the late-r6 rotation below)
     "q_confusion_matrix",
     "q_crossing_report",
-    "q_error_sdi",
-    # drift kernels (+ r6-promoted extended-drift / health families)
+    # drift kernels (+ r6-promoted extended-drift / health families, and the
+    # late-r6 rotation: q_page_hinkley represents the NEW sequential
+    # change-detector family — PH/DDM/EWMA over the metric series — in the
+    # slot freed by q_error_sdi)
     "q_ks_pvalue",
     "q_psi_fixed_bins",
     "q_mmd_rbf",
     "q_wasserstein",
     "q_uniqueness_drift",
+    "q_page_hinkley",
     # dedup / text
     "q_dedup_exact",
     "q_ngram_jaccard_pairs",

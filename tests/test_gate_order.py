@@ -27,6 +27,11 @@ DEMOTED_ORACLE_TWINS = {
     # q_wasserstein / q_uniqueness_drift
     "q_value_counts",
     "q_topn_global",
+    # late-r6 rotation: the composed q_crossing_report (in-gate, driver-
+    # green) carries the full scoped S/D/I computation; the single-scope
+    # q_error_sdi freed the slot for q_page_hinkley (the new sequential
+    # change-detector family's representative)
+    "q_error_sdi",
 }
 
 # oracle-bearing EXTENSIONS beyond the SURVEY §2 inventory, plus explicit
@@ -65,6 +70,19 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # schema half of the validation family (verdict/constraint halves are
     # in-window); oracle is a metadata-only information_schema comparison
     "q_schema_check",
+    # r6 drift-kernel family extensions (KS/PSI/MMD/W1 representatives are
+    # in-window; these widen §2.10 — CvM/AD complete the EDF trio, energy
+    # distance is the bandwidth-free MMD companion)
+    "q_cvm_drift",
+    "q_ad_drift",
+    "q_energy_distance",
+    # r6 sequential change-detector family: q_page_hinkley is the in-window
+    # representative; DDM and the EWMA chart are its family twins
+    "q_ddm_error_rate",
+    "q_ewma_control",
+    # north_star HLL sketch uniqueness: the exact-uniqueness family is
+    # in-window via q_uniqueness_drift; this is its sketch/incremental form
+    "q_hll_uniqueness",
 }
 
 

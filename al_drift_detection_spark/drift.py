@@ -28,7 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from al_drift_detection_spark.kernels import (
+    ad_2samp,
     chi2_sf,
+    cvm_2samp,
+    energy_distance,
     js_divergence,
     ks_2samp,
     mmd_rbf,
@@ -121,6 +124,44 @@ def _w1_statistic(r: np.ndarray, cur: np.ndarray) -> float:
     return 0.0 if w1_raw == 0.0 else float("inf")
 
 
+_ADVISORY_KERNELS = ("wasserstein", "js", "cvm", "ad")
+# α≈0.01 asymptotic critical value of the two-sample CvM T statistic
+_CVM_DEFAULT_THRESHOLD = 0.743
+# raw A²akN practical default: null mean ≈ 1, 4.0 sits past the α≈0.01
+# neighborhood of the k=2 table (Scholz-Stephens 1987) without computing the
+# standardizing σ_N — advisory rows trade exact calibration for one scan
+_AD_DEFAULT_THRESHOLD = 4.0
+
+
+def _advisory_rows(
+    part, window, c, r: np.ndarray, cur: np.ndarray,
+    extra_kernels: tuple[str, ...], th: dict[str, float],
+) -> list[tuple]:
+    """Advisory-kernel rows SHARED by drift_scores and sliding_window_scores
+    (one implementation — the two surfaces cannot diverge): wasserstein
+    (unitless W1/std, _w1_statistic), js (natural-log JS), cvm (two-sample
+    Cramér-von Mises T), ad (tie-adjusted Anderson-Darling A²akN). Advisory
+    rows never join the ≥2-of-3 vote."""
+    rows = []
+    if "wasserstein" in extra_kernels:
+        w1 = _w1_statistic(r, cur)
+        rows.append((part, window, c, "wasserstein", w1, None, th["wasserstein"],
+                     "fail" if w1 > th["wasserstein"] else "pass"))
+    if "js" in extra_kernels:
+        js_v = js_divergence(r, cur)
+        rows.append((part, window, c, "js", js_v, None, th["js"],
+                     "fail" if js_v > th["js"] else "pass"))
+    if "cvm" in extra_kernels:
+        cv = cvm_2samp(r, cur)
+        rows.append((part, window, c, "cvm", cv, None, th["cvm"],
+                     "fail" if cv > th["cvm"] else "pass"))
+    if "ad" in extra_kernels:
+        av = ad_2samp(r, cur)
+        rows.append((part, window, c, "ad", av, None, th["ad"],
+                     "fail" if av > th["ad"] else "pass"))
+    return rows
+
+
 def drift_scores(
     df: DataFrame,
     value_cols: list[str],
@@ -135,6 +176,8 @@ def drift_scores(
     extra_kernels: tuple[str, ...] = (),
     wasserstein_threshold: float = 0.25,
     js_threshold: float = 0.1,
+    cvm_threshold: float = _CVM_DEFAULT_THRESHOLD,
+    ad_threshold: float = _AD_DEFAULT_THRESHOLD,
 ) -> DataFrame:
     """Score every (part, window) group against the broadcast reference.
 
@@ -147,17 +190,22 @@ def drift_scores(
     ~4× cheaper than 1024 — the dominant per-window cost.
 
     extra_kernels: opt-in ADVISORY kernels beyond the north_star trio —
-    subset of {"wasserstein", "js"}. They add rows (kernel='wasserstein' /
-    'js') but do NOT join the vote (the vote's ≥2-of-3 semantics and the
-    default output are byte-identical with extra_kernels=()). The
-    Wasserstein statistic is reported as W1 / std(ref) — unitless, so one
-    threshold works across columns of different scales (degenerate constant
-    reference: falls back to std(cur), and to 0/+inf when both sides are
-    constant — see _w1_statistic); JS is natural-log (∈ [0, ln 2]).
+    subset of {"wasserstein", "js", "cvm", "ad"}. They add rows but do NOT
+    join the vote (the vote's ≥2-of-3 semantics and the default output are
+    byte-identical with extra_kernels=()). Wasserstein is reported as
+    W1 / std(ref) — unitless, one threshold across scales (degenerate
+    references: _w1_statistic); JS is natural-log (∈ [0, ln 2]); cvm is the
+    two-sample Cramér-von Mises T (default threshold = its α≈0.01
+    asymptotic critical value); ad is the tie-adjusted Anderson-Darling
+    A²akN (tail-weighted; raw-statistic practical threshold — see
+    _AD_DEFAULT_THRESHOLD). One shared implementation (_advisory_rows)
+    serves this and sliding_window_scores.
     """
-    bad = set(extra_kernels) - {"wasserstein", "js"}
+    bad = set(extra_kernels) - set(_ADVISORY_KERNELS)
     if bad:
         raise ValueError(f"unknown extra_kernels: {sorted(bad)}")
+    adv_th = {"wasserstein": wasserstein_threshold, "js": js_threshold,
+              "cvm": cvm_threshold, "ad": ad_threshold}
     spark = SparkSession.getActiveSession()
     bc_ref = spark.sparkContext.broadcast(ref_samples)
 
@@ -186,18 +234,7 @@ def drift_scores(
                     "fail" if sum(flags) >= 2 else "pass",
                 ),
             ]
-            if "wasserstein" in extra_kernels:
-                w1 = _w1_statistic(r, cur)
-                rows.append(
-                    (part, window, c, "wasserstein", w1, None, wasserstein_threshold,
-                     "fail" if w1 > wasserstein_threshold else "pass")
-                )
-            if "js" in extra_kernels:
-                js_v = js_divergence(r, cur)
-                rows.append(
-                    (part, window, c, "js", js_v, None, js_threshold,
-                     "fail" if js_v > js_threshold else "pass")
-                )
+            rows += _advisory_rows(part, window, c, r, cur, extra_kernels, adv_th)
         return pd.DataFrame(
             rows,
             columns=[
@@ -336,9 +373,13 @@ def sliding_window_scores(
     # never join the vote); identical semantics so batch-vs-sliding output
     # stays comparable column-for-column
     extra_kernels = tuple(kwargs.get("extra_kernels", ()))
-    wasserstein_threshold = kwargs.get("wasserstein_threshold", 0.25)
-    js_threshold = kwargs.get("js_threshold", 0.1)
-    bad = set(extra_kernels) - {"wasserstein", "js"}
+    adv_th = {
+        "wasserstein": kwargs.get("wasserstein_threshold", 0.25),
+        "js": kwargs.get("js_threshold", 0.1),
+        "cvm": kwargs.get("cvm_threshold", _CVM_DEFAULT_THRESHOLD),
+        "ad": kwargs.get("ad_threshold", _AD_DEFAULT_THRESHOLD),
+    }
+    bad = set(extra_kernels) - set(_ADVISORY_KERNELS)
     if bad:
         raise ValueError(f"unknown extra_kernels: {sorted(bad)}")
 
@@ -370,18 +411,7 @@ def sliding_window_scores(
                 (part, pair, c, "vote", float(sum(flags)), None, 2.0,
                  "fail" if sum(flags) >= 2 else "pass"),
             ]
-            if "wasserstein" in extra_kernels:
-                w1 = _w1_statistic(r, cu)
-                rows.append(
-                    (part, pair, c, "wasserstein", w1, None, wasserstein_threshold,
-                     "fail" if w1 > wasserstein_threshold else "pass")
-                )
-            if "js" in extra_kernels:
-                js_v = js_divergence(r, cu)
-                rows.append(
-                    (part, pair, c, "js", js_v, None, js_threshold,
-                     "fail" if js_v > js_threshold else "pass")
-                )
+            rows += _advisory_rows(part, pair, c, r, cu, extra_kernels, adv_th)
         return pd.DataFrame(
             rows,
             columns=[
@@ -411,12 +441,20 @@ def embedding_drift(
     mmd_threshold: float = 0.05,
     mmd_max_n: int = 512,
     sample_cap: int | None = None,
+    kernel: str = "mmd",
 ) -> DataFrame:
     """Multivariate drift on an EMBEDDING column: per-window MMD-RBF between
     the window's vectors and a bounded broadcast reference matrix — the
     representation-space analog of the scalar KS/PSI/MMD pass (a caption/image
     distribution can shift in embedding space while every scalar stat stays
     flat; corpus pipelines gate ingest batches on exactly this signal).
+
+    kernel="energy" swaps the statistic for the Székely-Rizzo squared
+    ENERGY DISTANCE (kernels.energy_distance, DuckDB-oracle-checked via
+    q_energy_distance) — the bandwidth-free alternative for when MMD's RBF
+    median heuristic misbehaves on the embedding scale; identical sampling/
+    bounding shape, output statistic column named `energy` instead of
+    `mmd` (threshold semantics unchanged: fail iff statistic > threshold).
 
     Scale shape (VERDICT r3 "What's wrong" #1 — the one-task-per-window group
     is gone): per-window rows are bounded JVM-SIDE before any vector moves,
@@ -437,6 +475,13 @@ def embedding_drift(
     read); `n_vectors` is the count of vectors actually scored (≤ ~2·cap for
     over-cap windows; excludes NULL/ragged vectors).
     """
+    if kernel not in ("mmd", "energy"):
+        raise ValueError(f"kernel must be 'mmd' or 'energy', got {kernel!r}")
+    stat_col = kernel  # output column carries the chosen statistic's name
+    out_schema = (
+        f"window_id int, n_rows long, n_vectors long, {stat_col} double, "
+        "threshold double, verdict string"
+    )
     ref = np.asarray(ref_vectors, dtype=np.float64)
     if ref.ndim != 2 or len(ref) == 0:
         raise ValueError("ref_vectors must be a non-empty (n, d) matrix")
@@ -457,22 +502,25 @@ def embedding_drift(
         # embedding must not abort the job via np.stack/Gram shape errors —
         # n_vectors reports only the vectors actually scored
         vecs = [v for v in pdf[vec_col] if v is not None and len(v) == dim]
+        cols = ["window_id", "n_rows", "n_vectors", stat_col, "threshold", "verdict"]
         if not vecs:
             return pd.DataFrame(
-                [(window, n_rows, 0, 0.0, mmd_threshold, "pass")],
-                columns=["window_id", "n_rows", "n_vectors", "mmd", "threshold", "verdict"],
+                [(window, n_rows, 0, 0.0, mmd_threshold, "pass")], columns=cols
             )
         cur = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        m = mmd_rbf(bc_ref.value, cur, max_n=mmd_max_n)
+        if kernel == "mmd":
+            m = mmd_rbf(bc_ref.value, cur, max_n=mmd_max_n)
+        else:
+            m = energy_distance(bc_ref.value, subsample(cur, mmd_max_n))
         return pd.DataFrame(
             [(window, n_rows, len(cur), float(m), mmd_threshold,
               "fail" if m > mmd_threshold else "pass")],
-            columns=["window_id", "n_rows", "n_vectors", "mmd", "threshold", "verdict"],
+            columns=cols,
         )
 
     pruned = df.select(F.col(window_col).alias("window_id"), vec_col)
     sampled = _bounded_window_sample(pruned, "window_id", sample_cap)
-    return sampled.groupBy("window_id").applyInPandas(score, EMB_SCORE_SCHEMA)
+    return sampled.groupBy("window_id").applyInPandas(score, out_schema)
 
 
 def categorical_drift(

@@ -311,6 +311,23 @@ def main(argv: list[str] | None = None) -> int:
             set_summaries.append({
                 "set": i, "orbits": n_orbits, "rows_dropped_null": n_dropped,
             })
+        if args.sets > 1:
+            # the reference's drifts_all.txt catalogue (README.md:93,145):
+            # one '{orbit} {drift}' line per orbit across the run. Here it is
+            # the UNION of the per-set verdict tables (set slices may
+            # overlap; an orbit seen by several sets keeps its lowest-set
+            # verdict, deterministically) — the reference builds it from a
+            # full-corpus run, so with --sets sampling this is the
+            # catalogue of every orbit any set covered.
+            allv = None
+            for i in range(1, args.sets + 1):
+                v = spark.read.parquet(f"{args.out}/orbit_drifts_set{i}").withColumn(
+                    "_set", F.lit(i)
+                )
+                allv = v if allv is None else allv.unionByName(v)
+            first_set = allv.groupBy("orbit").agg(F.min("_set").alias("_set"))
+            catalog = allv.join(first_set, ["orbit", "_set"]).drop("_set")
+            write_drifts_txt(catalog, f"{args.out}/drifts_all.txt")
         summary = dict(set_summaries[0]) if args.sets == 1 else {"sets": set_summaries}
         summary.pop("set", None)
         summary.update({

@@ -158,6 +158,10 @@ def test_orbit_runner_multi_set_loop(spark, tmp_path_factory):
     assert s1 != s2
     for i in (1, 2):
         assert spark.read.parquet(f"{out}/orbit_drifts_set{i}").count() > 0
+    # the drifts_all.txt catalogue (reference README.md:93): the union over
+    # sets, lowest set winning overlaps — here set 1 covers the full corpus,
+    # so the catalogue equals the set-1 golden
+    assert (base / "out" / "drifts_all.txt").read_text() == GOLDEN
 
 
 def test_select_set_files_contract():

@@ -280,3 +280,38 @@ def test_embedding_drift_ragged_vectors_skipped(spark):
     df = spark.createDataFrame(rows, "window_id int, embedding array<float>")
     got = embedding_drift(df, ref).toPandas()
     assert len(got) == 1 and got.loc[0, "n_vectors"] == 25
+
+
+def test_embedding_drift_energy_kernel(spark):
+    """kernel='energy': same sampling/verdict contract with the statistic
+    column named `energy`, values matching a direct kernels.energy_distance
+    call; planted shift fails, clean window passes; bad kernel rejected."""
+    import pytest as _pytest
+
+    from al_drift_detection_spark.drift import embedding_drift
+    from al_drift_detection_spark.kernels import energy_distance
+
+    rng = np.random.default_rng(17)
+    d = 8
+    ref = rng.standard_normal((200, d))
+    win0 = rng.standard_normal((150, d))
+    win1 = rng.standard_normal((150, d)) + 3.0
+    rows = [(0, [float(x) for x in v]) for v in win0]
+    rows += [(1, [float(x) for x in v]) for v in win1]
+    df = spark.createDataFrame(rows, "window_id int, embedding array<float>")
+    got = (
+        embedding_drift(df, ref, kernel="energy", mmd_threshold=0.5)
+        .toPandas()
+        .set_index("window_id")
+        .sort_index()
+    )
+    assert list(got.columns) == [
+        "n_rows", "n_vectors", "energy", "threshold", "verdict"
+    ]
+    assert got.loc[0, "verdict"] == "pass"
+    assert got.loc[1, "verdict"] == "fail"
+    direct1 = energy_distance(ref, win1.astype(np.float32).astype(np.float64))
+    assert got.loc[1, "energy"] == pytest.approx(direct1, rel=1e-6)
+
+    with _pytest.raises(ValueError, match="kernel"):
+        embedding_drift(df, ref, kernel="wasserstein")

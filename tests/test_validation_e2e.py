@@ -171,6 +171,16 @@ def test_drift_extra_kernels_advisory_rows(spark, images):
         flagged = set(rows[rows["verdict"] == "fail"]["window_id"])
         assert flagged == {6, 7}, (k, flagged)
 
+    # r6 advisory additions: CvM + Anderson-Darling flag the same planted
+    # windows through the shared _advisory_rows implementation
+    edf = drift_scores(
+        images, ["w"], ref_samples, extra_kernels=("cvm", "ad")
+    ).toPandas()
+    for k in ("cvm", "ad"):
+        rows = edf[(edf["kernel"] == k) & (edf["column"] == "w")]
+        flagged = set(rows[rows["verdict"] == "fail"]["window_id"])
+        assert flagged == {6, 7}, (k, flagged)
+
     with pytest.raises(ValueError, match="unknown extra_kernels"):
         drift_scores(images, ["w"], ref_samples, extra_kernels=("nope",))
 

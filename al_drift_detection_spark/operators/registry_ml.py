@@ -1960,3 +1960,75 @@ def q_ewma_control(spark: SparkSession, sf: str) -> DataFrame:
         "signal", (F.col("z") > F.col("ucl")) | (F.col("z") < F.col("lcl"))
     )
     return attach_persisted(out, s)
+
+
+@register(
+    "q_embedding_energy",
+    """
+    WITH ref AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE vec_id < 400 AND vec_id % 2 = 0
+    ),
+    w AS (
+      SELECT CAST(floor(vec_id / 100) AS INTEGER) AS window_id,
+             CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ),
+    exy AS (
+      SELECT window_id, avg(list_distance(w.e, ref.e)) AS t FROM w, ref GROUP BY 1
+    ),
+    exx AS (
+      SELECT a.window_id, avg(list_distance(a.e, b.e)) AS t
+      FROM w a JOIN w b USING (window_id) GROUP BY 1
+    ),
+    eyy AS (SELECT avg(list_distance(a.e, b.e)) AS t FROM ref a, ref b),
+    n AS (SELECT window_id, count(*) AS n_rows FROM w GROUP BY 1)
+    SELECT n.window_id, n.n_rows, n.n_rows AS n_vectors,
+           round(2 * exy.t - exx.t - eyy.t, 6) AS energy,
+           0.2 AS threshold,
+           CASE WHEN round(2 * exy.t - exx.t - eyy.t, 6) > 0.2
+                THEN 'fail' ELSE 'pass' END AS verdict
+    FROM n JOIN exy USING (window_id) JOIN exx USING (window_id), eyy
+    """,
+    "the MULTIVARIATE embedding-drift surface VALUE-CHECKED end-to-end "
+    "(SURVEY.md §2.10 / brief: embedding drift): drift.embedding_drift with "
+    "kernel='energy' — per-window Székely-Rizzo energy distance vs the "
+    "broadcast reference matrix. Unlike the MMD path (rows-only: the RBF "
+    "median heuristic is data-dependent), the energy statistic is pure "
+    "pairwise Euclidean means, so the WHOLE applyInPandas surface — "
+    "sampler, per-window grouping, kernel, verdicts — lands under a DuckDB "
+    "oracle (windows of 100 ≤ sample_cap ⇒ the rate-1 byte-identical "
+    "path; verdicts re-derived from the 6dp-rounded statistic so both "
+    "engines compare identical values; the operator's own unrounded "
+    "verdict is pinned by tests/test_tfidf_embedding.py)",
+)
+def q_embedding_energy(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    from al_drift_detection_spark.drift import embedding_drift
+
+    emb = _t(spark, sf, "embeddings")
+    ref_np = np.asarray(
+        [
+            r["embedding"]
+            for r in emb.filter(
+                (F.col("vec_id") < 400) & (F.col("vec_id") % 2 == 0)
+            )
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    df = emb.select(
+        F.floor(F.col("vec_id") / 100).cast("int").alias("window_id"), "embedding"
+    )
+    out = embedding_drift(df, ref_np, kernel="energy", mmd_threshold=0.2)
+    e6 = F.round("energy", 6)
+    return out.select(
+        "window_id",
+        "n_rows",
+        "n_vectors",
+        e6.alias("energy"),
+        F.col("threshold"),
+        F.when(e6 > 0.2, "fail").otherwise("pass").alias("verdict"),
+    )

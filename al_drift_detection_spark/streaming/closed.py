@@ -300,12 +300,22 @@ def closed_drift_scores(
     mmd_threshold: float = 0.05,
     max_n: int = 2048,
     mmd_max_n: int = 512,
+    extra_kernels: tuple[str, ...] = (),
+    **adv_thresholds: float,
 ) -> DataFrame:
     """Closed-window KS/PSI/MMD drift: the streaming twin of
     drift.drift_scores with window-close emission — the core north_star
     kernel trio, scored once per event-time window against the broadcast
     reference when the watermark passes the window end (the reference's
     window-close vote, gan.py:737-757: it never votes on a partial window).
+
+    extra_kernels: the SAME opt-in advisory set as drift_scores
+    ({"wasserstein", "js", "cvm", "ad"}), computed at window close from the
+    same bounded state sample through the SHARED drift._advisory_rows
+    implementation — batch and streaming advisory rows cannot diverge;
+    advisory rows never join the 2-of-3 vote. Thresholds override via
+    wasserstein_threshold / js_threshold / cvm_threshold / ad_threshold
+    kwargs (drift_scores' defaults otherwise).
 
     Raw rows pre-reduce per chunk to (count, ≤2·max_n-value bounded sample)
     partials before the stateful shuffle (module docstring); the state task
@@ -320,6 +330,22 @@ def closed_drift_scores(
     2-of-3 majority 'vote' row, exactly drift_scores' contract keyed by
     window bounds.
     """
+    from al_drift_detection_spark.drift import (
+        _AD_DEFAULT_THRESHOLD,
+        _ADVISORY_KERNELS,
+        _CVM_DEFAULT_THRESHOLD,
+        _advisory_rows,
+    )
+
+    bad = set(extra_kernels) - set(_ADVISORY_KERNELS)
+    if bad:
+        raise ValueError(f"unknown extra_kernels: {sorted(bad)}")
+    adv_th = {
+        "wasserstein": adv_thresholds.get("wasserstein_threshold", 0.25),
+        "js": adv_thresholds.get("js_threshold", 0.1),
+        "cvm": adv_thresholds.get("cvm_threshold", _CVM_DEFAULT_THRESHOLD),
+        "ad": adv_thresholds.get("ad_threshold", _AD_DEFAULT_THRESHOLD),
+    }
     ref = {c: np.asarray(ref_samples[c], dtype=np.float64) for c in value_cols}
     state_cap = 2 * max_n
 
@@ -356,6 +382,12 @@ def closed_drift_scores(
                      "fail" if flags[2] else "pass"),
                     (w_start, w_end, int(n), c, "vote", float(sum(flags)), None, 2.0,
                      "fail" if sum(flags) >= 2 else "pass"),
+                ]
+                rows += [
+                    (w_start, w_end, int(n), c, k, s, pv, th, v)
+                    for (_, _, _c, k, s, pv, th, v) in _advisory_rows(
+                        None, None, c, r, cur, extra_kernels, adv_th
+                    )
                 ]
             state.remove()
             yield pd.DataFrame(

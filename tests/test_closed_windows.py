@@ -191,13 +191,15 @@ def test_closed_drift_scores_split_window_parity(spark, tmp_path_factory):
         .option("maxFilesPerTrigger", 1)
         .parquet(inp)
     )
+    advisory = ("wasserstein", "js", "cvm", "ad")
     out = closed_drift_scores(
-        stream, "ts", ["v"], ref, window="5 minutes", watermark="1 minute"
+        stream, "ts", ["v"], ref, window="5 minutes", watermark="1 minute",
+        extra_kernels=advisory,
     )
     _run_stream(out, "cds_out")
     got = spark.sql("SELECT * FROM cds_out").toPandas().set_index("kernel")
 
-    assert len(got) == 4  # ks/psi/mmd/vote for the ONE closed window
+    assert len(got) == 8  # ks/psi/mmd/vote + the 4 advisory rows
     assert (got["n_rows"] == 1000).all()
     assert got.loc["vote", "verdict"] == "fail"
 
@@ -205,12 +207,12 @@ def test_closed_drift_scores_split_window_parity(spark, tmp_path_factory):
         drift_scores(
             spark.createDataFrame(pd.concat([fa, fb]), "ts timestamp, v double")
             .select(F.lit(0).alias("part"), F.lit(0).alias("window_id"), "v"),
-            ["v"], ref,
+            ["v"], ref, extra_kernels=advisory,
         )
         .toPandas()
         .set_index("kernel")
     )
-    for k in ("ks", "psi", "vote"):
+    for k in ("ks", "psi", "vote", *advisory):
         assert got.loc[k, "verdict"] == batch.loc[k, "verdict"], k
         assert got.loc[k, "statistic"] == pytest.approx(
             batch.loc[k, "statistic"], rel=1e-9

@@ -83,6 +83,10 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # north_star HLL sketch uniqueness: the exact-uniqueness family is
     # in-window via q_uniqueness_drift; this is its sketch/incremental form
     "q_hll_uniqueness",
+    # full-oracle twin of the rows-only q_embedding_drift (same
+    # applyInPandas surface, energy kernel instead of MMD so the statistic
+    # is ANSI-expressible)
+    "q_embedding_energy",
 }
 
 

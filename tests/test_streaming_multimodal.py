@@ -98,6 +98,72 @@ def test_image_features_and_resize(spark):
     assert ((okt["thumb_w"] == 8) & (okt["thumb_h"] == 8)).mean() > 0.9
 
 
+def _wav_bytes(x, sr, sampwidth=2, nch=1):
+    """Encode a float waveform in [-1, 1] as a real PCM WAV container."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if sampwidth == 2:
+        raw = (np.asarray(x) * 32767).astype("<i2").tobytes()
+    elif sampwidth == 1:
+        raw = ((np.asarray(x) * 127) + 128).clip(0, 255).astype("u1").tobytes()
+    else:
+        raw = (np.asarray(x) * 2147483647).astype("<i4").tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sr)
+        w.writeframes(raw)
+    return buf.getvalue()
+
+
+def test_audio_decode_and_features(spark):
+    """Real-WAV decode + audio_features: verdicts against analytically known
+    signal properties (pure sine: rms=A/sqrt(2), zcr=2f/sr, centroid=f)."""
+    import numpy as np
+
+    from al_drift_detection_spark.functions.multimodal import audio_features, decode_audio
+
+    sr, f, amp, n = 8000, 1000.0, 0.5, 8000
+    t = np.arange(n) / sr
+    sine = amp * np.sin(2 * np.pi * f * t)
+
+    # decoder unit contract: 16-bit round-trip, 8-bit tolerance, stereo downmix
+    x16, got_sr = decode_audio(_wav_bytes(sine, sr))
+    assert got_sr == sr and len(x16) == n
+    assert np.allclose(x16, sine, atol=2e-4)
+    x8, _ = decode_audio(_wav_bytes(sine, sr, sampwidth=1))
+    assert np.allclose(x8, sine, atol=2e-2)
+    stereo = np.stack([sine, -sine], axis=1).ravel()  # L/R cancel → silence
+    xs, _ = decode_audio(_wav_bytes(stereo, sr, nch=2))
+    assert len(xs) == n and np.abs(xs).max() < 1e-3
+    assert decode_audio(b"not a wav container") is None
+    assert decode_audio(_wav_bytes(sine, sr)[:40]) is None  # truncated header
+
+    rows = [
+        ("sine", _wav_bytes(sine, sr)),
+        ("silence", _wav_bytes(np.zeros(4000), sr)),
+        ("corrupt", b"\x00" * 64),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary")
+    got = audio_features(df).toPandas().set_index("audio_id")
+
+    assert bool(got.loc["sine", "ok"]) and bool(got.loc["silence", "ok"])
+    assert not bool(got.loc["corrupt", "ok"]) and not bool(got.loc["null", "ok"])
+    assert got.loc["corrupt"].drop("ok").isna().all()
+    s = got.loc["sine"]
+    assert s["sample_rate"] == sr and s["n_samples"] == n
+    assert abs(s["duration_s"] - 1.0) < 1e-9
+    assert abs(s["rms"] - amp / np.sqrt(2)) < 1e-3
+    assert abs(s["zcr"] - 2 * f / sr) < 0.01
+    assert abs(s["spectral_centroid"] - f) < 25.0  # leakage-broadened peak
+    assert got.loc["silence", "rms"] == 0.0 and got.loc["silence", "spectral_centroid"] == 0.0
+
+
 def test_video_frame_sampling(spark):
     from al_drift_detection_spark.functions.multimodal import video_frame_sample
 

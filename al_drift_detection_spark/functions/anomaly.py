@@ -1,0 +1,232 @@
+"""Metric-history anomaly validation — a persisted metrics repository plus
+verdict strategies over it (the Deequ "anomaly detection on a metrics
+repository" pattern, Schelter et al., VLDB 2018 — public design).
+
+The reference recomputes its detector from scratch per run and keeps no
+metric history (SURVEY.md §1.3; the closest analog is its fsync'd text log,
+util.py:8-23). A 100 TB deployment validates each ingest's column STATS
+against the trailing history of prior ingests — drift in the metrics, not
+the rows. This module supplies that layer over the engine's own long-format
+metric rows (the stats.melt_stats contract: part/column/metric/value):
+
+- ``anomaly_verdicts``: pure DataFrame kernel — current run's metric rows
+  vs an aggregated history frame; strategies stacked as rows:
+  * ``zscore``      — |value − mean(history)| vs k·std(history)
+  * ``rel_change``  — |value / last_run − 1| vs max_rel
+  * ``abs_bounds``  — value within caller-configured [lo, hi] per series
+- ``MetricsStore``: run_id-keyed parquet store (dynamic-partition
+  overwrite = idempotent replay, the same crash-retry contract as the
+  HLL snapshot store and the dedup pair ledger).
+
+Scale shape (100 TB): the history side folds O(runs × parts × columns)
+metric rows into ONE row per series key (partial+final hash agg), then
+broadcast-joins to the current run's equally tiny metric frame — answers
+come from the store alone, raw data is never re-scanned. Verdicts are pure
+JVM expressions; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SERIES_KEYS = ("part", "column", "metric")
+
+STORE_SCHEMA = (
+    "part int, column string, metric string, value double, "
+    "run_ts long, run_id string"
+)
+
+
+def _hist_agg(history: DataFrame, keys: list[str], value_col: str, order_col: str) -> DataFrame:
+    """History → one row per series key: count / mean / sample-std / the most
+    recent value (max_by on the run ordering column)."""
+    v = F.col(value_col)
+    return history.groupBy(*keys).agg(
+        F.count(v).alias("n_hist"),
+        F.avg(v).alias("hist_mean"),
+        F.stddev_samp(v).alias("hist_std"),
+        F.max_by(value_col, order_col).alias("prev_value"),
+    )
+
+
+def anomaly_verdicts(
+    history: DataFrame,
+    current: DataFrame,
+    keys: tuple[str, ...] = SERIES_KEYS,
+    value_col: str = "value",
+    order_col: str = "run_ts",
+    k_sigma: float = 3.0,
+    max_rel: float = 0.5,
+    bounds: list[tuple[str, str, float, float]] | None = None,
+    min_history: int = 2,
+) -> DataFrame:
+    """Score the current run's metric rows against trailing history.
+
+    One output row per (series key, strategy): value, baseline, stat,
+    threshold, n_hist, verdict. Series with fewer than ``min_history`` prior
+    points (including brand-new series) emit verdict='insufficient' — a
+    fail-open that never blocks the first ingests of a new column.
+
+    zscore edge: identical history (std = 0) is common for structural
+    metrics (n_rows per fixed-size window, null counts of an always-present
+    column). There a changed value is an infinite z — verdict fail — and an
+    unchanged value passes with stat 0. Deterministic aggregates over
+    identical data are bit-identical, so this does not false-positive on
+    re-runs of the same corpus.
+    """
+    klist = list(keys)
+    hist = _hist_agg(history, klist, value_col, order_col)
+    cur = current.select(*klist, F.col(value_col).alias("value"))
+    # the strategy branches below UNION over this same join — union branches
+    # cannot share an exchange, so without the persist the history/current
+    # upstreams (a full raw-table aggregate when the caller builds metrics
+    # inline rather than reading the store) re-execute once per strategy
+    # (the CLAUDE.md shared-child rule). The frame is O(series keys) rows.
+    j = cur.join(F.broadcast(hist), klist, "left").persist()
+
+    v, mu, sd, pv = F.col("value"), F.col("hist_mean"), F.col("hist_std"), F.col("prev_value")
+    enough = F.coalesce(F.col("n_hist"), F.lit(0)) >= F.lit(min_history)
+
+    z = F.when(sd > 0, F.abs(v - mu) / sd)
+    z_fail = F.when(sd > 0, F.abs(v - mu) > F.lit(k_sigma) * sd).otherwise(v != mu)
+    zscore = j.select(
+        *klist,
+        "value",
+        F.lit("zscore").alias("strategy"),
+        mu.alias("baseline"),
+        z.alias("stat"),
+        F.lit(float(k_sigma)).alias("threshold"),
+        F.coalesce(F.col("n_hist"), F.lit(0)).alias("n_hist"),
+        F.when(~enough, "insufficient")
+        # a NULL current metric where history has real values IS the anomaly
+        # (the metric vanished) — without this guard the NULL comparison
+        # three-values its way to 'pass'
+        .when(v.isNull(), "fail")
+        .when(z_fail, "fail")
+        .otherwise("pass")
+        .alias("verdict"),
+    )
+
+    rel = F.when(pv != 0, F.abs(v / pv - 1)).otherwise(
+        F.when(v == 0, F.lit(0.0))
+    )
+    rel_rows = j.select(
+        *klist,
+        "value",
+        F.lit("rel_change").alias("strategy"),
+        pv.alias("baseline"),
+        rel.alias("stat"),
+        F.lit(float(max_rel)).alias("threshold"),
+        F.coalesce(F.col("n_hist"), F.lit(0)).alias("n_hist"),
+        # rel-change needs only ONE prior point; prev=0 → any nonzero value
+        # is an undefined ratio → fail
+        F.when(F.coalesce(F.col("n_hist"), F.lit(0)) < 1, "insufficient")
+        .when(F.coalesce(rel > F.lit(max_rel), F.lit(True)), "fail")
+        .otherwise("pass")
+        .alias("verdict"),
+    )
+    out = zscore.unionByName(rel_rows)
+
+    if bounds:
+        spark = current.sparkSession
+        bdf = spark.createDataFrame(
+            [(c, m, float(lo), float(hi)) for c, m, lo, hi in bounds],
+            "column string, metric string, _lo double, _hi double",
+        )
+        babs = (
+            j.join(F.broadcast(bdf), ["column", "metric"])
+            .select(
+                *klist,
+                "value",
+                F.lit("abs_bounds").alias("strategy"),
+                F.col("_lo").alias("baseline"),
+                F.col("value").alias("stat"),
+                F.col("_hi").alias("threshold"),
+                F.lit(0).cast("long").alias("n_hist"),
+                F.when(
+                    F.col("value").between(F.col("_lo"), F.col("_hi")), "pass"
+                )
+                .otherwise("fail")
+                .alias("verdict"),
+            )
+        )
+        out = out.unionByName(babs)
+    from al_drift_detection_spark.functions._persist import attach_persisted
+
+    return attach_persisted(out, j)
+
+
+class MetricsStore:
+    """run_id-keyed long-format metric repository on plain parquet.
+
+    ``append`` is idempotent per run_id (dynamic-partition overwrite — a
+    crashed-and-retried ingest replaces its own rows, never duplicates);
+    on Delta/Iceberg the same call is REPLACE WHERE run_id = X. The store
+    is O(runs × parts × columns) rows — trivially small even at 10^6
+    partitions × years of daily runs."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def append(self, metrics: DataFrame, run_id: str, run_ts: int) -> None:
+        (
+            metrics.select(
+                F.col("part").cast("int"),
+                "column",
+                "metric",
+                F.col("value").cast("double"),
+                F.lit(int(run_ts)).alias("run_ts"),
+                F.lit(run_id).alias("run_id"),
+            )
+            .coalesce(1)  # O(parts × cols) rows — one file per run
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id")
+            .parquet(self.path)
+        )
+
+    def resolve_run_ts(self, spark: SparkSession, run_id: str) -> int:
+        """Replay-safe ordering key: a run_id already present keeps its
+        original run_ts (a crash-retried ingest lands exactly where it did
+        in the history order); a new run_id gets max+1 (0 on first ingest)."""
+        if not self.exists():
+            return 0
+        row = (
+            spark.read.schema(STORE_SCHEMA)
+            .parquet(self.path)
+            .agg(
+                F.max(
+                    F.when(F.col("run_id") == run_id, F.col("run_ts"))
+                ).alias("own"),
+                F.max("run_ts").alias("mx"),
+            )
+            .collect()[0]
+        )
+        return int(row["own"]) if row["own"] is not None else int(row["mx"]) + 1
+
+    def history(self, spark: SparkSession, exclude_run_id: str | None = None) -> DataFrame:
+        df = spark.read.schema(STORE_SCHEMA).parquet(self.path)
+        if exclude_run_id is not None:
+            df = df.filter(F.col("run_id") != exclude_run_id)
+        return df
+
+    def verdicts(
+        self,
+        current_metrics: DataFrame,
+        run_id: str,
+        **kw,
+    ) -> DataFrame | None:
+        """Anomaly verdicts for the current run vs every OTHER run in the
+        store (excluding run_id makes the call replay-safe: a re-run never
+        compares a run against its own already-appended rows). None when
+        the store doesn't exist yet (first ingest)."""
+        if not self.exists():
+            return None
+        hist = self.history(current_metrics.sparkSession, exclude_run_id=run_id)
+        return anomaly_verdicts(hist, current_metrics, **kw)

@@ -2032,3 +2032,143 @@ def q_embedding_energy(spark: SparkSession, sf: str) -> DataFrame:
         F.col("threshold"),
         F.when(e6 > 0.2, "fail").otherwise("pass").alias("verdict"),
     )
+
+
+@register(
+    "q_metric_anomaly",
+    """
+    WITH s AS (
+      SELECT CAST(floor(event_id / 1000) AS INTEGER) AS w,
+             count(*) AS n_rows,
+             avg(value) AS v_avg,
+             stddev_samp(value) AS v_std,
+             CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS et_nulls
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT w, 'value' AS "column", 'avg' AS metric, v_avg AS value FROM s
+      UNION ALL SELECT w, 'value', 'std', v_std FROM s
+      UNION ALL SELECT w, '*', 'n_rows', CAST(n_rows AS DOUBLE) FROM s
+      UNION ALL SELECT w, 'event_type', 'nulls', et_nulls FROM s
+    ),
+    hist AS (
+      SELECT "column", metric, count(*) AS n_hist, avg(value) AS hist_mean,
+             stddev_samp(value) AS hist_std, arg_max(value, w) AS prev_value
+      FROM m WHERE w < 9 GROUP BY 1, 2
+    ),
+    cur AS (SELECT "column", metric, value FROM m WHERE w = 9)
+    SELECT CAST(0 AS INTEGER) AS part, c."column", c.metric,
+           round(c.value, 6) AS value, 'zscore' AS strategy,
+           round(h.hist_mean, 6) AS baseline,
+           round(CASE WHEN h.hist_std > 0
+                 THEN abs(c.value - h.hist_mean) / h.hist_std END, 6) AS stat,
+           3.0 AS threshold, coalesce(h.n_hist, 0) AS n_hist,
+           CASE WHEN coalesce(h.n_hist, 0) < 2 THEN 'insufficient'
+                WHEN h.hist_std > 0 THEN
+                  CASE WHEN round(abs(c.value - h.hist_mean) / h.hist_std, 6) > 3.0
+                       THEN 'fail' ELSE 'pass' END
+                ELSE CASE WHEN round(c.value, 6) = round(h.hist_mean, 6)
+                          THEN 'pass' ELSE 'fail' END
+           END AS verdict
+    FROM cur c LEFT JOIN hist h USING ("column", metric)
+    UNION ALL
+    SELECT CAST(0 AS INTEGER), c."column", c.metric,
+           round(c.value, 6), 'rel_change',
+           round(h.prev_value, 6),
+           round(CASE WHEN h.prev_value != 0 THEN abs(c.value / h.prev_value - 1)
+                      WHEN c.value = 0 THEN 0.0 END, 6),
+           0.25, coalesce(h.n_hist, 0),
+           CASE WHEN coalesce(h.n_hist, 0) < 1 THEN 'insufficient'
+                WHEN round(CASE WHEN h.prev_value != 0
+                                THEN abs(c.value / h.prev_value - 1)
+                                WHEN c.value = 0 THEN 0.0 END, 6) > 0.25
+                     OR (h.prev_value = 0 AND c.value != 0) THEN 'fail'
+                ELSE 'pass' END
+    FROM cur c LEFT JOIN hist h USING ("column", metric)
+    UNION ALL
+    SELECT CAST(0 AS INTEGER), c."column", c.metric,
+           round(c.value, 6), 'abs_bounds', b.lo,
+           round(c.value, 6), b.hi, CAST(0 AS BIGINT),
+           CASE WHEN round(c.value, 6) BETWEEN b.lo AND b.hi
+                THEN 'pass' ELSE 'fail' END
+    FROM cur c
+    JOIN (VALUES ('value', 'avg', 0.0, 1000.0), ('*', 'n_rows', 900.0, 1100.0))
+         AS b("column", metric, lo, hi)
+      ON c."column" = b."column" AND c.metric = b.metric
+    """,
+    "METRIC-HISTORY anomaly validation (functions/anomaly.anomaly_verdicts "
+    "— the Deequ metrics-repository pattern, public design): the newest "
+    "ingest's per-window stat rows (stats.melt_stats long contract, "
+    "SURVEY.md §2.4 A13 / S8 metrics sink) scored against the trailing "
+    "history of prior ingests under three stacked strategies — zscore vs "
+    "history mean/std, rel_change vs the previous run (max_by ordering), "
+    "and configured abs_bounds. History folds to ONE row per series key "
+    "and broadcast-joins the current frame; no raw re-scan. Verdicts "
+    "re-derived from 6dp-rounded statistics so both engines compare "
+    "identical values; planted-shift + store replay behavior pinned in "
+    "tests/test_anomaly.py",
+)
+def q_metric_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.anomaly import anomaly_verdicts
+
+    ev = _t(spark, sf, "events")
+    s = ev.groupBy(
+        F.floor(F.col("event_id") / 1000).cast("int").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg("value").alias("v_avg"),
+        F.stddev_samp("value").alias("v_std"),
+        F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0))
+        .cast("double")
+        .alias("et_nulls"),
+    )
+    m = s.selectExpr(
+        "w",
+        "cast(0 as int) as part",
+        "stack(4, 'value', 'avg', v_avg, 'value', 'std', v_std, "
+        "'*', 'n_rows', cast(n_rows as double), "
+        "'event_type', 'nulls', et_nulls) as (column, metric, value)",
+    )
+    out = anomaly_verdicts(
+        m.filter(F.col("w") < 9),
+        m.filter(F.col("w") == 9),
+        keys=("part", "column", "metric"),
+        order_col="w",
+        k_sigma=3.0,
+        max_rel=0.25,
+        bounds=[("value", "avg", 0.0, 1000.0), ("*", "n_rows", 900.0, 1100.0)],
+    )
+    stat6, v6, b6 = F.round("stat", 6), F.round("value", 6), F.round("baseline", 6)
+    verdict6 = (
+        F.when(F.col("verdict") == "insufficient", "insufficient")
+        .when(
+            F.col("strategy") == "zscore",
+            F.when(stat6.isNull(), F.when(v6 == b6, "pass").otherwise("fail"))
+            .when(stat6 > 3.0, "fail")
+            .otherwise("pass"),
+        )
+        .when(
+            F.col("strategy") == "rel_change",
+            F.when(stat6.isNull() | (stat6 > 0.25), "fail").otherwise("pass"),
+        )
+        .otherwise(
+            F.when(v6.between(b6, F.col("threshold")), "pass").otherwise("fail")
+        )
+    )
+    from al_drift_detection_spark.functions._persist import propagate_persisted
+
+    return propagate_persisted(
+        out.select(
+            "part",
+            "column",
+            "metric",
+            v6.alias("value"),
+            "strategy",
+            b6.alias("baseline"),
+            stat6.alias("stat"),
+            "threshold",
+            "n_hist",
+            verdict6.alias("verdict"),
+        ),
+        out,
+    )

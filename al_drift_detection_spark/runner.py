@@ -134,6 +134,16 @@ def main(argv: list[str] | None = None) -> int:
         "hll_uniqueness/ table",
     )
     ap.add_argument(
+        "--metrics-store", default=None, metavar="PATH",
+        help="metric-HISTORY anomaly validation (Deequ metrics-repository "
+        "pattern): append this run's per-partition stat rows to a "
+        "run_id-keyed repository, then score them against the trailing "
+        "history of prior runs (zscore + rel-change strategies; "
+        "functions.anomaly) — writes the metric_anomalies/ table; "
+        "idempotent per --run-id (a replay overwrites its own rows and "
+        "reproduces the same verdicts)",
+    )
+    ap.add_argument(
         "--changepoint", action="store_true",
         help="sequential change detectors over the per-window metric series: "
         "two-sided Page-Hinkley on each drift column's per-window mean "
@@ -459,6 +469,33 @@ def main(argv: list[str] | None = None) -> int:
     drift.orderBy("part", "window_id", "column", "kernel").write.mode("overwrite").parquet(
         f"{args.out}/drift"
     )
+
+    if args.metrics_store:
+        from al_drift_detection_spark.functions.anomaly import MetricsStore
+
+        if res.stats is None:
+            raise SystemExit(
+                "--metrics-store needs a suite with numeric/id stat columns "
+                "(the default suite has them; JSON suites need stats_* keys)"
+            )
+        mstore = MetricsStore(args.metrics_store)
+        run_ts = mstore.resolve_run_ts(spark, args.run_id)
+        # this run's long metric rows, read back from the tiny stats table
+        # (never a raw re-scan); append FIRST (durable, idempotent per
+        # run_id), then score vs the store MINUS this run's own rows — so a
+        # crash between the two steps, or a full replay, converges on the
+        # same verdicts
+        cur = spark.read.parquet(f"{args.out}/stats").select(
+            "part", "column", "metric", "value"
+        )
+        mstore.append(cur, args.run_id, run_ts)
+        verd = mstore.verdicts(cur, args.run_id)
+        verd.orderBy("strategy", "part", "column", "metric").write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/metric_anomalies")
+        from al_drift_detection_spark.functions._persist import release
+
+        release(verd)
 
     if args.image_dedup:
         from al_drift_detection_spark.functions.dedup import (

@@ -1,0 +1,172 @@
+"""Metric-history anomaly validation (functions/anomaly): planted-shift
+kernel verdicts, the persisted metrics repository's replay contract, and the
+`runner --metrics-store` CLI surface."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from al_drift_detection_spark.functions.anomaly import (
+    MetricsStore,
+    anomaly_verdicts,
+)
+
+HIST_SCHEMA = "part int, column string, metric string, value double, run_ts long"
+CUR_SCHEMA = "part int, column string, metric string, value double"
+
+
+def _verdict_map(df, strategy):
+    pdf = df.filter(F.col("strategy") == strategy).toPandas()
+    return {r["metric"]: r["verdict"] for _, r in pdf.iterrows()}
+
+
+def test_anomaly_kernel_planted(spark):
+    hist_rows = []
+    for ts, (stable, shift, const, cshift, zero) in enumerate(
+        [(10.0, 5.0, 7.0, 3.0, 0.0), (10.2, 5.1, 7.0, 3.0, 0.0), (9.8, 4.9, 7.0, 3.0, 0.0)]
+    ):
+        hist_rows += [
+            (0, "c1", "m_stable", stable, ts),
+            (0, "c1", "m_shift", shift, ts),
+            (0, "c1", "m_const", const, ts),
+            (0, "c1", "m_const_shift", cshift, ts),
+            (0, "c1", "m_zero", zero, ts),
+        ]
+    hist_rows.append((0, "c1", "m_one", 2.0, 2))  # single-point history
+    history = spark.createDataFrame(hist_rows, HIST_SCHEMA)
+    current = spark.createDataFrame(
+        [
+            (0, "c1", "m_stable", 10.1),
+            (0, "c1", "m_shift", 8.0),
+            (0, "c1", "m_const", 7.0),
+            (0, "c1", "m_const_shift", 3.5),
+            (0, "c1", "m_zero", 1.0),
+            (0, "c1", "m_one", 2.1),
+            (0, "c1", "m_new", 1.0),
+            (0, "c1", "m_gone", None),
+        ],
+        CUR_SCHEMA,
+    )
+    # m_gone: history exists, current metric is NULL → anomaly
+    history = history.unionByName(
+        spark.createDataFrame([(0, "c1", "m_gone", 4.0, 0), (0, "c1", "m_gone", 4.0, 1)], HIST_SCHEMA)
+    )
+
+    out = anomaly_verdicts(
+        history,
+        current,
+        k_sigma=3.0,
+        max_rel=0.5,
+        bounds=[("c1", "m_stable", 0.0, 20.0), ("c1", "m_shift", 0.0, 6.0)],
+    ).cache()
+
+    z = _verdict_map(out, "zscore")
+    assert z["m_stable"] == "pass"  # z = 0.5σ
+    assert z["m_shift"] == "fail"  # z = 30σ
+    assert z["m_const"] == "pass"  # σ=0, value unchanged
+    assert z["m_const_shift"] == "fail"  # σ=0, value moved
+    assert z["m_zero"] == "fail"
+    assert z["m_one"] == "insufficient"  # 1 < min_history
+    assert z["m_new"] == "insufficient"
+    assert z["m_gone"] == "fail"  # metric vanished
+
+    r = _verdict_map(out, "rel_change")
+    assert r["m_stable"] == "pass"  # |10.1/9.8 − 1| ≈ 0.031
+    assert r["m_shift"] == "fail"  # |8/4.9 − 1| ≈ 0.63 > 0.5
+    assert r["m_zero"] == "fail"  # prev 0 → nonzero current undefined ratio
+    assert r["m_one"] == "pass"  # rel-change needs only one prior point
+    assert r["m_new"] == "insufficient"
+    assert r["m_gone"] == "fail"
+
+    b = _verdict_map(out, "abs_bounds")
+    assert b == {"m_stable": "pass", "m_shift": "fail"}
+
+    # stat values: baseline is the history mean / previous value
+    row = (
+        out.filter((F.col("strategy") == "zscore") & (F.col("metric") == "m_stable"))
+        .collect()[0]
+    )
+    assert abs(row["baseline"] - 10.0) < 1e-9
+    assert abs(row["stat"] - 0.5) < 1e-9
+    assert row["n_hist"] == 3
+    out.unpersist()
+
+
+def test_metrics_store_roundtrip_and_replay(spark, tmp_path):
+    store = MetricsStore(str(tmp_path / "mstore"))
+    a = spark.createDataFrame(
+        [(p, "c1", m, v) for p in (0, 1) for m, v in (("avg", 10.0), ("n_rows", 100.0))],
+        CUR_SCHEMA,
+    )
+    assert store.resolve_run_ts(spark, "r1") == 0
+    store.append(a, "r1", 0)
+    assert store.resolve_run_ts(spark, "r2") == 1
+    store.append(a, "r2", 1)
+    # existing run keeps its slot; a new run goes after the max
+    assert store.resolve_run_ts(spark, "r1") == 0
+    assert store.resolve_run_ts(spark, "r3") == 2
+
+    # identical third ingest → everything passes (σ=0, value unchanged)
+    v3 = store.verdicts(a, "r3")
+    pdf = v3.toPandas()
+    assert (pdf["verdict"] == "pass").all()
+    assert (pdf["n_hist"] == 2).all().all() or (
+        pdf.groupby("strategy")["n_hist"].max() == 2
+    ).all()
+
+    # shifted third ingest → the shifted series fails, the stable one passes
+    shifted = a.withColumn(
+        "value", F.when(F.col("metric") == "avg", F.lit(25.0)).otherwise(F.col("value"))
+    )
+    pdf = store.verdicts(shifted, "r3").toPandas()
+    byk = pdf.set_index(["strategy", "part", "metric"])["verdict"]
+    assert (byk.xs(("zscore"), level="strategy").xs("avg", level="metric") == "fail").all()
+    assert (byk.xs(("zscore"), level="strategy").xs("n_rows", level="metric") == "pass").all()
+    assert (byk.xs(("rel_change"), level="strategy").xs("avg", level="metric") == "fail").all()
+
+    # replay: re-appending the same run_id overwrites its own partition
+    n_before = spark.read.parquet(store.path).count()
+    store.append(a, "r2", store.resolve_run_ts(spark, "r2"))
+    assert spark.read.parquet(store.path).count() == n_before
+    # and verdicts exclude the run's own rows, so they are unchanged
+    pdf2 = store.verdicts(a, "r2").toPandas()
+    assert (pdf2["n_hist"] <= 1).all()  # only r1 remains as history for r2
+
+
+def test_metrics_store_cli(spark, tmp_path):
+    """`runner --metrics-store`: first ingest is all-insufficient, the third
+    identical ingest is all-pass, and a replayed run_id converges (store rows
+    unchanged, same verdicts)."""
+    from al_drift_detection_spark import runner
+
+    store = str(tmp_path / "mstore")
+    args = ["--images", "synthetic:3000", "--master", "local[8]",
+            "--metrics-store", store]
+
+    assert runner.main(["--out", str(tmp_path / "o1"), "--run-id", "r1", *args]) == 0
+    v1 = spark.read.parquet(f"{tmp_path}/o1/metric_anomalies").toPandas()
+    assert len(v1) > 0
+    assert (v1["verdict"] == "insufficient").all()  # no prior history
+
+    assert runner.main(["--out", str(tmp_path / "o2"), "--run-id", "r2", *args]) == 0
+    v2 = spark.read.parquet(f"{tmp_path}/o2/metric_anomalies").toPandas()
+    # one prior run: rel-change evaluable (identical corpus → pass),
+    # zscore still insufficient
+    assert (v2[v2.strategy == "zscore"]["verdict"] == "insufficient").all()
+    assert (v2[v2.strategy == "rel_change"]["verdict"] == "pass").all()
+
+    assert runner.main(["--out", str(tmp_path / "o3"), "--run-id", "r3", *args]) == 0
+    v3 = spark.read.parquet(f"{tmp_path}/o3/metric_anomalies").toPandas()
+    assert (v3["verdict"] == "pass").all()  # deterministic corpus, σ=0 series
+
+    # replay r3: store row count unchanged, verdicts reproduced
+    n_store = spark.read.parquet(store).count()
+    assert runner.main(["--out", str(tmp_path / "o4"), "--run-id", "r3", *args]) == 0
+    assert spark.read.parquet(store).count() == n_store
+    v4 = spark.read.parquet(f"{tmp_path}/o4/metric_anomalies").toPandas()
+    key = ["strategy", "part", "column", "metric"]
+    pd.testing.assert_frame_equal(
+        v3.sort_values(key).reset_index(drop=True),
+        v4.sort_values(key).reset_index(drop=True),
+    )

@@ -76,6 +76,10 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     "q_cvm_drift",
     "q_ad_drift",
     "q_energy_distance",
+    # r6 metric-history anomaly validation (Deequ metrics-repository
+    # pattern): scores the newest ingest's stat rows against trailing run
+    # history — the stats (A13) and drift-verdict families are in-window
+    "q_metric_anomaly",
     # r6 sequential change-detector family: q_page_hinkley is the in-window
     # representative; DDM and the EWMA chart are its family twins
     "q_ddm_error_rate",

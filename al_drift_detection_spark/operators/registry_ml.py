@@ -2172,3 +2172,111 @@ def q_metric_anomaly(spark: SparkSession, sf: str) -> DataFrame:
         ),
         out,
     )
+
+
+@register(
+    "q_suggest_constraints",
+    """
+    WITH p AS (
+      SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS doc_id_nulls,
+             count(DISTINCT doc_id) AS doc_id_distinct,
+             CAST(min(doc_id) AS DOUBLE) AS doc_id_min,
+             CAST(max(doc_id) AS DOUBLE) AS doc_id_max,
+             CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls,
+             count(DISTINCT n_chars) AS n_chars_distinct,
+             CAST(min(n_chars) AS DOUBLE) AS n_chars_min,
+             CAST(max(n_chars) AS DOUBLE) AS n_chars_max,
+             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
+             count(DISTINCT text) AS text_distinct,
+             CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
+             count(DISTINCT lang) AS lang_distinct,
+             CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source_nulls,
+             count(DISTINCT source) AS source_distinct
+      FROM documents
+    ),
+    lv AS (SELECT string_agg(x, ',' ORDER BY x) AS vals
+           FROM (SELECT DISTINCT lang AS x FROM documents WHERE lang IS NOT NULL)),
+    sv AS (SELECT string_agg(x, ',' ORDER BY x) AS vals
+           FROM (SELECT DISTINCT source AS x FROM documents WHERE source IS NOT NULL))
+    SELECT 'doc_id' AS "column", 'not_null' AS "check",
+           CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+           CAST(NULL AS VARCHAR) AS "values",
+           n_rows, doc_id_nulls AS n_nulls, doc_id_distinct AS n_distinct
+    FROM p WHERE doc_id_nulls = 0 AND n_rows > 0
+    UNION ALL
+    SELECT 'doc_id', 'between', doc_id_min, doc_id_max, NULL,
+           n_rows, doc_id_nulls, doc_id_distinct FROM p
+    UNION ALL
+    SELECT 'doc_id', 'unique', NULL, NULL, NULL,
+           n_rows, doc_id_nulls, doc_id_distinct
+    FROM p WHERE doc_id_nulls = 0 AND n_rows > 0 AND doc_id_distinct = n_rows
+    UNION ALL
+    SELECT 'n_chars', 'not_null', NULL, NULL, NULL,
+           n_rows, n_chars_nulls, n_chars_distinct
+    FROM p WHERE n_chars_nulls = 0 AND n_rows > 0
+    UNION ALL
+    SELECT 'n_chars', 'between', n_chars_min, n_chars_max, NULL,
+           n_rows, n_chars_nulls, n_chars_distinct FROM p
+    UNION ALL
+    SELECT 'n_chars', 'unique', NULL, NULL, NULL,
+           n_rows, n_chars_nulls, n_chars_distinct
+    FROM p WHERE n_chars_nulls = 0 AND n_rows > 0 AND n_chars_distinct = n_rows
+    UNION ALL
+    SELECT 'text', 'not_null', NULL, NULL, NULL, n_rows, text_nulls, text_distinct
+    FROM p WHERE text_nulls = 0 AND n_rows > 0
+    UNION ALL
+    SELECT 'text', 'in_set', NULL, NULL,
+           (SELECT string_agg(x, ',' ORDER BY x)
+            FROM (SELECT DISTINCT text AS x FROM documents WHERE text IS NOT NULL)),
+           n_rows, text_nulls, text_distinct
+    FROM p WHERE text_distinct BETWEEN 1 AND 20
+    UNION ALL
+    SELECT 'text', 'unique', NULL, NULL, NULL, n_rows, text_nulls, text_distinct
+    FROM p WHERE text_nulls = 0 AND n_rows > 0 AND text_distinct = n_rows
+    UNION ALL
+    SELECT 'lang', 'not_null', NULL, NULL, NULL, n_rows, lang_nulls, lang_distinct
+    FROM p WHERE lang_nulls = 0 AND n_rows > 0
+    UNION ALL
+    SELECT 'lang', 'in_set', NULL, NULL, lv.vals, n_rows, lang_nulls, lang_distinct
+    FROM p, lv WHERE lang_distinct BETWEEN 1 AND 20
+    UNION ALL
+    SELECT 'lang', 'unique', NULL, NULL, NULL, n_rows, lang_nulls, lang_distinct
+    FROM p WHERE lang_nulls = 0 AND n_rows > 0 AND lang_distinct = n_rows
+    UNION ALL
+    SELECT 'source', 'not_null', NULL, NULL, NULL,
+           n_rows, source_nulls, source_distinct
+    FROM p WHERE source_nulls = 0 AND n_rows > 0
+    UNION ALL
+    SELECT 'source', 'in_set', NULL, NULL, sv.vals,
+           n_rows, source_nulls, source_distinct
+    FROM p, sv WHERE source_distinct BETWEEN 1 AND 20
+    UNION ALL
+    SELECT 'source', 'unique', NULL, NULL, NULL,
+           n_rows, source_nulls, source_distinct
+    FROM p WHERE source_nulls = 0 AND n_rows > 0 AND source_distinct = n_rows
+    """,
+    "CONSTRAINT SUGGESTION from a one-pass table profile (profile.py — the "
+    "Deequ ConstraintSuggestion pattern, public design; the reference "
+    "hand-codes its constraint dict, SURVEY.md §2.1 S6): per column of the "
+    "documents table, suggest not_null (0 nulls), in_set (string, distinct "
+    "≤ 20 — values collected ONLY after the cardinality gate, driver memory "
+    "bounded), between (numeric min/max), unique (0 nulls ∧ exact distinct "
+    "= n_rows). Gate entry runs exact_distinct=True so every decision is "
+    "ANSI-reproducible; the 100 TB path profiles with HLL estimates and "
+    "confirms unique candidates exactly in the bounded second pass. "
+    "Self-consistency (suggested suite passes on the profiled table, "
+    "catches planted corruption on the next ingest) pinned in "
+    "tests/test_profile.py",
+)
+def q_suggest_constraints(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.profile import suggest_checks, suggestions_df
+
+    docs = _t(spark, sf, "documents")
+    _, rows = suggest_checks(
+        docs,
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+        max_set_card=20,
+        exact_distinct=True,
+    )
+    return suggestions_df(spark, rows)

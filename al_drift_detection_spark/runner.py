@@ -134,6 +134,14 @@ def main(argv: list[str] | None = None) -> int:
         "hll_uniqueness/ table",
     )
     ap.add_argument(
+        "--suggest", action="store_true",
+        help="constraint SUGGESTION (onboarding): profile the table in one "
+        "aggregate pass and write suggested_constraints/ — the "
+        "not_null/in_set/between/unique suite a human would hand-write for "
+        "this table (profile.suggest_checks; HLL profile + bounded exact "
+        "confirmation of unique candidates)",
+    )
+    ap.add_argument(
         "--metrics-store", default=None, metavar="PATH",
         help="metric-HISTORY anomaly validation (Deequ metrics-repository "
         "pattern): append this run's per-partition stat rows to a "
@@ -469,6 +477,17 @@ def main(argv: list[str] | None = None) -> int:
     drift.orderBy("part", "window_id", "column", "kernel").write.mode("overwrite").parquet(
         f"{args.out}/drift"
     )
+
+    if args.suggest:
+        from al_drift_detection_spark.profile import suggest_checks, suggestions_df
+
+        _, sugg_rows = suggest_checks(
+            meta_full,
+            columns=["image_id", "caption", "fmt", "w", "h", "phash"],
+        )
+        suggestions_df(spark, sugg_rows).orderBy("column", "check").write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/suggested_constraints")
 
     if args.metrics_store:
         from al_drift_detection_spark.functions.anomaly import MetricsStore

@@ -76,6 +76,10 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     "q_cvm_drift",
     "q_ad_drift",
     "q_energy_distance",
+    # r6 constraint suggestion (Deequ ConstraintSuggestion pattern): the
+    # suggested checks' runtime families (not_null/in_set/between/unique)
+    # are in-window via the validation suite entries
+    "q_suggest_constraints",
     # r6 metric-history anomaly validation (Deequ metrics-repository
     # pattern): scores the newest ingest's stat rows against trailing run
     # history — the stats (A13) and drift-verdict families are in-window

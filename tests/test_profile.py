@@ -1,0 +1,113 @@
+"""Constraint suggestion (profile.py): the suggested suite is
+self-consistent on the profiled table, catches planted corruption on the
+next ingest, and the approx path's bounded exact-confirmation step prevents
+false unique suggestions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from al_drift_detection_spark.profile import (
+    profile_columns,
+    suggest_checks,
+    suggest_suite,
+)
+
+
+def _docs(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("part", (F.col("doc_id") % 4).cast("int"))
+    )
+
+
+def test_suggestions_match_table_shape(spark):
+    docs = _docs(spark)
+    checks, rows = suggest_checks(
+        docs, columns=["doc_id", "lang", "source", "n_chars"],
+        max_set_card=25, exact_distinct=True,
+    )
+    by = {(r[0], r[1]): r for r in rows}
+    assert ("doc_id", "unique") in by
+    assert ("doc_id", "between") in by
+    assert ("lang", "in_set") in by and ("source", "in_set") in by
+    # every complete column gets not_null
+    assert all((c, "not_null") in by for c in ("doc_id", "lang", "source", "n_chars"))
+    # in_set values are the sorted observed set
+    langs = by[("lang", "in_set")][4].split(",")
+    assert langs == sorted(langs) and 1 <= len(langs) <= 25
+    # numeric range is the observed min/max (margin 0)
+    lo, hi = by[("n_chars", "between")][2], by[("n_chars", "between")][3]
+    mm = docs.agg(F.min("n_chars"), F.max("n_chars")).collect()[0]
+    assert lo == float(mm[0]) and hi == float(mm[1])
+
+
+def test_suggested_suite_self_consistent_and_catches_corruption(spark):
+    docs = _docs(spark).cache()
+    suite = suggest_suite(
+        docs, part_col="part", row_id_col="doc_id",
+        columns=["doc_id", "lang", "source", "n_chars"], exact_distinct=True,
+    )
+    res = suite.run(docs)
+    verd = res.verdicts.toPandas()
+    assert (verd["verdict"] == "pass").all()  # self-consistency
+    res.unpersist()
+
+    # the NEXT ingest, corrupted four ways: a new lang value, an
+    # out-of-range n_chars, a duplicated doc_id, and a null source
+    bad = docs.limit(4).collect()
+    max_chars = docs.agg(F.max("n_chars")).collect()[0][0]
+    corrupt_rows = [
+        (bad[0]["doc_id"] + 1_000_000, bad[0]["text"], "zz", bad[0]["source"],
+         bad[0]["n_chars"], 0),
+        (bad[1]["doc_id"] + 1_000_001, bad[1]["text"], bad[1]["lang"],
+         bad[1]["source"], max_chars + 999, 1),
+        (bad[2]["doc_id"], bad[2]["text"], bad[2]["lang"], bad[2]["source"],
+         bad[2]["n_chars"], 2),  # duplicate doc_id
+        (bad[3]["doc_id"] + 1_000_003, bad[3]["text"], bad[3]["lang"], None,
+         bad[3]["n_chars"], 3),
+    ]
+    nxt = docs.unionByName(
+        spark.createDataFrame(corrupt_rows, docs.schema)
+    )
+    res2 = suite.run(nxt)
+    v2 = res2.verdicts.toPandas()
+    failed = set(v2[v2["verdict"] == "fail"]["check_name"])
+    assert {"in_set_lang", "between_n_chars", "unique_doc_id", "not_null_source"} <= failed
+    res2.unpersist()
+    docs.unpersist()
+
+
+def test_suggest_cli(spark, tmp_path):
+    from al_drift_detection_spark import runner
+
+    out = str(tmp_path / "o1")
+    assert runner.main(
+        ["--images", "synthetic:3000", "--master", "local[8]", "--out", out,
+         "--suggest"]
+    ) == 0
+    sugg = spark.read.parquet(f"{out}/suggested_constraints").toPandas()
+    by = set(zip(sugg["column"], sugg["check"]))
+    # fmt is low-cardinality → in_set; w/h numeric → between; the planted
+    # duplicate image_ids mean unique_image_id must NOT be suggested
+    assert ("fmt", "in_set") in by
+    assert ("w", "between") in by and ("h", "between") in by
+    assert ("image_id", "unique") not in by
+
+
+def test_approx_profile_confirms_unique_exactly(spark):
+    """In approx mode a near-unique column (HLL estimate ≥ gate) must NOT be
+    suggested unique when the exact confirmation finds duplicates."""
+    n = 5000
+    df = spark.range(n).select(
+        # one planted duplicate — approx estimate can't see it
+        F.when(F.col("id") == 0, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("truly_unique"),
+    )
+    checks, rows = suggest_checks(df, columns=["k", "truly_unique"], exact_distinct=False)
+    kinds = {(r[0], r[1]) for r in rows}
+    assert ("truly_unique", "unique") in kinds
+    assert ("k", "unique") not in kinds
+    # profile row carries the estimate evidence either way
+    prof = profile_columns(df, ["k"], exact_distinct=False)
+    assert prof["k"]["n_distinct"] >= (1 - 3 * 0.02) * n

@@ -70,6 +70,11 @@ HEADLINE = [
     "q_orbit_drifts",
     # round-5 addition (additive key, excluded from the summed total)
     "q_crossing_report",
+    # round-6 additions (additive keys, excluded from the summed total)
+    "q_page_hinkley",
+    "q_hll_uniqueness",
+    "q_metric_anomaly",
+    "q_suggest_constraints",
 ]
 
 # reported per-query but EXCLUDED from the summed `value` metric, which keeps
@@ -93,6 +98,10 @@ TOTAL_EXCLUDED = {
     "q_orbit_prep",
     "q_orbit_drifts",
     "q_crossing_report",
+    "q_page_hinkley",
+    "q_hll_uniqueness",
+    "q_metric_anomaly",
+    "q_suggest_constraints",
     "validation_pass_decode",  # reported in queries but never summed either
     "stream_pass",  # round-6 streaming leg, additive
 }

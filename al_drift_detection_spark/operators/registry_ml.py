@@ -2280,3 +2280,71 @@ def q_suggest_constraints(spark: SparkSession, sf: str) -> DataFrame:
         exact_distinct=True,
     )
     return suggestions_df(spark, rows)
+
+
+@register(
+    "q_histogram_quantiles",
+    """
+    WITH src AS (
+      SELECT CAST(floor(event_id / 1000) AS BIGINT) AS "window",
+             CAST(value AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT "window",
+             CASE WHEN x < 0.0 THEN -1
+                  WHEN x >= 200.0 THEN 100
+                  ELSE least(CAST(floor((x - 0.0) / 2.0) AS INTEGER), 99)
+             END AS bin,
+             count(*) AS n
+      FROM src GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT "window", bin, n,
+             sum(n) OVER (PARTITION BY "window" ORDER BY bin) AS cum_n,
+             sum(n) OVER (PARTITION BY "window") AS total
+      FROM b
+    ),
+    q AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q),
+    j AS (
+      SELECT c."window", q.q, c.bin, c.n, c.cum_n, c.total,
+             row_number() OVER (PARTITION BY c."window", q.q ORDER BY c.bin) AS rn
+      FROM c JOIN q ON c.cum_n >= q.q * c.total
+    )
+    SELECT "window", q,
+           round(CASE WHEN bin < 0 THEN 0.0
+                      WHEN bin >= 100 THEN 200.0
+                      ELSE 0.0 + (bin + CASE WHEN n > 0
+                                   THEN (q * total - (cum_n - n)) / n
+                                   ELSE 0.0 END) * 2.0
+                 END, 6) AS quantile,
+           CAST(total AS BIGINT) AS n_total
+    FROM j WHERE rn = 1
+    """,
+    "MERGEABLE fixed-grid histogram sketches answering per-window quantiles "
+    "from sketch rows alone (functions/histograms.py — the engine's "
+    "mergeable-quantile layer; completes the incremental-store trio with "
+    "the HLL uniqueness store and the metrics repository, closing "
+    "stats.global_rollup's documented 'quantile sketches are NOT mergeable' "
+    "gap). Long-format (window, bin, n) rows over a REFERENCE-derived grid "
+    "(the deterministic-universe rule drift.categorical_drift uses): build "
+    "= one groupBy(window, bin) pass, merge = sum(n) — lossless; answers = "
+    "bounded ordered cumulative over ≤ n_bins+2 aggregated rows + linear "
+    "interpolation (error ≤ bin width, pinned vs exact percentile in "
+    "tests/test_histograms.py; store replay + merge-equals-one-shot pinned "
+    "there too). Overflow mass saturates to the grid edge by contract",
+)
+def q_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.histograms import (
+        histogram_quantiles,
+        window_histograms,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        F.floor(F.col("event_id") / 1000).cast("long").alias("w"), "value"
+    )
+    h = window_histograms(ev, "value", "w", 0.0, 200.0, n_bins=100)
+    out = histogram_quantiles(h, [0.25, 0.5, 0.75, 0.95], 0.0, 200.0, n_bins=100)
+    return out.select(
+        "window", "q", F.round("quantile", 6).alias("quantile"), "n_total"
+    )

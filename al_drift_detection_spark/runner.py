@@ -134,6 +134,15 @@ def main(argv: list[str] | None = None) -> int:
         "hll_uniqueness/ table",
     )
     ap.add_argument(
+        "--quantile-store", default=None, metavar="PATH",
+        help="persisted per-window histogram-sketch store for INCREMENTAL "
+        "quantiles: bin THIS run's w values on the fixed constraint grid as "
+        "one --run-id-keyed snapshot (idempotent replay), then answer "
+        "per-window + corpus-lifetime p25/p50/p75/p95 from the store alone "
+        "(functions.histograms; error <= bin width) — writes the "
+        "hist_quantiles/ table",
+    )
+    ap.add_argument(
         "--suggest", action="store_true",
         help="constraint SUGGESTION (onboarding): profile the table in one "
         "aggregate pass and write suggested_constraints/ — the "
@@ -699,6 +708,30 @@ def main(argv: list[str] | None = None) -> int:
         store_uniqueness(spark, args.hll_store, "window_id").orderBy(
             F.col("window_id").asc_nulls_last()
         ).write.mode("overwrite").parquet(f"{args.out}/hll_uniqueness")
+
+    if args.quantile_store:
+        import zlib as _zlib
+
+        from al_drift_detection_spark.functions.histograms import (
+            store_quantiles,
+            update_histogram_store,
+        )
+
+        # grid = the suite's between-constraint bounds (a DETERMINISTIC
+        # reference universe, never data-derived — the categorical_drift
+        # rule), so snapshots merge across ingests; error ≤ ~9.8 px/bin
+        q_lo, q_hi, q_bins = 0.0, 10000.0, 1024
+        update_histogram_store(
+            meta_full.select("window_id", "w"),
+            args.quantile_store, "w", "window_id", q_lo, q_hi,
+            snapshot_id=_zlib.crc32(args.run_id.encode()), n_bins=q_bins,
+        )
+        store_quantiles(
+            spark, args.quantile_store, [0.25, 0.5, 0.75, 0.95],
+            q_lo, q_hi, q_bins,
+        ).orderBy(F.col("window").asc_nulls_last(), "q").write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/hist_quantiles")
 
     if args.changepoint:
         from al_drift_detection_spark.functions.changepoint import (

@@ -76,6 +76,10 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     "q_cvm_drift",
     "q_ad_drift",
     "q_energy_distance",
+    # r6 mergeable histogram-quantile sketches: the one-shot quantile family
+    # is in-window via q_percentiles; this adds the mergeable/incremental
+    # sketch layer (store twin of q_hll_uniqueness)
+    "q_histogram_quantiles",
     # r6 constraint suggestion (Deequ ConstraintSuggestion pattern): the
     # suggested checks' runtime families (not_null/in_set/between/unique)
     # are in-window via the validation suite entries

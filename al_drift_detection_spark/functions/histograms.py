@@ -169,3 +169,97 @@ def store_quantiles(
         merge_histograms(st), qs, lo, hi, n_bins, window_col=None
     ).select(F.lit(None).cast("long").alias("window"), "q", "quantile", "n_total")
     return per_w.unionByName(life)
+
+
+def histogram_drift(
+    hist: DataFrame,
+    ref_windows: int,
+    n_bins: int = 256,
+    eps: float = 1e-6,
+    psi_threshold: float = 0.2,
+    ks_threshold: float = 0.1,
+) -> DataFrame:
+    """Distribution-drift verdicts from SKETCH ROWS ALONE — PSI and a
+    histogram-KS statistic per window vs the merged reference histogram
+    (windows < ref_windows). Composed with the snapshot store this answers
+    "did today's ingest drift vs the corpus reference" without touching a
+    single raw row: O(windows × bins) relational work.
+
+    Universe discipline: shares are computed over the ENTIRE fixed grid
+    (bins −1..n_bins via sequence), never the observed union — same
+    deterministic-universe rule as drift.categorical_drift, so a window's
+    statistic is independent of what other windows/snapshots contained.
+    PSI uses additive smoothing p′ = (p + eps)/(1 + eps·B) on both sides
+    (exactly replicable in ANSI SQL); histogram-KS is the max cumulative
+    share gap, within bin-width discretization of the exact statistic.
+    """
+    spark = hist.sparkSession
+    b = int(n_bins)
+    grid = spark.range(-1, b + 1).select(F.col("id").cast("int").alias("bin"))
+    n_grid = b + 2
+
+    # hist feeds four branches (ref counts, ref total, current windows, the
+    # window census) — when the caller builds it inline from raw rows the
+    # unpersisted child would re-scan the table per branch (CLAUDE.md
+    # shared-child rule). The frame is O(windows × bins) — always safe to pin.
+    hist = hist.persist()
+    ref = (
+        hist.filter(F.col("window") < ref_windows)
+        .groupBy("bin")
+        .agg(F.sum("n").alias("rn"))
+    )
+    ref_tot = ref.agg(F.sum("rn").alias("r_tot"))
+    ref_full = (
+        grid.join(F.broadcast(ref), "bin", "left")
+        .select("bin", F.coalesce("rn", F.lit(0)).alias("rn"))
+        .crossJoin(F.broadcast(ref_tot))
+    )
+    cur = (
+        hist.filter(F.col("window") >= ref_windows)
+        .groupBy("window", "bin")
+        .agg(F.sum("n").alias("cn"))
+    )
+    wins = cur.select("window").distinct()
+    universe = wins.crossJoin(F.broadcast(grid))
+    cur_full = (
+        universe.join(cur, ["window", "bin"], "left")
+        .select("window", "bin", F.coalesce("cn", F.lit(0)).alias("cn"))
+    )
+    from pyspark.sql import Window as W
+
+    cur_full = cur_full.withColumn(
+        "c_tot", F.sum("cn").over(W.partitionBy("window"))
+    )
+    j = cur_full.join(F.broadcast(ref_full), "bin")
+    p = F.col("rn") / F.col("r_tot")
+    q = F.col("cn") / F.col("c_tot")
+    ps = (p + eps) / (1 + eps * n_grid)
+    qs = (q + eps) / (1 + eps * n_grid)
+    terms = j.select(
+        "window",
+        "bin",
+        ((qs - ps) * F.log(qs / ps)).alias("psi_term"),
+        (q - p).alias("share_gap"),
+    )
+    wb = W.partitionBy("window").orderBy("bin")
+    ks = terms.withColumn("cum_gap", F.sum("share_gap").over(wb)).groupBy(
+        "window"
+    ).agg(
+        F.sum("psi_term").alias("psi"),
+        F.max(F.abs(F.col("cum_gap"))).alias("ks"),
+    )
+    out = (
+        ks.selectExpr(
+            "window",
+            f"stack(2, 'psi', psi, cast({float(psi_threshold)} as double), "
+            f"'hist_ks', ks, cast({float(ks_threshold)} as double)) "
+            "as (kernel, statistic, threshold)",
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("statistic") > F.col("threshold"), "fail").otherwise("pass"),
+        )
+    )
+    from al_drift_detection_spark.functions._persist import attach_persisted
+
+    return attach_persisted(out, hist)

@@ -2348,3 +2348,97 @@ def q_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "window", "q", F.round("quantile", 6).alias("quantile"), "n_total"
     )
+
+
+@register(
+    "q_histogram_drift",
+    """
+    WITH src AS (
+      SELECT CAST(floor(event_id / 1000) AS BIGINT) AS w,
+             CAST(value AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    hb AS (
+      SELECT w,
+             CASE WHEN x < 0.0 THEN -1
+                  WHEN x >= 200.0 THEN 100
+                  ELSE least(CAST(floor((x - 0.0) / 2.0) AS INTEGER), 99)
+             END AS bin,
+             count(*) AS n
+      FROM src GROUP BY 1, 2
+    ),
+    grid AS (SELECT unnest(range(-1, 101)) AS bin),
+    ref AS (SELECT bin, sum(n) AS rn FROM hb WHERE w < 5 GROUP BY 1),
+    rtot AS (SELECT sum(rn) AS r_tot FROM ref),
+    rf AS (
+      SELECT g.bin, coalesce(ref.rn, 0) AS rn, rtot.r_tot
+      FROM grid g LEFT JOIN ref USING (bin), rtot
+    ),
+    cur AS (SELECT w, bin, sum(n) AS cn FROM hb WHERE w >= 5 GROUP BY 1, 2),
+    wins AS (SELECT DISTINCT w FROM cur),
+    cf AS (
+      SELECT wins.w, g.bin, coalesce(cur.cn, 0) AS cn
+      FROM wins CROSS JOIN grid g
+      LEFT JOIN cur ON cur.w = wins.w AND cur.bin = g.bin
+    ),
+    ct AS (SELECT w, sum(cn) AS c_tot FROM cf GROUP BY 1),
+    terms AS (
+      SELECT cf.w, cf.bin,
+             (cn / c_tot + 0.000001) / (1 + 0.000001 * 102) AS qs,
+             (rn / r_tot + 0.000001) / (1 + 0.000001 * 102) AS ps,
+             cn / c_tot - rn / r_tot AS gap
+      FROM cf JOIN ct USING (w) JOIN rf ON rf.bin = cf.bin
+    ),
+    agg AS (
+      SELECT w,
+             sum((qs - ps) * ln(qs / ps)) AS psi,
+             max(abs(cum_gap)) AS ks
+      FROM (SELECT w, qs, ps,
+                   sum(gap) OVER (PARTITION BY w ORDER BY bin) AS cum_gap
+            FROM terms)
+      GROUP BY 1
+    )
+    SELECT w AS "window", 'psi' AS kernel, round(psi, 6) AS statistic,
+           0.2 AS threshold,
+           CASE WHEN round(psi, 6) > 0.2 THEN 'fail' ELSE 'pass' END AS verdict
+    FROM agg
+    UNION ALL
+    SELECT w, 'hist_ks', round(ks, 6), 0.1,
+           CASE WHEN round(ks, 6) > 0.1 THEN 'fail' ELSE 'pass' END
+    FROM agg
+    """,
+    "DISTRIBUTION DRIFT FROM SKETCH ROWS ALONE (histograms.histogram_drift "
+    "— PSI + histogram-KS per window vs the merged reference histogram): "
+    "composed with the snapshot store this answers 'did today's ingest "
+    "drift vs the corpus reference' with zero raw-row work — O(windows × "
+    "bins) relational ops over the mergeable fixed-grid sketches "
+    "(q_histogram_quantiles' family; the incremental twin of the in-window "
+    "q_psi_fixed_bins raw-scan kernel). Deterministic grid universe "
+    "(sequence −1..n_bins), additive smoothing replicated exactly in SQL, "
+    "verdicts re-derived from 6dp-rounded statistics in both engines; "
+    "planted-shift + store-composition behavior pinned in "
+    "tests/test_histograms.py",
+)
+def q_histogram_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions._persist import propagate_persisted
+    from al_drift_detection_spark.functions.histograms import (
+        histogram_drift,
+        window_histograms,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        F.floor(F.col("event_id") / 1000).cast("long").alias("w"), "value"
+    )
+    h = window_histograms(ev, "value", "w", 0.0, 200.0, n_bins=100)
+    out = histogram_drift(h, ref_windows=5, n_bins=100)
+    s6 = F.round("statistic", 6)
+    return propagate_persisted(
+        out.select(
+            "window",
+            "kernel",
+            s6.alias("statistic"),
+            "threshold",
+            F.when(s6 > F.col("threshold"), "fail").otherwise("pass").alias("verdict"),
+        ),
+        out,
+    )

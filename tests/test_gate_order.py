@@ -80,6 +80,7 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # is in-window via q_percentiles; this adds the mergeable/incremental
     # sketch layer (store twin of q_hll_uniqueness)
     "q_histogram_quantiles",
+    "q_histogram_drift",  # sketch-only PSI/KS twin of q_psi_fixed_bins
     # r6 constraint suggestion (Deequ ConstraintSuggestion pattern): the
     # suggested checks' runtime families (not_null/in_set/between/unique)
     # are in-window via the validation suite entries

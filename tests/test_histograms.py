@@ -20,12 +20,17 @@ QS = [0.1, 0.25, 0.5, 0.75, 0.9]
 
 
 def _data(spark, n=40_000, windows=4, seed_mult=2654435761):
-    # deterministic pseudo-uniform values in [0, 100) + a heavy tail past HI
+    # deterministic pseudo-uniform values in [0, 100) + a heavy tail past HI.
+    # x derives from floor(id / windows) so every window sees the SAME value
+    # multiset — deriving it from id directly correlates window with the
+    # value lattice (each window samples a disjoint residue class, a real
+    # ~0.2-PSI distribution difference that poisons same-distribution tests)
+    k = F.floor(F.col("id") / windows)
     return spark.range(n).select(
         (F.col("id") % windows).alias("w"),
         (
-            F.when(F.col("id") % 100 == 0, F.lit(250.0))  # 1% overflow mass
-            .otherwise(((F.col("id") * seed_mult) % 10_000) / 100.0)
+            F.when(k % 100 == 0, F.lit(250.0))  # 1% overflow mass
+            .otherwise(((k * seed_mult) % 10_000) / 100.0)
         ).alias("x"),
     )
 
@@ -80,6 +85,56 @@ def test_grid_saturation_and_validation(spark):
     assert out["quantile"] == HI
     with pytest.raises(ValueError):
         window_histograms(df, "x", "w", 10.0, 10.0, NB)
+
+
+def test_histogram_drift_planted_shift(spark):
+    """PSI/hist-KS from sketch rows: a window matching the reference passes,
+    a shifted window fails both kernels; statistics track the raw-scan PSI."""
+    from al_drift_detection_spark.functions._persist import release
+    from al_drift_detection_spark.functions.histograms import histogram_drift
+
+    n = 8000
+    k = F.floor(F.col("id") / 4)  # window-decorrelated value stream (see _data)
+    base = ((k * 2654435761) % 5_000) / 100.0
+    df = spark.range(n).select(
+        (F.col("id") % 4).alias("w"),
+        F.when(F.col("id") % 4 == 3, base + 40.0)  # window 3: shifted +40
+        .otherwise(base)
+        .alias("x"),
+    )
+    h = window_histograms(df, "x", "w", LO, HI, NB)
+    out = histogram_drift(h, ref_windows=2, n_bins=NB).toPandas()
+    v = out.set_index(["window", "kernel"])["verdict"]
+    assert v.loc[(2, "psi")] == "pass" and v.loc[(2, "hist_ks")] == "pass"
+    assert v.loc[(3, "psi")] == "fail" and v.loc[(3, "hist_ks")] == "fail"
+    s = out.set_index(["window", "kernel"])["statistic"]
+    assert s.loc[(3, "psi")] > 10 * s.loc[(2, "psi")]
+    release_df = histogram_drift(h, ref_windows=2, n_bins=NB)
+    release(release_df)
+
+
+def test_histogram_drift_from_store(spark, tmp_path):
+    """Drift answered from the persisted store alone: two snapshots merge,
+    then histogram_drift runs over merged sketch rows with zero raw reads."""
+    from al_drift_detection_spark.functions.histograms import histogram_drift
+
+    store = str(tmp_path / "dstore")
+    df = _data(spark, n=20_000)
+    update_histogram_store(
+        df.filter(F.col("id") % 2 == 0), store, "x", "w", LO, HI, 1, n_bins=NB
+    )
+    update_histogram_store(
+        df.filter(F.col("id") % 2 == 1), store, "x", "w", LO, HI, 2, n_bins=NB
+    )
+    st = spark.read.schema(
+        "window long, bin int, n long, _snapshot int"
+    ).parquet(store)
+    out = histogram_drift(
+        merge_histograms(st, by_window=True), ref_windows=2, n_bins=NB
+    ).toPandas()
+    # all windows draw the same distribution → everything passes
+    assert (out["verdict"] == "pass").all()
+    assert set(out["window"]) == {2, 3}
 
 
 def test_quantile_store_cli(spark, tmp_path):

@@ -179,10 +179,30 @@ def suggest_suite(
     **kw,
 ) -> S.CheckSuite:
     """Profile the table and return a runnable CheckSuite of the suggested
-    constraints (the onboarding entry point)."""
-    checks, _ = suggest_checks(df, **kw)
+    constraints (the onboarding entry point). Stat columns ride along so the
+    suite also feeds the metrics repository: numerics = the between-suggested
+    columns, ids = the unique-suggested ones. Serialize with
+    suite.suite_to_config → the JSON the CLI's --suite flag loads."""
+    checks, rows = suggest_checks(df, **kw)
+    return suite_from_suggestions(checks, rows, part_col, row_id_col)
+
+
+def suite_from_suggestions(
+    checks: list[S.Check],
+    rows: list[tuple],
+    part_col: str = "part",
+    row_id_col: str | None = None,
+) -> S.CheckSuite:
+    """Assemble the suite from an ALREADY-RUN suggest_checks result (callers
+    that also persist the evidence rows avoid a second profiling pass)."""
+    ids = {r[0] for r in rows if r[1] == "unique"}
+    # a column can be both numeric and unique (a numeric key): the id list
+    # wins — stats_pass would otherwise alias {c}__nulls twice in one agg
+    nums = {r[0] for r in rows if r[1] == "between"} - ids
     return S.CheckSuite(
         checks=checks,
         part_col=part_col,
         row_id_col=row_id_col or part_col,
+        numeric_stat_cols=sorted(nums),
+        id_stat_cols=sorted(ids),
     )

@@ -488,15 +488,25 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if args.suggest:
-        from al_drift_detection_spark.profile import suggest_checks, suggestions_df
-
-        _, sugg_rows = suggest_checks(
-            meta_full,
-            columns=["image_id", "caption", "fmt", "w", "h", "phash"],
+        from al_drift_detection_spark.profile import (
+            suggest_checks,
+            suggestions_df,
+            suite_from_suggestions,
         )
+        from al_drift_detection_spark.suite import suite_to_config
+
+        sugg_cols = ["image_id", "caption", "fmt", "w", "h", "phash"]
+        sugg_checks, sugg_rows = suggest_checks(meta_full, columns=sugg_cols)
         suggestions_df(spark, sugg_rows).orderBy("column", "check").write.mode(
             "overwrite"
         ).parquet(f"{args.out}/suggested_constraints")
+        # the runnable artifact: a --suite-loadable JSON of the suggested
+        # suite (suggest → review → rerun with --suite suggested_suite.json)
+        sugg_suite = suite_from_suggestions(
+            sugg_checks, sugg_rows, part_col="part", row_id_col="image_id"
+        )
+        with open(f"{args.out}/suggested_suite.json", "w") as fh:
+            json.dump(suite_to_config(sugg_suite), fh, indent=1)
 
     if args.metrics_store:
         from al_drift_detection_spark.functions.anomaly import MetricsStore

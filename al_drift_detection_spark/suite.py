@@ -172,6 +172,40 @@ def suite_from_json(path: str) -> "CheckSuite":
         return suite_from_config(json.load(f))
 
 
+def check_to_config(chk: Check) -> dict:
+    """Inverse of _KIND_BUILDERS: a plain dict suite_from_config round-trips.
+    Lets a PROFILED suite (profile.suggest_suite) be saved as the same JSON
+    the CLI's --suite flag loads — suggest → save → review → run."""
+    c: dict = {"kind": chk.kind}
+    if chk.column:
+        c["column"] = chk.column
+    if chk.kind == "predicate":
+        c["name"] = chk.name
+        c["expr"] = chk.params["expr"]
+    elif chk.kind == "in_set":
+        c["values"] = list(chk.params["values"])
+    elif chk.kind == "between":
+        c["lo"], c["hi"] = chk.params["lo"], chk.params["hi"]
+    elif chk.kind == "gt":
+        c["value"] = chk.params["value"]
+    elif chk.kind == "referential":
+        c["ref_column"] = chk.params.get("ref_column", chk.column)
+    if chk.max_violation_ratio:
+        c["max_violation_ratio"] = chk.max_violation_ratio
+    return c
+
+
+def suite_to_config(suite: "CheckSuite") -> dict:
+    return {
+        "checks": [check_to_config(c) for c in suite.checks],
+        "part_col": suite.part_col,
+        "row_id_col": suite.row_id_col,
+        "numeric_stat_cols": suite.numeric_stat_cols,
+        "id_stat_cols": suite.id_stat_cols,
+        "violation_cap_per_check": suite.violation_cap,
+    }
+
+
 @dataclass
 class ValidationResult:
     """Output contract (FIXTURES.md §4): the structured replacement for the

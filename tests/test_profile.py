@@ -78,8 +78,33 @@ def test_suggested_suite_self_consistent_and_catches_corruption(spark):
     docs.unpersist()
 
 
+def test_suite_config_round_trip(spark):
+    """suggest → suite_to_config → JSON → suite_from_config reproduces the
+    same checks, and the loaded suite still passes on the profiled table."""
+    import json
+
+    from al_drift_detection_spark.suite import suite_from_config, suite_to_config
+
+    docs = _docs(spark)
+    suite = suggest_suite(
+        docs, part_col="part", row_id_col="doc_id",
+        columns=["doc_id", "lang", "source", "n_chars"], exact_distinct=True,
+    )
+    cfg = json.loads(json.dumps(suite_to_config(suite)))  # through real JSON
+    loaded = suite_from_config(cfg)
+    assert [c.name for c in loaded.checks] == [c.name for c in suite.checks]
+    assert [c.kind for c in loaded.checks] == [c.kind for c in suite.checks]
+    assert loaded.numeric_stat_cols == ["n_chars"]
+    assert loaded.id_stat_cols == ["doc_id"]
+    res = loaded.run(docs)
+    assert (res.verdicts.toPandas()["verdict"] == "pass").all()
+    assert res.stats is not None  # stat cols rode through the config
+    res.unpersist()
+
+
 def test_suggest_cli(spark, tmp_path):
     from al_drift_detection_spark import runner
+    from al_drift_detection_spark.suite import suite_from_json
 
     out = str(tmp_path / "o1")
     assert runner.main(
@@ -93,6 +118,10 @@ def test_suggest_cli(spark, tmp_path):
     assert ("fmt", "in_set") in by
     assert ("w", "between") in by and ("h", "between") in by
     assert ("image_id", "unique") not in by
+    # the runnable JSON artifact loads through the --suite path and carries
+    # exactly the parquet evidence's checks
+    loaded = suite_from_json(f"{out}/suggested_suite.json")
+    assert {(c.column, c.kind) for c in loaded.checks} == by
 
 
 def test_approx_profile_confirms_unique_exactly(spark):

@@ -2442,3 +2442,90 @@ def q_histogram_drift(spark: SparkSession, sf: str) -> DataFrame:
         ),
         out,
     )
+
+
+@register(
+    "q_corr_drift",
+    """
+    WITH src AS (
+      SELECT CAST(floor(l_orderkey / 1875) AS BIGINT) AS window_id,
+             CAST(l_quantity AS DOUBLE) AS a,
+             CAST(l_extendedprice AS DOUBLE) AS b
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    m AS (
+      SELECT window_id, CAST(count(*) AS DOUBLE) AS n,
+             sum(a) AS sa, sum(b) AS sb, sum(a * b) AS sab,
+             sum(a * a) AS saa, sum(b * b) AS sbb
+      FROM src GROUP BY 1
+    ),
+    r AS (
+      SELECT sum(n) AS n, sum(sa) AS sa, sum(sb) AS sb,
+             sum(sab) AS sab, sum(saa) AS saa, sum(sbb) AS sbb
+      FROM m WHERE window_id < 4
+    ),
+    rc AS (
+      SELECT (n * sab - sa * sb)
+             / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)) AS ref_corr
+      FROM r
+    ),
+    w AS (
+      SELECT m.window_id, m.n,
+             CASE WHEN (m.n * m.saa - m.sa * m.sa)
+                       * (m.n * m.sbb - m.sb * m.sb) > 0
+                  THEN (m.n * m.sab - m.sa * m.sb)
+                       / sqrt((m.n * m.saa - m.sa * m.sa)
+                              * (m.n * m.sbb - m.sb * m.sb))
+             END AS corr,
+             rc.ref_corr
+      FROM m, rc
+    )
+    SELECT window_id, CAST(n AS BIGINT) AS n,
+           round(corr, 6) AS corr,
+           round(ref_corr, 6) AS ref_corr,
+           round(abs(corr - ref_corr), 6) AS abs_diff,
+           CASE WHEN corr IS NULL THEN 'fail'
+                WHEN round(abs(corr - ref_corr), 6) > 0.05 THEN 'fail'
+                ELSE 'pass' END AS verdict
+    FROM w
+    """,
+    "Cross-column CORRELATION drift (health.correlation_drift): per-window "
+    "Pearson r(l_quantity, l_extendedprice) vs the reference windows' r — "
+    "the joint-structure check the per-column kernels can't see. r from "
+    "MERGEABLE sufficient moments (n, Σa, Σb, Σab, Σa², Σb²): one "
+    "partial+final pass builds the O(windows) moment frame, the reference "
+    "folds from SUMMED moments (raw table scans exactly once — the "
+    "histogram-store merge discipline). Degenerate windows → NULL corr → "
+    "'fail'; degenerate reference raises. Verdicts re-derived from "
+    "6dp-rounded statistics in both engines; planted joint-break behavior "
+    "pinned in tests/test_health.py",
+)
+def q_corr_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions._persist import propagate_persisted
+    from al_drift_detection_spark.functions.health import correlation_drift
+
+    li = _t(spark, sf, "lineitem").select(
+        F.floor(F.col("l_orderkey") / 1875).cast("long").alias("window_id"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    out = correlation_drift(
+        li, "l_quantity", "l_extendedprice",
+        ref_filter=F.col("window_id") < 4, max_abs_diff=0.05,
+    )
+    c6, r6, d6 = F.round("corr", 6), F.round("ref_corr", 6), F.round("abs_diff", 6)
+    return propagate_persisted(
+        out.select(
+            "window_id",
+            "n",
+            c6.alias("corr"),
+            r6.alias("ref_corr"),
+            d6.alias("abs_diff"),
+            F.when(c6.isNull(), "fail")
+            .when(d6 > 0.05, "fail")
+            .otherwise("pass")
+            .alias("verdict"),
+        ),
+        out,
+    )

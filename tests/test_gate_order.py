@@ -81,6 +81,9 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # sketch layer (store twin of q_hll_uniqueness)
     "q_histogram_quantiles",
     "q_histogram_drift",  # sketch-only PSI/KS twin of q_psi_fixed_bins
+    # r6 cross-column correlation drift: joint-structure health extension of
+    # the in-window q_corr_covar / drift-kernel families
+    "q_corr_drift",
     # r6 constraint suggestion (Deequ ConstraintSuggestion pattern): the
     # suggested checks' runtime families (not_null/in_set/between/unique)
     # are in-window via the validation suite entries

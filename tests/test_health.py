@@ -320,3 +320,58 @@ def test_volume_anomaly_rejects_nonpositive_ref_mean(spark):
     df = spark.range(10).select(F.lit(0).alias("window_id"))
     with pytest.raises(ValueError, match="ref_mean must be positive"):
         volume_anomaly(df, "window_id", ref_mean=0.0)
+
+
+def test_correlation_drift_joint_break(spark):
+    """Windows whose MARGINALS are identical but whose joint structure broke
+    (b re-paired against a) must fail corr drift — the per-column kernels
+    are provably blind to this construction (same value multisets)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from al_drift_detection_spark.functions._persist import release
+    from al_drift_detection_spark.functions.health import correlation_drift
+
+    n_per, wins = 2000, 4
+    k = F.floor(F.col("id") / wins)
+    df = spark.range(n_per * wins).select(
+        (F.col("id") % wins).alias("window_id"),
+        k.cast("double").alias("a"),
+        # windows 0-2: b tracks a (corr ≈ +1); window 3: b = max−a — the
+        # SAME value multiset, perfectly anti-correlated (corr = −1)
+        F.when(F.col("id") % wins == 3, (F.lit(n_per - 1) - k).cast("double"))
+        .otherwise(k.cast("double"))
+        .alias("b"),
+    )
+    out = correlation_drift(
+        df, "a", "b", ref_filter=F.col("window_id") < 2, max_abs_diff=0.2
+    )
+    pdf = out.toPandas().set_index("window_id")
+    release(out)
+    assert pdf.loc[2, "verdict"] == "pass" and abs(pdf.loc[2, "corr"] - 1) < 1e-9
+    assert pdf.loc[3, "verdict"] == "fail" and abs(pdf.loc[3, "corr"] + 1) < 1e-9
+    # marginal blindness: per-window value multisets of b are identical
+    ms = (
+        df.groupBy("window_id")
+        .agg(F.sum("b").alias("s"), F.sum(F.col("b") * F.col("b")).alias("ss"))
+        .toPandas().set_index("window_id")
+    )
+    assert ms.loc[3].equals(ms.loc[0])
+
+    # degenerate window: constant column → NULL corr → fail
+    dg = df.withColumn(
+        "b", F.when(F.col("window_id") == 3, F.lit(7.0)).otherwise(F.col("b"))
+    )
+    out2 = correlation_drift(
+        dg, "a", "b", ref_filter=F.col("window_id") < 2, max_abs_diff=0.2
+    )
+    pdf2 = out2.toPandas().set_index("window_id")
+    release(out2)
+    assert pdf2.loc[3, "verdict"] == "fail" and pdf2.loc[3].isna()["corr"]
+
+    # degenerate REFERENCE raises loudly
+    with pytest.raises(ValueError, match="degenerate"):
+        correlation_drift(
+            df.withColumn("b", F.lit(1.0)), "a", "b",
+            ref_filter=F.col("window_id") < 2,
+        )

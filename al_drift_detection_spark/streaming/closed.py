@@ -536,3 +536,103 @@ def closed_window_uniqueness(
         ts_col, ["_h"], reduce_group, "_n long, _kmv array<double>", watermark,
     )
     return _close_on(reduced, fn, UNIQ_OUT_SCHEMA, UNIQ_STATE_SCHEMA)
+
+
+QUANT_OUT_SCHEMA = (
+    "window_start timestamp, window_end timestamp, q double, "
+    "quantile double, n_total long"
+)
+QUANT_STATE_SCHEMA = "counts array<long>"
+
+
+def closed_window_quantiles(
+    stream_df: DataFrame,
+    ts_col: str,
+    col: str,
+    lo: float,
+    hi: float,
+    qs: list[float],
+    n_bins: int = 256,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Closed-window quantiles over the mergeable fixed-grid histogram — the
+    streaming twin of functions/histograms (same grid semantics: bin −1
+    underflow / n_bins overflow / least-clamped interior; same interpolation
+    formula; NULLs excluded), emitted once per window at watermark close.
+
+    Scale shape: raw rows pre-reduce to ONE dense count vector per
+    (window × Arrow chunk) in the distributed mapInPandas combine (module
+    docstring), so only O(chunks × n_bins) longs reach the state task per
+    trigger; state is a single length-(n_bins+2) vector per open window —
+    bounded input AND bounded state. Batch ≡ streaming parity pinned in
+    tests/test_closed_windows.py."""
+    if not (hi > lo) or n_bins < 1:
+        raise ValueError(f"need hi > lo and n_bins >= 1, got [{lo}, {hi}] × {n_bins}")
+    b = int(n_bins)
+    width = (hi - lo) / b
+    qlist = [float(q) for q in qs]
+
+    def reduce_group(g):
+        x = g["_x"].to_numpy(dtype=np.float64)
+        x = x[~np.isnan(x)]
+        # dense index 0 = underflow (-1), 1..b = interior, b+1 = overflow —
+        # identical binning to histograms.window_histograms
+        raw = np.floor((x - lo) / width).astype(np.int64)
+        idx = np.minimum(raw, b - 1) + 1
+        idx[x < lo] = 0
+        idx[x >= hi] = b + 1
+        return (np.bincount(idx, minlength=b + 2).tolist(),)
+
+    def fn(key, pdfs, state: GroupState):
+        w_start, w_end = key[0], key[1]
+        if state.hasTimedOut:
+            (counts,) = state.get
+            c = np.asarray(counts, dtype=np.int64)
+            total = int(c.sum())
+            cum = np.cumsum(c)
+            rows = []
+            for q in qlist:
+                target = q * total
+                # first dense index whose cumulative count reaches target —
+                # the exact histogram_quantiles rule
+                i = int(np.searchsorted(cum, target, side="left"))
+                while i < len(cum) and cum[i] < target:  # FP guard
+                    i += 1
+                i = min(i, len(cum) - 1)
+                bin_ = i - 1  # back to grid numbering
+                n_i = int(c[i])
+                cum_i = int(cum[i])
+                if bin_ < 0:
+                    est = float(lo)
+                elif bin_ >= b:
+                    est = float(hi)
+                else:
+                    frac = (target - (cum_i - n_i)) / n_i if n_i > 0 else 0.0
+                    est = lo + (bin_ + frac) * width
+                rows.append((w_start, w_end, q, est, total))
+            state.remove()
+            yield pd.DataFrame(
+                rows,
+                columns=["window_start", "window_end", "q", "quantile", "n_total"],
+            )
+            return
+        c = (
+            np.asarray(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(b + 2, np.int64)
+        )
+        for pdf in pdfs:
+            c = c + np.sum(np.stack(pdf["_hist"].to_numpy()), axis=0)
+        state.update((c.tolist(),))
+        _arm_timeout(state, w_end)
+        return
+        yield  # pragma: no cover — generator form
+
+    win = _windowed(stream_df, ts_col, window, slide)
+    reduced = _pre_reduce(
+        win.select("_w_start", "_w_end", ts_col, F.col(col).cast("double").alias("_x")),
+        ts_col, ["_x"], reduce_group, "_hist array<long>", watermark,
+    )
+    return _close_on(reduced, fn, QUANT_OUT_SCHEMA, QUANT_STATE_SCHEMA)

@@ -182,6 +182,7 @@ def run_closed_streams(
         closed_cat_drift,
         closed_drift_scores,
         closed_window_health,
+        closed_window_quantiles,
         closed_window_uniqueness,
     )
 
@@ -207,6 +208,12 @@ def run_closed_streams(
         "stream_uniqueness": closed_window_uniqueness(
             src(), "ts", "image_id", refs["uniq_ratio"],
             window=window, watermark=watermark, slide=slide,
+        ),
+        # the constraint grid (0..10000, the between-bound universe) — same
+        # deterministic-reference rule as the batch --quantile-store surface
+        "stream_quantiles": closed_window_quantiles(
+            src(), "ts", "w", 0.0, 10000.0, [0.25, 0.5, 0.75, 0.95],
+            n_bins=1024, window=window, watermark=watermark, slide=slide,
         ),
     }
     for col in cat_cols:

@@ -525,3 +525,68 @@ def test_closed_sliding_windows_health(spark, tmp_path_factory):
     assert {k: float(v) for k, v in comp["metric"].items()} == want_ratio
     assert comp.loc[BASE + pd.Timedelta(minutes=4), "verdict"] == "pass"
     assert (comp.drop(BASE + pd.Timedelta(minutes=4))["verdict"] == "fail").all()
+
+
+def test_closed_window_quantiles_split_window_parity(spark, tmp_path_factory):
+    """Window W1's rows are split across two micro-batches (with NULLs and
+    out-of-grid values planted); one quantile row set appears at close and
+    equals histograms.histogram_quantiles over W1's full row set."""
+    from al_drift_detection_spark.functions.histograms import (
+        histogram_quantiles,
+        window_histograms,
+    )
+    from al_drift_detection_spark.streaming.closed import closed_window_quantiles
+
+    inp = str(tmp_path_factory.mktemp("cwq") / "in")
+    rng = np.random.default_rng(31)
+    LO, HI, NB = 0.0, 100.0, 50
+    QS = [0.25, 0.5, 0.9]
+
+    def frag(n, offset_s, shift=0.0):
+        vals = rng.uniform(0, 100, n) + shift
+        vals[:: max(1, n // 20)] = np.nan  # planted NULLs (excluded)
+        vals[5] = -3.0  # underflow
+        vals[6] = 500.0  # overflow
+        return pd.DataFrame({
+            "ts": [BASE + pd.Timedelta(seconds=int(offset_s + s)) for s in
+                   rng.integers(0, 120, n)],
+            "x": vals,
+        })
+
+    fa, fb = frag(600, 0), frag(600, 120, shift=20.0)
+    sentinel = pd.DataFrame({"ts": [BASE + pd.Timedelta(hours=1)], "x": [1.0]})
+    _write_batches(spark, inp, [fa, fb, sentinel], "ts timestamp, x double")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, x double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = closed_window_quantiles(
+        stream, "ts", "x", LO, HI, QS, n_bins=NB,
+        window="5 minutes", watermark="1 minute",
+    )
+    _run_stream(out, "cwq_out")
+    got = (
+        spark.sql("SELECT * FROM cwq_out")
+        .toPandas()
+        .sort_values("q")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(QS)  # ONE emission per q for the closed window
+    assert (got["window_start"] == BASE).all()
+
+    full = spark.createDataFrame(pd.concat([fa, fb])).select(
+        F.lit(0).cast("long").alias("w"), F.col("x")
+    )
+    exp = (
+        histogram_quantiles(
+            window_histograms(full, "x", "w", LO, HI, NB), QS, LO, HI, NB
+        )
+        .toPandas()
+        .sort_values("q")
+        .reset_index(drop=True)
+    )
+    assert got["n_total"].tolist() == exp["n_total"].tolist()
+    for g, e in zip(got["quantile"], exp["quantile"]):
+        assert abs(g - e) < 1e-9, (g, e)

@@ -309,6 +309,7 @@ def test_streaming_closed_plans_are_pre_reduced(spark):
         closed_cat_drift,
         closed_drift_scores,
         closed_window_health,
+        closed_window_quantiles,
         closed_window_uniqueness,
     )
 
@@ -323,6 +324,9 @@ def test_streaming_closed_plans_are_pre_reduced(spark):
         ),
         "closed_window_uniqueness": closed_window_uniqueness(
             s, "ts", "image_id", ref_ratio=0.9
+        ),
+        "closed_window_quantiles": closed_window_quantiles(
+            s, "ts", "v", 0.0, 100.0, [0.5], n_bins=16
         ),
     }
     for name, df in builds.items():

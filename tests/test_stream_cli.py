@@ -138,3 +138,20 @@ def test_stage_empty_corpus_raises_clearly(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="no windows"):
         stage_bounded_stream(empty, str(tmp_path / "stage"), 300, 60)
+
+
+def test_stream_quantiles_show_planted_drift(spark, stream_out):
+    """stream_quantiles/ (closed-window histogram sketches on the constraint
+    grid): 6 windows x 4 quantiles, and the planted w shift lifts windows
+    4,5's medians above every reference window's."""
+    import pandas as pd
+
+    q = spark.read.parquet(f"{stream_out}/stream_quantiles").toPandas()
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    q["window_id"] = ((q["window_start"] - base).dt.total_seconds() // 300).astype(int)
+    assert sorted(q["window_id"].unique()) == [0, 1, 2, 3, 4, 5]
+    assert q.groupby("window_id")["q"].count().eq(4).all()
+    med = q[q["q"] == 0.5].set_index("window_id")["quantile"]
+    assert med.loc[4] > med.loc[[0, 1, 2, 3]].max()
+    assert med.loc[5] > med.loc[[0, 1, 2, 3]].max()
+    assert (q[q["q"] == 0.5].set_index("window_id")["n_total"] == 2000).all()

@@ -113,6 +113,67 @@ def normalized_page_hinkley(
     )
 
 
+def cusum_levels(
+    series: DataFrame,
+    order_col: str,
+    value_col: str,
+    ref_upto,
+    k_mult: float = 0.5,
+    threshold: float = 25.0,
+) -> DataFrame:
+    """Two-sided tabular CUSUM (Page 1954) over an aggregated metric series,
+    baselined on its reference prefix: μ₀ = mean and k = k_mult·std of the
+    rows with order_col < ref_upto (the in-control windows — the reference's
+    pre-drift baseline the detector retrains from, gan.py:161-170). CUSUM's
+    recursion S⁺_t = max(0, S⁺_{t−1} + x_t − μ₀ − k) is computed in its
+    closed prefix form S_t = C_t − min(0, min_{j≤t} C_j) — two cumulative
+    sums + two cumulative mins over the O(windows) series (module docstring:
+    the unpartitioned ordered windows here run over a frame bounded BY
+    CONSTRUCTION; the raw pass is the caller's per-window aggregate). The
+    baseline rides in as a broadcast cross join, never a collect, so the
+    whole plan stays lazy and both engines derive the statistics from the
+    same aggregates. A degenerate reference (zero/undefined std) falls back
+    to k = 0.
+
+    Complements page_hinkley (running-mean baseline) and ddm_levels
+    (binomial error-rate register): CUSUM is the known-baseline test —
+    SURVEY.md §2.10's sequential-verdict family over the engine's own S8
+    metric rows. Kernel twin: kernels.cusum_2sided (closed form ≡ recursion
+    pinned in tests/test_changepoint.py).
+
+    Output: (order_col, value_col, mu, k, s_inc, s_dec, alarm), floats
+    un-rounded (round at the query edge).
+    """
+    ref = series.filter(F.col(order_col) < ref_upto).agg(
+        F.avg(value_col).alias("mu"),
+        (float(k_mult) * F.coalesce(F.stddev(value_col), F.lit(0.0))).alias("k"),
+    )
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    x = F.col(value_col)
+    d = (
+        series.crossJoin(F.broadcast(ref))
+        .withColumn("_ci", F.sum(x - F.col("mu") - F.col("k")).over(w))
+        .withColumn("_cd", F.sum(F.col("mu") - x - F.col("k")).over(w))
+    )
+    d = d.withColumn(
+        "s_inc", F.col("_ci") - F.least(F.lit(0.0), F.min("_ci").over(w))
+    ).withColumn(
+        "s_dec", F.col("_cd") - F.least(F.lit(0.0), F.min("_cd").over(w))
+    )
+    return d.select(
+        order_col,
+        value_col,
+        "mu",
+        "k",
+        "s_inc",
+        "s_dec",
+        (
+            (F.col("s_inc") > float(threshold))
+            | (F.col("s_dec") > float(threshold))
+        ).alias("alarm"),
+    )
+
+
 def ddm_levels(
     series: DataFrame,
     order_col: str,

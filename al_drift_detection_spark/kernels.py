@@ -28,6 +28,8 @@ __all__ = [
     "chi2_2samp",
     "js_divergence",
     "wasserstein_1d",
+    "hist_distances",
+    "cusum_2sided",
 ]
 
 
@@ -373,6 +375,64 @@ def energy_distance(ref: np.ndarray, cur: np.ndarray) -> float:
         return float(np.mean(np.sqrt(np.maximum(d2, 0.0))))
 
     return 2.0 * mean_dist(ref, cur) - mean_dist(ref, ref) - mean_dist(cur, cur)
+
+
+def hist_distances(
+    ref: np.ndarray, cur: np.ndarray, bins: int = 10
+) -> tuple[float, float, float]:
+    """Bounded histogram distances between the two samples on
+    reference-quantile bins (same binning policy as psi()/js_divergence):
+    Hellinger distance H = √(½ Σ (√p_i − √q_i)²) ∈ [0, 1], total-variation
+    distance TV = ½ Σ |p_i − q_i| ∈ [0, 1], and the Bhattacharyya overlap
+    coefficient BC = Σ √(p_i q_i) ∈ [0, 1] (H² = 1 − BC). These complete the
+    drift-kernel family's bounded end: PSI is unbounded and needs eps
+    clipping on empty bins; H/TV/BC have no log-ratio singularity, so a bin
+    empty on one side contributes its full mass loss and nothing blows up —
+    the right default for monitoring dashboards with fixed [0,1] axes.
+    Returns (hellinger, total_variation, bhattacharyya). Empty input →
+    (0, 0, 1) (no evidence of drift); a constant reference keeps its two
+    open-tail bins (same policy as psi/js_divergence), so a spread current
+    sample still registers as drifted.
+    Oracle twin: q_hist_distances (fixed-bin relational form).
+    """
+    ref = np.asarray(ref, dtype=np.float64)
+    cur = np.asarray(cur, dtype=np.float64)
+    if len(ref) == 0 or len(cur) == 0:
+        return 0.0, 0.0, 1.0
+    qs = np.quantile(ref, np.linspace(0.0, 1.0, bins + 1))
+    qs[0], qs[-1] = -np.inf, np.inf
+    qs = np.unique(qs)
+    if len(qs) <= 2:
+        return 0.0, 0.0, 1.0
+    p = np.histogram(ref, qs)[0] / len(ref)
+    q = np.histogram(cur, qs)[0] / len(cur)
+    hell = float(np.sqrt(0.5 * np.sum((np.sqrt(p) - np.sqrt(q)) ** 2)))
+    tv = float(0.5 * np.sum(np.abs(p - q)))
+    bc = float(np.sum(np.sqrt(p * q)))
+    return hell, tv, bc
+
+
+def cusum_2sided(
+    xs: np.ndarray, mu: float, k: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Two-sided tabular CUSUM (Page 1954): S⁺_t = max(0, S⁺_{t−1} + x_t − μ₀ − k)
+    watches for a sustained mean INCREASE past the in-control level μ₀ with
+    slack k (conventionally ½ the shift worth detecting, in the series'
+    units); S⁻_t symmetric for a decrease. Computed in the closed prefix
+    form S_t = C_t − min(0, min_{j≤t} C_j) over the cumulative deviation
+    series C — identical to the recursion (tested) and the exact construction
+    the relational twin runs as two ordered windows, so both paths produce
+    the same doubles. Complements Page-Hinkley (changepoint.page_hinkley):
+    CUSUM tests against a KNOWN in-control baseline (the reference windows),
+    PH against the series' own running mean. Returns (s_inc, s_dec) arrays.
+    Oracle twin: q_cusum.
+    """
+    xs = np.asarray(xs, dtype=np.float64)
+    ci = np.cumsum(xs - mu - k)
+    cd = np.cumsum(mu - xs - k)
+    s_inc = ci - np.minimum(np.minimum.accumulate(ci), 0.0)
+    s_dec = cd - np.minimum(np.minimum.accumulate(cd), 0.0)
+    return s_inc, s_dec
 
 
 def subsample(x: np.ndarray, max_n: int) -> np.ndarray:

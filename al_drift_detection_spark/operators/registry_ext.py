@@ -263,6 +263,35 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_skew_profile",
+    """
+    WITH c AS (
+      SELECT event_type, count(*) AS cnt FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) AS tot, CAST(count(*) AS DOUBLE) AS nk
+      FROM c
+    )
+    SELECT event_type, cnt,
+           round(cnt / tot, 6) AS share,
+           round(cnt * nk / tot, 6) AS skew_ratio,
+           CAST(least(ceil(cnt * nk / tot), 32) AS INTEGER) AS suggested_salts
+    FROM c, t
+    """,
+    "skew PROFILER for a grouping/join key (the measurement step before "
+    "q_salted_agg's mitigation; north_star 'skew on fmt/size handled via "
+    "salted repartitioning and AQE'): per-key count, share, skew ratio vs "
+    "uniform, and the salt fan-out that levels the key. skew_ratio is "
+    "cnt*n_keys/tot over exact integer-valued doubles so ceil() never "
+    "flips across engines (skew.skew_profile)",
+)
+def q_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.skew import skew_profile
+
+    return skew_profile(_t(spark, sf, "events"), "event_type", max_salts=32)
+
+
+@register(
     "q_sequence_checksum",
     """
     SELECT event_id,

@@ -2529,3 +2529,132 @@ def q_corr_drift(spark: SparkSession, sf: str) -> DataFrame:
         ),
         out,
     )
+
+
+@register(
+    "q_hist_distances",
+    """
+    WITH b AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS side,
+             least(greatest(CAST(floor(value / 10) AS BIGINT), 0), 9) AS bin
+      FROM events
+    ),
+    c AS (SELECT side, bin, count(*)::DOUBLE AS n FROM b GROUP BY 1, 2),
+    t AS (SELECT side, sum(n) AS tot FROM c GROUP BY 1),
+    p AS (
+      SELECT bin,
+             coalesce(max(CASE WHEN c.side = 'ref' THEN n / tot END), 0) AS pr,
+             coalesce(max(CASE WHEN c.side = 'cur' THEN n / tot END), 0) AS pc
+      FROM c JOIN t USING (side) GROUP BY bin
+    )
+    SELECT round(sqrt(0.5 * sum((sqrt(pr) - sqrt(pc)) * (sqrt(pr) - sqrt(pc)))), 6)
+             AS hellinger,
+           round(0.5 * sum(abs(pr - pc)), 6) AS total_variation,
+           round(sum(sqrt(pr * pc)), 6) AS bhattacharyya
+    FROM p
+    """,
+    "BOUNDED histogram drift distances with fixed bins (Hellinger / "
+    "total-variation / Bhattacharyya overlap; H2 = 1 - BC) — the "
+    "[0,1]-bounded end of the SURVEY.md S2.10 drift-kernel family "
+    "(ref's windowed drift vote, gan.py:737-757): PSI needs eps clipping "
+    "on empty bins, these have no log-ratio singularity, so corrupted "
+    "windows cannot emit unbounded scores. Same one-scan bin/side "
+    "aggregate shape as q_psi_fixed_bins (ref=even/cur=odd event ids); "
+    "a bin empty on one side contributes its full mass loss. Kernel twin "
+    "kernels.hist_distances (quantile-bin form, pytest vs direct numpy "
+    "histograms in tests/test_kernels.py)",
+)
+def q_hist_distances(spark: SparkSession, sf: str) -> DataFrame:
+    b = _t(spark, sf, "events").select(
+        F.when(F.col("event_id") % 2 == 0, "ref").otherwise("cur").alias("side"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 10).cast("long"), F.lit(0)), F.lit(9)
+        ).alias("bin"),
+    )
+    c = b.groupBy("side", "bin").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    t = c.groupBy("side").agg(F.sum("n").alias("tot"))
+    p = (
+        c.join(t, "side")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("side") == "ref", F.col("n") / F.col("tot"))),
+                F.lit(0.0),
+            ).alias("pr"),
+            F.coalesce(
+                F.max(F.when(F.col("side") == "cur", F.col("n") / F.col("tot"))),
+                F.lit(0.0),
+            ).alias("pc"),
+        )
+    )
+    sp, sc = F.sqrt(F.col("pr")), F.sqrt(F.col("pc"))
+    return p.agg(
+        F.round(F.sqrt(0.5 * F.sum((sp - sc) * (sp - sc))), 6).alias("hellinger"),
+        F.round(0.5 * F.sum(F.abs(F.col("pr") - F.col("pc"))), 6).alias(
+            "total_variation"
+        ),
+        F.round(F.sum(F.sqrt(F.col("pr") * F.col("pc"))), 6).alias("bhattacharyya"),
+    )
+
+
+@register(
+    "q_cusum",
+    """
+    WITH s AS (
+      SELECT CAST(floor(event_id / 500) AS BIGINT) AS window_id, avg(value) AS x
+      FROM events GROUP BY 1
+    ),
+    ref AS (
+      SELECT avg(x) AS mu, 0.5 * coalesce(stddev(x), 0) AS k
+      FROM s WHERE window_id < 10
+    ),
+    c AS (
+      SELECT window_id, x, mu, k,
+             sum(x - mu - k) OVER w AS ci,
+             sum(mu - x - k) OVER w AS cd
+      FROM s, ref
+      WINDOW w AS (ORDER BY window_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    r AS (
+      SELECT window_id, x, mu, k,
+             ci - least(0, min(ci) OVER w) AS s_inc,
+             cd - least(0, min(cd) OVER w) AS s_dec
+      FROM c
+      WINDOW w AS (ORDER BY window_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT window_id, round(x, 6) AS x, round(mu, 6) AS mu, round(k, 6) AS k,
+           round(s_inc, 6) AS s_inc, round(s_dec, 6) AS s_dec,
+           (round(s_inc, 6) > 25.0 OR round(s_dec, 6) > 25.0) AS alarm
+    FROM r
+    """,
+    "SURVEY.md S2.10 extended: two-sided tabular CUSUM (Page 1954) over the "
+    "per-window mean-value metric series, baselined on the REFERENCE prefix "
+    "(mu0/k from windows < 10 — the ref detector's pre-drift baseline it "
+    "retrains from, gan.py:161-170). Completes the sequential-detector "
+    "family: PH tests vs the running mean, DDM vs the binomial error "
+    "register, CUSUM vs a known in-control level. The max(0, ...) recursion "
+    "runs in its closed prefix form (cumsum - clamped cummin) over the "
+    "O(windows) series — identical construction in both engines; alarms "
+    "re-derived from 6dp-rounded statistics. Kernel twin "
+    "kernels.cusum_2sided (closed form == recursion, planted-shift alarms "
+    "pinned in tests/test_changepoint.py)",
+)
+def q_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.changepoint import cusum_levels
+
+    series = (
+        _t(spark, sf, "events")
+        .groupBy(F.floor(F.col("event_id") / 500).cast("long").alias("window_id"))
+        .agg(F.avg("value").alias("x"))
+    )
+    out = cusum_levels(series, "window_id", "x", ref_upto=10, threshold=25.0)
+    si, sd = F.round("s_inc", 6), F.round("s_dec", 6)
+    return out.select(
+        "window_id",
+        F.round("x", 6).alias("x"),
+        F.round("mu", 6).alias("mu"),
+        F.round("k", 6).alias("k"),
+        si.alias("s_inc"),
+        sd.alias("s_dec"),
+        ((si > 25.0) | (sd > 25.0)).alias("alarm"),
+    )

@@ -79,3 +79,37 @@ def skewed_key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
         .orderBy(F.desc("n"))
         .limit(top)
     )
+
+
+def skew_profile(df: DataFrame, key: str, max_salts: int = 32) -> DataFrame:
+    """Skew PROFILER for a grouping/join key: per-key row count, share of
+    total, skew ratio vs a uniform key distribution, and the salt fan-out
+    salted_agg would need to level that key (suggested_salts =
+    ceil(skew_ratio), capped) — the measurement step before the
+    q_salted_agg mitigation (north_star: 'skew on fmt/size is handled via
+    salted repartitioning and AQE'; AQE splits hot PARTITIONS but cannot
+    split one hot KEY inside a hash aggregate, so the decision needs this
+    per-key view).
+
+    One shuffle total: per-key counts, then the O(keys) frame crossJoins its
+    own broadcast single-row total — fully lazy, no driver count() action.
+    skew_ratio is computed as cnt·n_keys/tot (all integer-valued doubles,
+    exact in IEEE754 below 2^53) rather than cnt/avg(cnt), so ceil() sits on
+    an exactly-reproducible quotient and the suggested fan-out never flips
+    across engines or retries from last-bit float drift.
+    """
+    c = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(
+        F.sum("cnt").cast("double").alias("_tot"),
+        F.count(F.lit(1)).cast("double").alias("_nk"),
+    )
+    ratio = F.col("cnt") * F.col("_nk") / F.col("_tot")
+    return c.crossJoin(F.broadcast(t)).select(
+        key,
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round(F.col("cnt") / F.col("_tot"), 6).alias("share"),
+        F.round(ratio, 6).alias("skew_ratio"),
+        F.least(F.ceil(ratio), F.lit(int(max_salts)).cast("long"))
+        .cast("int")
+        .alias("suggested_salts"),
+    )

@@ -265,3 +265,94 @@ def test_ewma_registry_entry_matches_recurrence(spark):
         assert row["z"] == pytest.approx(z, abs=1e-5), w
         assert row["ucl"] == pytest.approx(mu0 + band, abs=1e-5), w
         assert bool(row["signal"]) == bool(z > mu0 + band or z < mu0 - band), w
+
+
+# ---- two-sided tabular CUSUM -------------------------------------------------
+def recursive_cusum(xs, mu, k):
+    """The textbook recursion (Page 1954) the closed prefix form must equal."""
+    si, sd, out_i, out_d = 0.0, 0.0, [], []
+    for x in xs:
+        si = max(0.0, si + x - mu - k)
+        sd = max(0.0, sd + mu - x - k)
+        out_i.append(si)
+        out_d.append(sd)
+    return np.array(out_i), np.array(out_d)
+
+
+def test_cusum_closed_form_equals_recursion():
+    from al_drift_detection_spark.kernels import cusum_2sided
+
+    xs = np.random.default_rng(3).normal(10.0, 1.0, 200)
+    xs[120:] += 2.5
+    si, sd = cusum_2sided(xs, mu=10.0, k=0.5)
+    ri, rd = recursive_cusum(xs, 10.0, 0.5)
+    np.testing.assert_allclose(si, ri, atol=1e-9)
+    np.testing.assert_allclose(sd, rd, atol=1e-9)
+
+
+def test_cusum_levels_alarms_at_planted_shift(spark):
+    from al_drift_detection_spark.functions.changepoint import cusum_levels
+
+    vals = [10.0 + 0.01 * (i % 5) for i in range(30)] + [12.0] * 20
+    out = (
+        cusum_levels(_series(spark, vals), "t", "x", ref_upto=30, threshold=5.0)
+        .orderBy("t")
+        .collect()
+    )
+    alarms = [r["t"] for r in out if r["alarm"]]
+    assert alarms, "planted +2.0 shift never alarmed"
+    assert min(alarms) >= 30, "alarm fired inside the in-control reference"
+    first = next(r for r in out if r["alarm"])
+    assert first["s_inc"] > 5.0 and first["s_dec"] < 5.0
+
+
+def test_cusum_levels_decrease_side_and_stationary(spark):
+    from al_drift_detection_spark.functions.changepoint import cusum_levels
+
+    vals = [10.0] * 30 + [8.0] * 20
+    out = cusum_levels(_series(spark, vals), "t", "x", ref_upto=30, threshold=5.0)
+    hit = out.filter(F.col("alarm")).orderBy("t").first()
+    assert hit is not None and hit["s_dec"] > 5.0
+    quiet = 10.0 + 0.3 * np.random.default_rng(17).standard_normal(50)
+    out2 = cusum_levels(_series(spark, quiet), "t", "x", ref_upto=50, threshold=5.0)
+    assert out2.filter(F.col("alarm")).count() == 0
+
+
+def test_cusum_spark_matches_kernel(spark):
+    from al_drift_detection_spark.functions.changepoint import cusum_levels
+    from al_drift_detection_spark.kernels import cusum_2sided
+
+    xs = np.random.default_rng(9).normal(5.0, 2.0, 60)
+    xs[40:] -= 3.0
+    rows = (
+        cusum_levels(_series(spark, xs), "t", "x", ref_upto=20, threshold=25.0)
+        .orderBy("t")
+        .collect()
+    )
+    mu = float(np.mean(xs[:20]))
+    k = 0.5 * float(np.std(xs[:20], ddof=1))
+    si, sd = cusum_2sided(xs, mu, k)
+    np.testing.assert_allclose([r["s_inc"] for r in rows], si, atol=1e-8)
+    np.testing.assert_allclose([r["s_dec"] for r in rows], sd, atol=1e-8)
+    assert rows[0]["mu"] == pytest.approx(mu) and rows[0]["k"] == pytest.approx(k)
+
+
+def test_cusum_degenerate_reference_falls_back_to_zero_slack(spark):
+    from al_drift_detection_spark.functions.changepoint import cusum_levels
+
+    out = (
+        cusum_levels(_series(spark, [10.0, 10.0, 10.0, 11.0]), "t", "x",
+                     ref_upto=1, threshold=5.0)
+        .orderBy("t")
+        .collect()
+    )
+    # single-row reference: stddev is NULL -> k = 0, statistics stay finite
+    assert out[0]["k"] == 0.0
+    assert all(np.isfinite(r["s_inc"]) and np.isfinite(r["s_dec"]) for r in out)
+
+
+def test_cusum_entry_aggregates_before_ordered_windows(spark):
+    from al_drift_detection_spark.operators import REGISTRY
+    from tests.test_plans import SF, audit_window_shapes, plan_of
+
+    assert not audit_window_shapes(plan_of(REGISTRY["q_cusum"].fn(spark, SF)))

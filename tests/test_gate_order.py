@@ -46,6 +46,14 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     "q_chi2_drift",
     "q_js_fixed_bins",
     "q_categorical_drift",
+    # bounded histogram distances (Hellinger/TV/Bhattacharyya) — same
+    # fixed-bin shape as the in-window q_psi_fixed_bins
+    "q_hist_distances",
+    # known-baseline sequential detector; the family's representative
+    # (q_page_hinkley) is in-window via the late-r6 rotation
+    "q_cusum",
+    # skew MEASUREMENT step of the in-window q_salted_agg mitigation
+    "q_skew_profile",
     # corpus-quality extensions of the in-window q_quality_features family
     "q_repetition_ratio",
     "q_pii_scan",

@@ -333,3 +333,58 @@ def test_relational_kernels_match_numpy(spark):
     got2 = REGISTRY["q_mmd_rbf"].fn(spark, sf).first()
     exp2 = mmd_rbf(r2, c2, gamma=0.001, max_n=10_000)  # no subsample
     assert got2["mmd2"] == pytest.approx(exp2, abs=1e-6)
+
+
+def ref_hist_distances(ref, cur, bins=10):
+    """Independent reference: direct histogram H/TV/BC on ref-quantile bins
+    (the psi()/js_divergence binning policy)."""
+    qs = np.quantile(ref, np.linspace(0, 1, bins + 1))
+    qs[0], qs[-1] = -np.inf, np.inf
+    qs = np.unique(qs)
+    p = np.histogram(ref, qs)[0] / len(ref)
+    q = np.histogram(cur, qs)[0] / len(cur)
+    return (
+        float(np.sqrt(np.sum((np.sqrt(p) - np.sqrt(q)) ** 2) / 2.0)),
+        float(np.abs(p - q).sum() / 2.0),
+        float(np.sqrt(p * q).sum()),
+    )
+
+
+def test_hist_distances_match_reference_impl():
+    from al_drift_detection_spark.kernels import hist_distances
+
+    a = RNG.normal(0, 1, 1800)
+    b = RNG.normal(0.7, 1.4, 1300)
+    got = hist_distances(a, b)
+    want = ref_hist_distances(a, b)
+    for g, w in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-12)
+
+
+def test_hist_distances_bounds_and_identities():
+    from al_drift_detection_spark.kernels import hist_distances
+
+    a = RNG.normal(0, 1, 2000)
+    h0, tv0, bc0 = hist_distances(a, a)
+    assert h0 == pytest.approx(0.0, abs=1e-12)
+    assert tv0 == pytest.approx(0.0, abs=1e-12)
+    assert bc0 == pytest.approx(1.0, abs=1e-12)
+    b = RNG.normal(2.5, 1, 2000)
+    h, tv, bc = hist_distances(a, b)
+    assert 0.0 < h <= 1.0 and 0.0 < tv <= 1.0 and 0.0 <= bc < 1.0
+    # H^2 = 1 - BC by definition; disjoint support saturates the bounds
+    assert h * h == pytest.approx(1.0 - bc, abs=1e-12)
+    hfar, tvfar, bcfar = hist_distances(np.linspace(0, 1, 500) + 0,
+                                        np.linspace(100, 101, 500))
+    # all cur mass lands in the open-tail last bin (1/10 of ref mass):
+    # H = sqrt((0.9 + (1 - sqrt(0.1))^2) / 2), TV = 0.9, BC = sqrt(0.1)
+    assert hfar == pytest.approx(np.sqrt((0.9 + (1 - np.sqrt(0.1)) ** 2) / 2), abs=1e-9)
+    assert tvfar == pytest.approx(0.9, abs=1e-9)
+    assert bcfar == pytest.approx(np.sqrt(0.1), abs=1e-9)
+    # empty input reports "no drift evidence"; a constant ref still yields
+    # the two open-tail bins (same policy as psi/js_divergence), so a spread
+    # current sample correctly registers as drifted, identical constants as not
+    assert hist_distances(np.array([]), a) == (0.0, 0.0, 1.0)
+    assert hist_distances(np.ones(100), np.ones(50)) == (0.0, 0.0, 1.0)
+    hc, tvc, bcc = hist_distances(np.ones(100), a)
+    assert hc > 0.5 and tvc > 0.5 and bcc < 0.5

@@ -251,3 +251,27 @@ def test_repetition_ratio_and_quality_gate(spark):
     assert not gate.loc[0]["ok_repetition"] and not bool(gate.loc[0]["keep"])
     assert bool(gate.loc[1]["keep"])
     assert not gate.loc[2]["ok_token_count"] and not bool(gate.loc[2]["keep"])
+
+
+def test_skew_profile_planted_hot_key(spark):
+    """skew.skew_profile: a planted 90/10-style hot key gets the salt fan-out
+    that levels it; uniform keys get 1; the cap binds on extreme skew."""
+    from al_drift_detection_spark.skew import skew_profile
+
+    rows = [("hot",)] * 900 + [(f"k{i}",) for i in range(10) for _ in range(10)]
+    df = spark.createDataFrame(rows, "key string")
+    out = {r["key"]: r for r in skew_profile(df, "key", max_salts=32).collect()}
+    # 11 keys, 1000 rows: uniform share would be ~90.9 rows/key
+    hot = out["hot"]
+    assert hot["cnt"] == 900
+    assert hot["share"] == pytest.approx(0.9, abs=1e-9)
+    assert hot["skew_ratio"] == pytest.approx(900 * 11 / 1000, abs=1e-9)
+    assert hot["suggested_salts"] == 10  # ceil(9.9)
+    for i in range(10):
+        assert out[f"k{i}"]["suggested_salts"] == 1  # ceil(0.11) = 1
+    # cap: one key holding everything suggests max_salts, not n_rows
+    solo = spark.createDataFrame([("a",)] * 990 + [(f"b{i}",) for i in range(33)],
+                                 "key string")
+    capped = {r["key"]: r["suggested_salts"]
+              for r in skew_profile(solo, "key", max_salts=8).collect()}
+    assert capped["a"] == 8

@@ -165,8 +165,9 @@ def main(argv: list[str] | None = None) -> int:
         help="sequential change detectors over the per-window metric series: "
         "two-sided Page-Hinkley on each drift column's per-window mean "
         "(normalized by the reference windows' per-window-mean location/"
-        "scale) and windowed DDM on the caption-null rate — writes the "
-        "changepoint/ and ddm_nullrate/ tables",
+        "scale), windowed DDM on the caption-null rate, and two-sided CUSUM "
+        "vs the reference-window baseline on the same standardized series — "
+        "writes the changepoint/, ddm_nullrate/ and cusum/ tables",
     )
     ap.add_argument(
         "--ph-delta", type=float, default=0.05, metavar="D",
@@ -785,6 +786,41 @@ def main(argv: list[str] | None = None) -> int:
             f"{args.out}/ddm_nullrate"
         )
         release(ddm)
+        # two-sided CUSUM vs the reference windows' known baseline — the
+        # third sequential test (PH = running mean, DDM = error register,
+        # CUSUM = known in-control level). The series is standardized by the
+        # reference windows' location/scale (lazy broadcast join, no collect)
+        # so --ph-threshold keeps its dimensionless std-units meaning here
+        # too; cusum_levels then re-derives its baseline on the standardized
+        # prefix (mu ≈ 0, k ≈ 0.5 std).
+        from al_drift_detection_spark.functions.changepoint import cusum_levels
+
+        cframes = []
+        for col in ("w", "h"):
+            series = meta_full.groupBy("window_id").agg(
+                F.avg(F.col(col).cast("double")).alias("x")
+            )
+            ref_ls = series.filter(F.col("window_id") < args.ref_windows).agg(
+                F.avg("x").alias("_mu0"),
+                F.coalesce(F.nullif(F.stddev("x"), F.lit(0.0)), F.lit(1.0)).alias(
+                    "_sd0"
+                ),
+            )
+            norm = series.crossJoin(F.broadcast(ref_ls)).select(
+                "window_id",
+                ((F.col("x") - F.col("_mu0")) / F.col("_sd0")).alias("x"),
+            )
+            out = cusum_levels(
+                norm, "window_id", "x", args.ref_windows,
+                threshold=args.ph_threshold,
+            )
+            cframes.append(out.withColumn("column", F.lit(col)))
+        cu = cframes[0]
+        for f in cframes[1:]:
+            cu = cu.unionByName(f)
+        cu.orderBy("column", "window_id").write.mode("overwrite").parquet(
+            f"{args.out}/cusum"
+        )
 
     if args.expect_schema:
         from al_drift_detection_spark.functions.health import schema_check

@@ -170,6 +170,13 @@ def test_changepoint_cli_alarms_on_planted_windows(spark, tmp_path):
     assert not cp[(cp["window_id"] < 4) & cp["alarm"]].shape[0]
     ddm = spark.read.parquet(f"{out}/ddm_nullrate").toPandas()
     assert len(ddm) == 6 and (ddm["level"] == 0).all()
+    # CUSUM vs the reference-window baseline on the same standardized series:
+    # the planted w shift must alarm within the drift era and nowhere earlier
+    cu = spark.read.parquet(f"{out}/cusum").toPandas()
+    assert set(cu["column"]) == {"w", "h"}
+    w_cu = cu[cu["column"] == "w"]
+    assert w_cu[w_cu["alarm"]]["window_id"].min() in (4, 5)
+    assert not cu[(cu["window_id"] < 4) & cu["alarm"]].shape[0]
 
 
 # ---- registry plan shape ----------------------------------------------------

@@ -75,6 +75,11 @@ HEADLINE = [
     "q_hll_uniqueness",
     "q_metric_anomaly",
     "q_suggest_constraints",
+    # late round-6 additions (additive keys, excluded from the summed total)
+    "q_histogram_drift",
+    "q_corr_drift",
+    "q_hist_distances",
+    "q_cusum",
 ]
 
 # reported per-query but EXCLUDED from the summed `value` metric, which keeps
@@ -102,6 +107,10 @@ TOTAL_EXCLUDED = {
     "q_hll_uniqueness",
     "q_metric_anomaly",
     "q_suggest_constraints",
+    "q_histogram_drift",
+    "q_corr_drift",
+    "q_hist_distances",
+    "q_cusum",
     "validation_pass_decode",  # reported in queries but never summed either
     "stream_pass",  # round-6 streaming leg, additive
 }

@@ -475,3 +475,67 @@ def correlation_drift(
         ),
         m,
     )
+
+
+def categorical_association(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Categorical ASSOCIATION analyzer: mutual information (natural log,
+    nats) and Cramér's V between two categorical columns — the categorical
+    sibling of correlation_drift's Pearson r (the Deequ MutualInformation
+    analyzer, public design; SURVEY.md §2.4 stat family). Two columns can
+    keep their marginal distributions while their pairing breaks — lang and
+    source each look stable, but captions suddenly arrive under the wrong
+    source — and every per-column kernel is blind to it.
+
+    Scale shape: ONE raw-table shuffle builds the joint contingency
+    (groupBy(a, b).count() — O(ka·kb) rows, bounded by the category
+    universes), persisted because it feeds the two marginal aggregates, the
+    totals row, and the grid join (the CLAUDE.md shared-child rule: unpersisted,
+    the raw scan would re-execute 4×). Everything downstream — marginals,
+    the FULL ka×kb grid (zero cells carry expected mass for chi², exactly
+    like kernels.chi2_2samp's contingency), MI and V — runs over that tiny
+    frame with broadcast joins. NULL in either column excludes the pair
+    (the standard analyzer contract).
+
+    V = sqrt(chi² / (n · (min(ka, kb) − 1))), NULL when either column is
+    constant (no association measurable; MI is exactly 0 there). Output:
+    one row (n, ka, kb, mi, cramers_v), floats un-rounded.
+    Oracle twin: q_mutual_information."""
+    a = F.col(col_a).cast("string")
+    b = F.col(col_b).cast("string")
+    joint = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("a"), b.alias("b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("nab"))
+        .persist()
+    )
+    pa = joint.groupBy("a").agg(F.sum("nab").alias("na"))
+    pb = joint.groupBy("b").agg(F.sum("nab").alias("nb"))
+    tot = joint.agg(
+        F.sum("nab").alias("tot"),
+        F.countDistinct("a").cast("int").alias("ka"),
+        F.countDistinct("b").cast("int").alias("kb"),
+    )
+    grid = (
+        pa.crossJoin(pb)
+        .join(joint, ["a", "b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.coalesce(F.col("nab"), F.lit(0.0)).alias("nab"),
+            "na", "nb", "tot", "ka", "kb",
+        )
+    )
+    e = F.col("na") * F.col("nb") / F.col("tot")
+    nab, t = F.col("nab"), F.col("tot")
+    mi_cell = F.when(nab > 0, (nab / t) * F.log(nab * t / (F.col("na") * F.col("nb")))).otherwise(0.0)
+    chi2 = F.sum((nab - e) * (nab - e) / e)
+    kmin = F.least(F.max("ka"), F.max("kb"))
+    out = grid.agg(
+        F.max(t).cast("long").alias("n"),
+        F.max("ka").alias("ka"),
+        F.max("kb").alias("kb"),
+        F.sum(mi_cell).alias("mi"),
+        F.when(
+            kmin > 1, F.sqrt(chi2 / (F.max(t) * (kmin - 1).cast("double")))
+        ).alias("cramers_v"),
+    )
+    return attach_persisted(out, joint)

@@ -2658,3 +2658,63 @@ def q_cusum(spark: SparkSession, sf: str) -> DataFrame:
         sd.alias("s_dec"),
         ((si > 25.0) | (sd > 25.0)).alias("alarm"),
     )
+
+
+@register(
+    "q_mutual_information",
+    """
+    WITH s AS (
+      SELECT CAST(lang AS VARCHAR) AS a, CAST(source AS VARCHAR) AS b
+      FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+    ),
+    j AS (SELECT a, b, count(*)::DOUBLE AS nab FROM s GROUP BY 1, 2),
+    pa AS (SELECT a, sum(nab) AS na FROM j GROUP BY 1),
+    pb AS (SELECT b, sum(nab) AS nb FROM j GROUP BY 1),
+    t AS (
+      SELECT sum(nab) AS tot,
+             count(DISTINCT a) AS ka, count(DISTINCT b) AS kb
+      FROM j
+    ),
+    g AS (
+      SELECT pa.na, pb.nb, coalesce(j.nab, 0) AS nab, t.tot, t.ka, t.kb
+      FROM pa CROSS JOIN pb
+      LEFT JOIN j ON j.a = pa.a AND j.b = pb.b
+      CROSS JOIN t
+    )
+    SELECT CAST(max(tot) AS BIGINT) AS n,
+           CAST(max(ka) AS INTEGER) AS ka,
+           CAST(max(kb) AS INTEGER) AS kb,
+           round(sum(CASE WHEN nab > 0
+                          THEN nab / tot * ln(nab * tot / (na * nb))
+                          ELSE 0 END), 6) AS mi,
+           round(CASE WHEN least(max(ka), max(kb)) > 1
+                      THEN sqrt(sum((nab - na * nb / tot) * (nab - na * nb / tot)
+                                    / (na * nb / tot))
+                                / (max(tot) * (least(max(ka), max(kb)) - 1)))
+                 END, 6) AS cramers_v
+    FROM g
+    """,
+    "categorical ASSOCIATION analyzer (Deequ MutualInformation, public "
+    "design; SURVEY.md S2.4 stat family): mutual information (nats) + "
+    "Cramer's V between documents.lang and documents.source — the "
+    "categorical sibling of q_corr_drift's joint-structure check (marginals "
+    "can hold while the PAIRING breaks; every per-column kernel is blind to "
+    "it). One raw shuffle builds the persisted joint contingency; marginals, "
+    "the FULL ka x kb grid (zero cells carry expected chi2 mass), MI and V "
+    "all fold from that O(ka*kb) frame with broadcast joins "
+    "(health.categorical_association; planted dependence/independence "
+    "pinned in tests/test_health.py)",
+)
+def q_mutual_information(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions._persist import propagate_persisted
+    from al_drift_detection_spark.functions.health import categorical_association
+
+    out = categorical_association(_t(spark, sf, "documents"), "lang", "source")
+    return propagate_persisted(
+        out.select(
+            "n", "ka", "kb",
+            F.round("mi", 6).alias("mi"),
+            F.round("cramers_v", 6).alias("cramers_v"),
+        ),
+        out,
+    )

@@ -54,6 +54,9 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     "q_cusum",
     # skew MEASUREMENT step of the in-window q_salted_agg mitigation
     "q_skew_profile",
+    # categorical sibling of q_corr_drift's joint-structure family
+    # (Deequ MutualInformation analyzer: MI + Cramér's V)
+    "q_mutual_information",
     # corpus-quality extensions of the in-window q_quality_features family
     "q_repetition_ratio",
     "q_pii_scan",

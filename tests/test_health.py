@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime as dt
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -375,3 +376,45 @@ def test_correlation_drift_joint_break(spark):
             df.withColumn("b", F.lit(1.0)), "a", "b",
             ref_filter=F.col("window_id") < 2,
         )
+
+
+# ---- categorical association (MI + Cramér's V) -------------------------------
+def test_categorical_association_perfect_dependence(spark):
+    """b is a function of a (and vice versa): MI = H(a) and V = 1."""
+    from al_drift_detection_spark.functions._persist import release
+    from al_drift_detection_spark.functions.health import categorical_association
+
+    rows = [(f"a{i % 4}", f"b{i % 4}") for i in range(400)]
+    out = categorical_association(
+        spark.createDataFrame(rows, "x string, y string"), "x", "y"
+    )
+    r = out.collect()[0]
+    release(out)
+    assert r["n"] == 400 and r["ka"] == 4 and r["kb"] == 4
+    assert r["mi"] == pytest.approx(np.log(4), abs=1e-9)  # H(uniform over 4)
+    assert r["cramers_v"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_categorical_association_independence_and_degenerate(spark):
+    from al_drift_detection_spark.functions._persist import release
+    from al_drift_detection_spark.functions.health import categorical_association
+
+    # exact independence by construction: every (a, b) combo equally frequent
+    rows = [(f"a{i % 3}", f"b{(i // 3) % 5}") for i in range(300)]
+    out = categorical_association(
+        spark.createDataFrame(rows, "x string, y string"), "x", "y"
+    )
+    r = out.collect()[0]
+    release(out)
+    assert r["mi"] == pytest.approx(0.0, abs=1e-9)
+    assert r["cramers_v"] == pytest.approx(0.0, abs=1e-9)
+    # constant column: V undefined (NULL), MI exactly 0; nulls excluded
+    rows2 = [("only", f"b{i % 3}") for i in range(30)] + [(None, "b0")] * 5
+    out2 = categorical_association(
+        spark.createDataFrame(rows2, "x string, y string"), "x", "y"
+    )
+    r2 = out2.collect()[0]
+    release(out2)
+    assert r2["n"] == 30 and r2["ka"] == 1
+    assert r2["mi"] == pytest.approx(0.0, abs=1e-12)
+    assert r2["cramers_v"] is None

@@ -539,3 +539,136 @@ def categorical_association(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         ).alias("cramers_v"),
     )
     return attach_persisted(out, joint)
+
+
+def association_drift(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    cats_a: list[str],
+    cats_b: list[str],
+    window_col: str = "window_id",
+    ref_filter=None,
+    max_abs_diff: float = 0.1,
+) -> DataFrame:
+    """Per-window ASSOCIATION drift: each window's mutual information
+    between two categorical columns vs the reference windows' MI — the
+    windowed-verdict form of categorical_association, completing the
+    joint-structure pair (correlation_drift watches numeric×numeric, this
+    watches categorical×categorical; both catch "marginals hold, pairing
+    broke", which every per-column kernel misses).
+
+    The category universes are DETERMINISTIC (the categorical_drift rule):
+    exactly `cats_a`/`cats_b` plus one "(other)" catch-all each (NULL
+    coalesced to "(null)" first), so a window's verdict depends only on its
+    own rows and the fixed universes — batch ≡ streaming — and the joint
+    grid is bounded by (|cats_a|+1)·(|cats_b|+1) regardless of data
+    cardinality (a corrupted high-cardinality column cannot blow it up).
+
+    Scale shape: ONE groupBy(window, a, b) shuffle over the raw table; the
+    persisted O(windows·ka·kb) joint frame feeds the per-window marginals,
+    totals, and MI/chi² folds (broadcast joins over aggregated frames). The
+    reference MI folds from the SUMMED reference-window counts — joint
+    counts are lossless-mergeable, the histogram-store discipline — and is
+    resolved eagerly from ≤ (ka+1)(kb+1) rows (raising loudly on an empty
+    or degenerate reference, the _eager_reference contract). Cramér's V is
+    reported per window (NULL where a window sees one category on either
+    side); MI of such a window is 0.
+
+    Output: (window_id, n, mi, ref_mi, abs_diff, cramers_v, verdict) —
+    verdict 'fail' iff |mi − ref_mi| > max_abs_diff (nats).
+    Oracle twin: q_association_drift."""
+    import math
+
+    if "(other)" in cats_a or "(other)" in cats_b:
+        raise ValueError('"(other)" is the reserved catch-all bucket name')
+
+    def _mapped(col, cats):
+        c = F.coalesce(F.col(col).cast("string"), F.lit("(null)"))
+        return F.when(c.isin([str(x) for x in cats]), c).otherwise(F.lit("(other)"))
+
+    jw = (
+        df.select(
+            F.col(window_col).alias("window_id"),
+            _mapped(col_a, cats_a).alias("a"),
+            _mapped(col_b, cats_b).alias("b"),
+        )
+        .groupBy("window_id", "a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("nab"))
+        .persist()
+    )
+
+    # reference MI from the SUMMED reference-window joint counts (eager,
+    # bounded by the fixed grid; raises on an empty/degenerate reference)
+    jr = jw
+    if ref_filter is not None:
+        jr = jw.filter(ref_filter)
+    ref_cells = jr.groupBy("a", "b").agg(F.sum("nab").alias("nab")).collect()
+    if not ref_cells:
+        jw.unpersist()
+        raise ValueError(
+            "association_drift: the reference selects no windows — "
+            "every verdict would be vacuous"
+        )
+    rt = sum(r["nab"] for r in ref_cells)
+    rna: dict[str, float] = {}
+    rnb: dict[str, float] = {}
+    for r in ref_cells:
+        rna[r["a"]] = rna.get(r["a"], 0.0) + r["nab"]
+        rnb[r["b"]] = rnb.get(r["b"], 0.0) + r["nab"]
+    if len(rna) < 2 or len(rnb) < 2:
+        jw.unpersist()
+        raise ValueError(
+            "association_drift: a reference column is constant — "
+            "association undefined over the reference windows"
+        )
+    ref_mi = sum(
+        (r["nab"] / rt) * math.log(r["nab"] * rt / (rna[r["a"]] * rnb[r["b"]]))
+        for r in ref_cells
+        if r["nab"] > 0
+    )
+
+    # per-window folds over the aggregated frame: marginals, totals, then
+    # MI over observed cells + chi² over the marginal-product grid
+    ma = jw.groupBy("window_id", "a").agg(F.sum("nab").alias("na"))
+    mb = jw.groupBy("window_id", "b").agg(F.sum("nab").alias("nb"))
+    tw = jw.groupBy("window_id").agg(
+        F.sum("nab").alias("n"),
+        F.countDistinct("a").cast("int").alias("ka"),
+        F.countDistinct("b").cast("int").alias("kb"),
+    )
+    grid = (
+        ma.join(mb, "window_id")
+        .join(jw, ["window_id", "a", "b"], "left")
+        .join(F.broadcast(tw), "window_id")
+        .select(
+            "window_id",
+            F.coalesce(F.col("nab"), F.lit(0.0)).alias("nab"),
+            "na", "nb", "n", "ka", "kb",
+        )
+    )
+    nab, n = F.col("nab"), F.col("n")
+    e = F.col("na") * F.col("nb") / n
+    mi_cell = F.when(
+        nab > 0, (nab / n) * F.log(nab * n / (F.col("na") * F.col("nb")))
+    ).otherwise(0.0)
+    kmin = F.least(F.max("ka"), F.max("kb"))
+    per_w = grid.groupBy("window_id").agg(
+        F.max(n).cast("long").alias("n"),
+        F.sum(mi_cell).alias("mi"),
+        F.when(
+            kmin > 1,
+            F.sqrt(F.sum((nab - e) * (nab - e) / e) / (F.max(n) * (kmin - 1).cast("double"))),
+        ).alias("cramers_v"),
+    )
+    diff = F.abs(F.col("mi") - F.lit(ref_mi))
+    out = per_w.select(
+        "window_id",
+        "n",
+        "mi",
+        F.lit(ref_mi).alias("ref_mi"),
+        diff.alias("abs_diff"),
+        "cramers_v",
+        F.when(diff > max_abs_diff, "fail").otherwise("pass").alias("verdict"),
+    )
+    return attach_persisted(out, jw)

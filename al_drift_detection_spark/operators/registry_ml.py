@@ -2718,3 +2718,102 @@ def q_mutual_information(spark: SparkSession, sf: str) -> DataFrame:
         ),
         out,
     )
+
+
+@register(
+    "q_association_drift",
+    """
+    WITH s AS (
+      SELECT CAST(floor(event_id / 2000) AS BIGINT) AS window_id,
+             CASE WHEN event_type IN ('click','purchase','signup','view')
+                  THEN event_type ELSE '(other)' END AS a,
+             CAST(CAST(least(floor(value / 50), 4) AS BIGINT) AS VARCHAR) AS b
+      FROM events
+    ),
+    j AS (SELECT window_id, a, b, count(*)::DOUBLE AS nab FROM s GROUP BY 1, 2, 3),
+    r AS (SELECT a, b, sum(nab) AS nab FROM j WHERE window_id < 2 GROUP BY 1, 2),
+    rt AS (SELECT sum(nab) AS t FROM r),
+    ra AS (SELECT a, sum(nab) AS na FROM r GROUP BY 1),
+    rb AS (SELECT b, sum(nab) AS nb FROM r GROUP BY 1),
+    rmi AS (
+      SELECT sum(CASE WHEN r.nab > 0 THEN r.nab / t * ln(r.nab * t / (na * nb))
+                      ELSE 0 END) AS ref_mi
+      FROM r JOIN ra USING (a) JOIN rb USING (b), rt
+    ),
+    ma AS (SELECT window_id, a, sum(nab) AS na FROM j GROUP BY 1, 2),
+    mb AS (SELECT window_id, b, sum(nab) AS nb FROM j GROUP BY 1, 2),
+    tw AS (SELECT window_id, sum(nab) AS n,
+                  count(DISTINCT a) AS ka, count(DISTINCT b) AS kb
+           FROM j GROUP BY 1),
+    g AS (
+      SELECT ma.window_id, coalesce(j.nab, 0) AS nab, ma.na, mb.nb,
+             tw.n, tw.ka, tw.kb
+      FROM ma JOIN mb USING (window_id)
+      LEFT JOIN j ON j.window_id = ma.window_id AND j.a = ma.a AND j.b = mb.b
+      JOIN tw ON tw.window_id = ma.window_id
+    ),
+    p AS (
+      SELECT window_id, CAST(max(n) AS BIGINT) AS n,
+             sum(CASE WHEN nab > 0 THEN nab / n * ln(nab * n / (na * nb))
+                      ELSE 0 END) AS mi,
+             CASE WHEN least(max(ka), max(kb)) > 1
+                  THEN sqrt(sum((nab - na * nb / n) * (nab - na * nb / n)
+                                / (na * nb / n))
+                            / (max(n) * (least(max(ka), max(kb)) - 1)))
+             END AS cramers_v
+      FROM g GROUP BY 1
+    )
+    SELECT window_id, n, round(mi, 6) AS mi, round(ref_mi, 6) AS ref_mi,
+           round(abs(mi - ref_mi), 6) AS abs_diff,
+           round(cramers_v, 6) AS cramers_v,
+           CASE WHEN round(abs(mi - ref_mi), 6) > 0.05 THEN 'fail'
+                ELSE 'pass' END AS verdict
+    FROM p, rmi
+    """,
+    "per-window ASSOCIATION drift (health.association_drift): each window's "
+    "mutual information between event_type and the value bucket vs the "
+    "reference windows' MI (folded from SUMMED joint counts — lossless "
+    "merge) — the categorical x categorical twin of q_corr_drift's "
+    "joint-structure verdict. DETERMINISTIC universes (fixed cats + "
+    "'(other)' catch-all, the categorical_drift rule: verdicts depend only "
+    "on the window's own rows, the grid is bounded on corrupted columns). "
+    "One groupBy(window, a, b) shuffle; marginals/totals/MI/chi2 fold from "
+    "the persisted O(windows*ka*kb) frame. Verdicts re-derived from "
+    "6dp-rounded statistics in both engines; planted pairing-break pinned "
+    "in tests/test_health.py",
+)
+def q_association_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions._persist import propagate_persisted
+    from al_drift_detection_spark.functions.health import association_drift
+
+    ev = _t(spark, sf, "events").select(
+        F.floor(F.col("event_id") / 2000).cast("long").alias("window_id"),
+        "event_type",
+        F.least(F.floor(F.col("value") / 50), F.lit(4))
+        .cast("long")
+        .cast("string")
+        .alias("vbucket"),
+    )
+    out = association_drift(
+        ev, "event_type", "vbucket",
+        cats_a=["click", "purchase", "signup", "view"],
+        cats_b=["0", "1", "2", "3", "4"],
+        ref_filter=F.col("window_id") < 2,
+        max_abs_diff=0.05,
+    )
+    m6, r6, d6, v6 = (
+        F.round("mi", 6), F.round("ref_mi", 6),
+        F.round("abs_diff", 6), F.round("cramers_v", 6),
+    )
+    return propagate_persisted(
+        out.select(
+            "window_id",
+            "n",
+            m6.alias("mi"),
+            r6.alias("ref_mi"),
+            d6.alias("abs_diff"),
+            v6.alias("cramers_v"),
+            F.when(d6 > 0.05, "fail").otherwise("pass").alias("verdict"),
+        ),
+        out,
+    )

@@ -55,8 +55,10 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # skew MEASUREMENT step of the in-window q_salted_agg mitigation
     "q_skew_profile",
     # categorical sibling of q_corr_drift's joint-structure family
-    # (Deequ MutualInformation analyzer: MI + Cramér's V)
+    # (Deequ MutualInformation analyzer: MI + Cramér's V) and its
+    # per-window drift form
     "q_mutual_information",
+    "q_association_drift",
     # corpus-quality extensions of the in-window q_quality_features family
     "q_repetition_ratio",
     "q_pii_scan",

@@ -418,3 +418,67 @@ def test_categorical_association_independence_and_degenerate(spark):
     assert r2["n"] == 30 and r2["ka"] == 1
     assert r2["mi"] == pytest.approx(0.0, abs=1e-12)
     assert r2["cramers_v"] is None
+
+
+def test_association_drift_catches_pairing_break_marginals_identical(spark):
+    """Two planted scenarios with IDENTICAL per-window marginals (so every
+    per-column check passes everywhere): (1) a cyclic relabel of b against
+    a — a bijection, MI stays ln(3), documented invariance → all pass;
+    (2) b becomes INDEPENDENT of a in the drift era — MI collapses to ~0
+    vs the dependent reference → exactly windows 4-5 fail."""
+    from al_drift_detection_spark.functions._persist import release
+    from al_drift_detection_spark.functions.health import association_drift
+
+    rows = []
+    for w in range(6):
+        for i in range(300):
+            a = i % 3
+            b = a if w < 4 else (a + 1) % 3  # same marginals, broken pairing
+            rows.append((w, f"a{a}", f"b{b}"))
+    df = spark.createDataFrame(rows, "window_id long, x string, y string")
+    out = association_drift(
+        df, "x", "y",
+        cats_a=["a0", "a1", "a2"], cats_b=["b0", "b1", "b2"],
+        ref_filter=F.col("window_id") < 4, max_abs_diff=0.1,
+    )
+    got = {r["window_id"]: r for r in out.collect()}
+    release(out)
+    # a cyclic shift is a bijection, so MI stays ln(3) in every window —
+    # MI-based drift is invariant to relabeling by design; all pass, and
+    # per-window MI equals the reference fold exactly
+    assert all(got[w]["verdict"] == "pass" for w in range(6))
+    assert got[0]["mi"] == pytest.approx(np.log(3), abs=1e-9)
+
+    rows2 = []
+    for w in range(6):
+        for i in range(300):
+            a = i % 3
+            b = a if w < 4 else (i // 100)  # drift era: b independent of a
+            rows2.append((w, f"a{a}", f"b{b}"))
+    df2 = spark.createDataFrame(rows2, "window_id long, x string, y string")
+    out2 = association_drift(
+        df2, "x", "y",
+        cats_a=["a0", "a1", "a2"], cats_b=["0", "1", "2", "b0", "b1", "b2"],
+        ref_filter=F.col("window_id") < 4, max_abs_diff=0.1,
+    )
+    got2 = {r["window_id"]: r["verdict"] for r in out2.collect()}
+    release(out2)
+    assert [got2[w] for w in range(6)] == ["pass"] * 4 + ["fail"] * 2
+
+
+def test_association_drift_reference_guards(spark):
+    import pytest as _pytest
+
+    from al_drift_detection_spark.functions.health import association_drift
+
+    df = spark.createDataFrame(
+        [(0, "a0", "b0"), (0, "a1", "b1")], "window_id long, x string, y string"
+    )
+    with _pytest.raises(ValueError, match="selects no windows"):
+        association_drift(df, "x", "y", ["a0", "a1"], ["b0", "b1"],
+                          ref_filter=F.col("window_id") < 0)
+    const = spark.createDataFrame(
+        [(0, "only", "b0"), (0, "only", "b1")], "window_id long, x string, y string"
+    )
+    with _pytest.raises(ValueError, match="constant"):
+        association_drift(const, "x", "y", ["only"], ["b0", "b1"])

@@ -672,3 +672,62 @@ def association_drift(
         F.when(diff > max_abs_diff, "fail").otherwise("pass").alias("verdict"),
     )
     return attach_persisted(out, jw)
+
+
+def benford_digit_counts(df: DataFrame, col: str) -> DataFrame:
+    """Benford first-significant-digit analyzer (classic data-audit /
+    fraud-screen constraint; Great Expectations' distribution-shape family,
+    public design): the observed first-digit distribution of a positive
+    numeric column vs Benford's law p(d) = log10(1 + 1/d), with the per-digit
+    chi² goodness-of-fit terms (sum them and apply kernels.chi2_sf at dof=8
+    for the verdict — the p-value lives in the numpy kernel, the
+    q_chi2_drift precedent: the incomplete-gamma SF is not relational).
+
+    Naturally-grown magnitude data (payments, populations, file sizes)
+    follows Benford; uniform or capped synthetic data does not — the check
+    is a SHAPE constraint flagging fabricated or truncated feeds, not a
+    value constraint.
+
+    Scale shape: one filtered scan + one groupBy(digit) (≤9 groups,
+    map-side partials), then the fixed 9-row digit grid (zero observed
+    digits still carry expected mass — LEFT JOIN, the chi² grid rule) with
+    a broadcast totals row. The first digit comes from a POWER-OF-TEN
+    COMPARISON LADDER (magnitude = largest 10^k ≤ x, k ≤ 8), never
+    floor(log10(x)): comparisons and one exact division are bitwise-stable
+    across engines, while libm log10 can land a hair under an integer on
+    one engine and flip the digit. Rows outside [1, 10^9) are excluded
+    (documented domain; extend the ladder for wider magnitudes).
+
+    Output: 9 rows (digit, observed, observed_p, benford_p, chi2_term),
+    floats un-rounded. Oracle twin: q_benford."""
+    x = F.col(col).cast("double")
+    mag = F.lit(1.0)
+    for k in range(1, 9):
+        mag = F.when(x >= float(10 ** k), float(10 ** k)).otherwise(mag)
+    d = (
+        df.filter(x.isNotNull() & (x >= 1.0) & (x < 1e9))
+        .select(F.floor(x / mag).cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    spark = df.sparkSession
+    digits = spark.range(1, 10).select(F.col("id").alias("digit"))
+    tot = d.agg(F.sum("o").alias("n"))
+    g = (
+        digits.join(d, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("o"), F.lit(0.0)).alias("o"),
+            "n",
+            (F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))).alias("p"),
+        )
+    )
+    o, n, p = F.col("o"), F.col("n"), F.col("p")
+    return g.select(
+        "digit",
+        o.cast("long").alias("observed"),
+        (o / n).alias("observed_p"),
+        p.alias("benford_p"),
+        ((o - n * p) * (o - n * p) / (n * p)).alias("chi2_term"),
+    )

@@ -2817,3 +2817,57 @@ def q_association_drift(spark: SparkSession, sf: str) -> DataFrame:
         ),
         out,
     )
+
+
+@register(
+    "q_benford",
+    """
+    WITH v AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+        AND l_extendedprice >= 1 AND l_extendedprice < 1e9
+    ),
+    d AS (
+      SELECT CAST(floor(x / (
+               CASE WHEN x >= 1e8 THEN 1e8 WHEN x >= 1e7 THEN 1e7
+                    WHEN x >= 1e6 THEN 1e6 WHEN x >= 1e5 THEN 1e5
+                    WHEN x >= 1e4 THEN 1e4 WHEN x >= 1e3 THEN 1e3
+                    WHEN x >= 1e2 THEN 1e2 WHEN x >= 1e1 THEN 1e1
+                    ELSE 1e0 END)) AS BIGINT) AS digit,
+             count(*)::DOUBLE AS o
+      FROM v GROUP BY 1
+    ),
+    t AS (SELECT sum(o) AS n FROM d),
+    g AS (
+      SELECT dg.digit, coalesce(d.o, 0) AS o, n,
+             log10(1.0 + 1.0 / dg.digit) AS p
+      FROM (SELECT unnest(range(1, 10)) AS digit) dg
+      LEFT JOIN d ON d.digit = dg.digit, t
+    )
+    SELECT CAST(digit AS BIGINT) AS digit, CAST(o AS BIGINT) AS observed,
+           round(o / n, 6) AS observed_p, round(p, 6) AS benford_p,
+           round((o - n * p) * (o - n * p) / (n * p), 6) AS chi2_term
+    FROM g
+    """,
+    "Benford first-significant-digit SHAPE constraint (data-audit / "
+    "fraud-screen family, public design) on l_extendedprice: observed "
+    "first-digit distribution vs log10(1+1/d) with per-digit chi2 terms "
+    "(fixed 9-row grid, zero digits carry expected mass; p-value via "
+    "kernels.chi2_sf at dof=8 in the pytest — the q_chi2_drift precedent). "
+    "First digit from a power-of-ten comparison LADDER, never "
+    "floor(log10(x)) — libm log10 can flip a digit across engines at "
+    "magnitude boundaries (health.benford_digit_counts; Benford-conforming "
+    "log-uniform sample PASSES / uniform data FAILS pinned in "
+    "tests/test_health.py)",
+)
+def q_benford(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.health import benford_digit_counts
+
+    out = benford_digit_counts(_t(spark, sf, "lineitem"), "l_extendedprice")
+    return out.select(
+        "digit",
+        "observed",
+        F.round("observed_p", 6).alias("observed_p"),
+        F.round("benford_p", 6).alias("benford_p"),
+        F.round("chi2_term", 6).alias("chi2_term"),
+    )

@@ -59,6 +59,9 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # per-window drift form
     "q_mutual_information",
     "q_association_drift",
+    # distribution-SHAPE constraint (data-audit family); the chi2 grid
+    # representative (q_chi2_drift) documents the same oracle split
+    "q_benford",
     # corpus-quality extensions of the in-window q_quality_features family
     "q_repetition_ratio",
     "q_pii_scan",

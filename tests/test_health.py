@@ -482,3 +482,48 @@ def test_association_drift_reference_guards(spark):
     )
     with _pytest.raises(ValueError, match="constant"):
         association_drift(const, "x", "y", ["only"], ["b0", "b1"])
+
+
+# ---- Benford first-digit shape constraint ------------------------------------
+def test_benford_log_uniform_passes_uniform_fails(spark):
+    """A log-uniform sample (the canonical Benford-conforming generator)
+    must NOT reject at alpha=0.01; a uniform sample must reject hard. The
+    verdict applies kernels.chi2_sf to the summed per-digit terms (dof=8)."""
+    import numpy as np
+
+    from al_drift_detection_spark.functions.health import benford_digit_counts
+    from al_drift_detection_spark.kernels import chi2_sf
+
+    rng = np.random.default_rng(5)
+    conform = np.power(10.0, rng.uniform(0.0, 5.0, 20000))
+    rows = [(float(v),) for v in conform]
+    out = benford_digit_counts(
+        spark.createDataFrame(rows, "x double"), "x"
+    ).collect()
+    assert sorted(r["digit"] for r in out) == list(range(1, 10))
+    assert sum(r["observed"] for r in out) == 20000
+    stat = sum(r["chi2_term"] for r in out)
+    assert chi2_sf(stat, 8) > 0.01, f"log-uniform rejected (chi2={stat:.1f})"
+    # observed proportions track Benford to the sampling noise floor
+    for r in out:
+        assert r["observed_p"] == pytest.approx(r["benford_p"], abs=0.02)
+
+    uniform = rng.uniform(1.0, 10000.0, 20000)
+    out_u = benford_digit_counts(
+        spark.createDataFrame([(float(v),) for v in uniform], "x double"), "x"
+    ).collect()
+    stat_u = sum(r["chi2_term"] for r in out_u)
+    assert chi2_sf(stat_u, 8) < 1e-6, "uniform data must reject Benford"
+
+
+def test_benford_domain_and_zero_digit_cells(spark):
+    from al_drift_detection_spark.functions.health import benford_digit_counts
+
+    # values outside [1, 1e9) and NULLs are excluded; a digit with zero
+    # observations still appears with its expected-mass chi2 term
+    rows = [(0.5,), (None,), (2e9,), (1.0,), (19.0,), (100.0,), (9999.0,)]
+    out = {r["digit"]: r for r in benford_digit_counts(
+        spark.createDataFrame(rows, "x double"), "x").collect()}
+    assert sum(r["observed"] for r in out.values()) == 4
+    assert out[1]["observed"] == 3 and out[9]["observed"] == 1
+    assert out[5]["observed"] == 0 and out[5]["chi2_term"] > 0

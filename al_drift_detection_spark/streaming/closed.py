@@ -636,3 +636,116 @@ def closed_window_quantiles(
         ts_col, ["_x"], reduce_group, "_hist array<long>", watermark,
     )
     return _close_on(reduced, fn, QUANT_OUT_SCHEMA, QUANT_STATE_SCHEMA)
+
+
+ASSOC_OUT_SCHEMA = (
+    "window_start timestamp, window_end timestamp, n long, mi double, "
+    "ref_mi double, abs_diff double, cramers_v double, verdict string"
+)
+ASSOC_STATE_SCHEMA = "counts array<long>"  # flattened ka×kb joint matrix
+
+
+def closed_association_drift(
+    stream_df: DataFrame,
+    ts_col: str,
+    col_a: str,
+    col_b: str,
+    cats_a: list[str],
+    cats_b: list[str],
+    ref_mi: float,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    slide: str | None = None,
+    max_abs_diff: float = 0.1,
+) -> DataFrame:
+    """Closed-window ASSOCIATION drift: the streaming twin of
+    health.association_drift with window-close emission — each closed
+    window's mutual information between two categorical columns vs the
+    reference MI the caller computed from the reference windows' summed
+    joint counts (health.categorical_association / association_drift's
+    eager fold; joint contingencies merge losslessly, so batch and stream
+    share one reference number).
+
+    Same deterministic universes as the batch operator (cats + '(other)'
+    catch-all, NULL → '(null)' coalesced with the SAME Spark expressions so
+    non-string categoricals bucket identically). State per window is ONE
+    flattened (|cats_a|+1)·(|cats_b|+1) long matrix — bounded by the fixed
+    universes regardless of data cardinality — and raw rows are pre-reduced
+    to per-chunk joint-count matrices before the stateful shuffle (module
+    docstring), so only O(chunks × grid) longs reach the state task per
+    trigger. At watermark close the matrix folds to (n, mi, cramers_v)
+    with exactly the batch operator's conventions: zero cells contribute 0
+    to MI, chi² runs over the observed-marginal grid, V is NULL when the
+    window saw a single category on either side. Oracle/parity:
+    tests/test_closed_windows.py splits a window across micro-batches and
+    matches health.association_drift on the full row set."""
+    if "(other)" in cats_a or "(other)" in cats_b:
+        raise ValueError('"(other)" is the reserved catch-all bucket name')
+    ua = [str(c) for c in cats_a] + ["(other)"]
+    ub = [str(c) for c in cats_b] + ["(other)"]
+    ka, kb = len(ua), len(ub)
+    ia = {c: i for i, c in enumerate(ua)}
+    ib = {c: i for i, c in enumerate(ub)}
+
+    def reduce_group(g):
+        # _a/_b already Spark-cast + universe-mapped JVM-side (below)
+        codes = (
+            g["_a"].map(ia).astype(np.int64) * kb
+            + g["_b"].map(ib).astype(np.int64)
+        )
+        return (np.bincount(codes, minlength=ka * kb).tolist(),)
+
+    def fn(key, pdfs, state: GroupState):
+        w_start, w_end = key[0], key[1]
+        if state.hasTimedOut:
+            (counts,) = state.get
+            m = np.asarray(counts, dtype=np.float64).reshape(ka, kb)
+            n = float(m.sum())
+            na = m.sum(axis=1)
+            nb = m.sum(axis=0)
+            outer = np.outer(na, nb)
+            nz = m > 0
+            mi = float(np.sum((m[nz] / n) * np.log(m[nz] * n / outer[nz])))
+            rows_nz, cols_nz = na > 0, nb > 0
+            ka_eff, kb_eff = int(rows_nz.sum()), int(cols_nz.sum())
+            kmin = min(ka_eff, kb_eff)
+            if kmin > 1:
+                e = outer[np.ix_(rows_nz, cols_nz)] / n
+                o = m[np.ix_(rows_nz, cols_nz)]
+                v = float(np.sqrt(np.sum((o - e) ** 2 / e) / (n * (kmin - 1))))
+            else:
+                v = None
+            diff = abs(mi - float(ref_mi))
+            state.remove()
+            yield pd.DataFrame(
+                [(w_start, w_end, int(n), mi, float(ref_mi), diff, v,
+                  "fail" if diff > max_abs_diff else "pass")],
+                columns=["window_start", "window_end", "n", "mi", "ref_mi",
+                         "abs_diff", "cramers_v", "verdict"],
+            )
+            return
+        counts = (
+            np.asarray(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(ka * kb, np.int64)
+        )
+        for pdf in pdfs:
+            counts = counts + np.sum(np.stack(pdf["_counts"].to_numpy()), axis=0)
+        state.update((counts.tolist(),))
+        _arm_timeout(state, w_end)
+        return
+        yield  # pragma: no cover — generator form
+
+    def _mapped(col, cats, alias):
+        c = F.coalesce(F.col(col).cast("string"), F.lit("(null)"))
+        return F.when(c.isin(cats[:-1]), c).otherwise(F.lit("(other)")).alias(alias)
+
+    win = _windowed(stream_df, ts_col, window, slide)
+    reduced = _pre_reduce(
+        win.select(
+            "_w_start", "_w_end", ts_col,
+            _mapped(col_a, ua, "_a"), _mapped(col_b, ub, "_b"),
+        ),
+        ts_col, ["_a", "_b"], reduce_group, "_counts array<long>", watermark,
+    )
+    return _close_on(reduced, fn, ASSOC_OUT_SCHEMA, ASSOC_STATE_SCHEMA)

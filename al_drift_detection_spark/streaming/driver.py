@@ -158,7 +158,74 @@ def build_references(meta: DataFrame, ref_windows: int, cat_cols: list[str]) -> 
         )
         total = sum(r["n"] for r in rows)
         refs["cat_props"][col] = {r["c"]: r["n"] / total for r in rows}
+
+    # fmt × w-bucket association reference: universes fixed to the reference-
+    # observed fmt categories + w quintile buckets of the REFERENCE-OBSERVED
+    # w range (the reference-derived fixed-grid rule — the 0..10000
+    # constraint grid would park every synthetic w in one bucket and make
+    # the check vacuous: kb_eff = 1 → MI ≡ 0). Drift-era w past the
+    # reference range clamps into the edge buckets, exactly like the
+    # histogram store's grid saturation. Ref MI folds from the reference
+    # windows' joint counts (lossless merge — the same number
+    # health.association_drift would embed). O(grid) rows collected.
+    import math
+
+    wr = ref.agg(
+        F.min(F.col("w").cast("double")).alias("lo"),
+        F.max(F.col("w").cast("double")).alias("hi"),
+    ).collect()[0]
+    w_lo = float(wr["lo"]) if wr["lo"] is not None else 0.0
+    w_hi = float(wr["hi"]) if wr["hi"] is not None else w_lo + 1.0
+    if w_hi <= w_lo:
+        w_hi = w_lo + 1.0
+    wb = _w_bucket_col(w_lo, w_hi)
+    joint = (
+        ref.groupBy(
+            F.coalesce(F.col("fmt").cast("string"), F.lit("(null)")).alias("a"),
+            # map outside the fixed bucket universe (a null w) to the same
+            # '(other)' catch-all the stream-side builder uses
+            F.when(wb.isin([str(i) for i in range(5)]), wb)
+            .otherwise(F.lit("(other)"))
+            .alias("b"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("nab"))
+        .collect()
+    )
+    rt = sum(r["nab"] for r in joint)
+    rna: dict = {}
+    rnb: dict = {}
+    for r in joint:
+        rna[r["a"]] = rna.get(r["a"], 0.0) + r["nab"]
+        rnb[r["b"]] = rnb.get(r["b"], 0.0) + r["nab"]
+    refs["assoc"] = {
+        "cats_a": sorted(rna),
+        "cats_b": [str(i) for i in range(5)],
+        "w_lo": w_lo,
+        "w_hi": w_hi,
+        "ref_mi": sum(
+            (r["nab"] / rt) * math.log(r["nab"] * rt / (rna[r["a"]] * rnb[r["b"]]))
+            for r in joint
+            if r["nab"] > 0
+        ),
+    }
     return refs
+
+
+def _w_bucket_col(w_lo: float, w_hi: float):
+    """The deterministic w bucket shared by the reference fold and the
+    stream: quintiles of the reference-observed [w_lo, w_hi] range, clamped
+    to buckets 0..4 so out-of-reference-range (drift-era) values land in
+    the edge buckets ('(null)' for null w via the builder's coalesce
+    rule)."""
+    step = (w_hi - w_lo) / 5.0
+    return F.coalesce(
+        F.greatest(
+            F.least(F.floor((F.col("w") - w_lo) / step), F.lit(4)), F.lit(0)
+        )
+        .cast("long")
+        .cast("string"),
+        F.lit("(null)"),
+    )
 
 
 def run_closed_streams(
@@ -172,13 +239,14 @@ def run_closed_streams(
     files_per_trigger: int = 1,
     slide_seconds: int | None = None,
 ) -> dict[str, int]:
-    """Run the four closed-window verdict streams over the staged feed with
+    """Run the closed-window verdict streams over the staged feed with
     parquet sinks + checkpoints, availableNow-bounded; returns per-table
     emitted-window row counts. Each query reads the file source
     independently (share-nothing), so a failed sink resumes from its own
     checkpoint without touching the others — the streaming analog of the
     batch checkpoint's per-partition resume."""
     from al_drift_detection_spark.streaming.closed import (
+        closed_association_drift,
         closed_cat_drift,
         closed_drift_scores,
         closed_window_health,
@@ -214,6 +282,19 @@ def run_closed_streams(
         "stream_quantiles": closed_window_quantiles(
             src(), "ts", "w", 0.0, 10000.0, [0.25, 0.5, 0.75, 0.95],
             n_bins=1024, window=window, watermark=watermark, slide=slide,
+        ),
+        # fmt × w-bucket joint-structure verdicts vs the reference MI (the
+        # batch association_drift twin; w bucketed with the same expression
+        # the reference fold used)
+        "stream_association": closed_association_drift(
+            src().withColumn(
+                "w_bucket",
+                _w_bucket_col(refs["assoc"]["w_lo"], refs["assoc"]["w_hi"]),
+            ),
+            "ts", "fmt", "w_bucket",
+            refs["assoc"]["cats_a"], refs["assoc"]["cats_b"],
+            refs["assoc"]["ref_mi"],
+            window=window, watermark=watermark, slide=slide,
         ),
     }
     for col in cat_cols:

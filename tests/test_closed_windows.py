@@ -590,3 +590,75 @@ def test_closed_window_quantiles_split_window_parity(spark, tmp_path_factory):
     assert got["n_total"].tolist() == exp["n_total"].tolist()
     for g, e in zip(got["quantile"], exp["quantile"]):
         assert abs(g - e) < 1e-9, (g, e)
+
+
+def test_closed_association_drift_split_window_parity(spark, tmp_path_factory):
+    """Window W1 is split across TWO micro-batches whose fragments have
+    DIFFERENT pairings (dependent then independent); one closed verdict must
+    appear for W1 with (n, mi, cramers_v) equal to health.association_drift
+    over W1's full row set and the same ref_mi."""
+    from al_drift_detection_spark.functions.health import association_drift
+    from al_drift_detection_spark.streaming.closed import closed_association_drift
+
+    inp = str(tmp_path_factory.mktemp("cad") / "in")
+    rng = np.random.default_rng(31)
+    cats_a = ["a0", "a1", "a2"]
+    cats_b = ["b0", "b1", "b2"]
+
+    def frag(n, offset_s, dependent):
+        a = rng.integers(0, 3, n)
+        b = a if dependent else rng.integers(0, 3, n)
+        return pd.DataFrame({
+            "ts": [BASE + pd.Timedelta(seconds=int(offset_s + s)) for s in
+                   rng.integers(0, 120, n)],
+            "x": [f"a{v}" for v in a],
+            "y": [f"b{v}" for v in b],
+        })
+
+    fa = frag(300, 0, dependent=True)
+    fb = frag(300, 120, dependent=False)
+    sentinel = pd.DataFrame(
+        {"ts": [BASE + pd.Timedelta(hours=1)], "x": ["a0"], "y": ["b0"]}
+    )
+    _write_batches(spark, inp, [fa, fb, sentinel])
+
+    # reference MI from the batch operator over the full window (window 0 is
+    # its own reference here — the parity target is the per-window fold)
+    full = pd.concat([fa, fb])
+    batch = association_drift(
+        spark.createDataFrame(full).withColumn("window_id", F.lit(0)),
+        "x", "y", cats_a, cats_b, max_abs_diff=0.05,
+    ).toPandas()
+    ref_mi = float(batch.loc[0, "ref_mi"])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, x string, y string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = closed_association_drift(
+        stream, "ts", "x", "y", cats_a, cats_b, ref_mi,
+        window="5 minutes", watermark="1 minute", max_abs_diff=0.05,
+    )
+    _run_stream(out, "cad_out")
+    got = spark.sql("SELECT * FROM cad_out").toPandas()
+
+    assert len(got) == 1 and got.loc[0, "window_start"] == BASE
+    assert got.loc[0, "n"] == 600
+    assert got.loc[0, "mi"] == pytest.approx(batch.loc[0, "mi"], abs=1e-9)
+    assert got.loc[0, "cramers_v"] == pytest.approx(
+        batch.loc[0, "cramers_v"], abs=1e-9
+    )
+    assert got.loc[0, "ref_mi"] == pytest.approx(ref_mi, abs=1e-12)
+    # half-dependent half-independent window vs its own full-window
+    # reference: abs_diff is 0 by construction of ref_mi → pass
+    assert got.loc[0, "verdict"] == "pass"
+
+    # and against a DEPENDENT-era reference the same window must fail: the
+    # dependent fragment alone has MI ≈ ln 3, the mixed window far less
+    dep_ref = association_drift(
+        spark.createDataFrame(fa).withColumn("window_id", F.lit(0)),
+        "x", "y", cats_a, cats_b,
+    ).toPandas()
+    strong_ref_mi = float(dep_ref.loc[0, "mi"])
+    assert abs(float(batch.loc[0, "mi"]) - strong_ref_mi) > 0.05

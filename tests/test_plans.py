@@ -306,6 +306,7 @@ def test_streaming_closed_plans_are_pre_reduced(spark):
     import numpy as np
 
     from al_drift_detection_spark.streaming.closed import (
+        closed_association_drift,
         closed_cat_drift,
         closed_drift_scores,
         closed_window_health,
@@ -327,6 +328,9 @@ def test_streaming_closed_plans_are_pre_reduced(spark):
         ),
         "closed_window_quantiles": closed_window_quantiles(
             s, "ts", "v", 0.0, 100.0, [0.5], n_bins=16
+        ),
+        "closed_association_drift": closed_association_drift(
+            s, "ts", "fmt", "caption", ["a", "b"], ["c"], ref_mi=0.0
         ),
     }
     for name, df in builds.items():

@@ -155,3 +155,20 @@ def test_stream_quantiles_show_planted_drift(spark, stream_out):
     assert med.loc[4] > med.loc[[0, 1, 2, 3]].max()
     assert med.loc[5] > med.loc[[0, 1, 2, 3]].max()
     assert (q[q["q"] == 0.5].set_index("window_id")["n_total"] == 2000).all()
+
+
+def test_stream_association_no_false_positive(spark, stream_out):
+    """stream_association/ (closed-window fmt × w-bucket MI verdicts vs the
+    reference-window MI): fmt is generated independently of w, and the
+    planted w drift shifts only w's MARGINAL (bucket occupancy), not the
+    pairing — MI stays near zero in every window, all 6 pass."""
+    a = spark.read.parquet(f"{stream_out}/stream_association").toPandas()
+    a["window_id"] = _wid(a)
+    assert sorted(a["window_id"].unique()) == [0, 1, 2, 3, 4, 5]
+    assert (a["verdict"] == "pass").all()
+    assert (a["n"] == 2000).all()
+    assert (a["mi"].abs() < 0.05).all()
+    # non-vacuous: the reference-derived w buckets must actually split the
+    # data (a one-bucket grid would make MI identically 0 and V NULL)
+    assert a["cramers_v"].notna().all()
+    assert (a["mi"] > 0).any()

@@ -112,6 +112,13 @@ def main(argv: list[str] | None = None) -> int:
         "— writes the cat_drift/ output table",
     )
     ap.add_argument(
+        "--assoc-drift", action="store_true",
+        help="per-window fmt × w-bucket ASSOCIATION drift (mutual "
+        "information vs the reference windows' MI; w bucketed into "
+        "quintiles of the reference-observed range) — the joint-structure "
+        "check per-column kernels can't see; writes the assoc_drift/ table",
+    )
+    ap.add_argument(
         "--image-dedup", action="store_true",
         help="near-duplicate IMAGE detection: Hamming band-join over the "
         "phash column (distance ≤3) + duplicate-cluster resolution — writes "
@@ -665,6 +672,44 @@ def main(argv: list[str] | None = None) -> int:
             cat_out.orderBy("column", "window_id").write.mode("overwrite").parquet(
                 f"{args.out}/cat_drift"
             )
+
+    if args.assoc_drift:
+        from al_drift_detection_spark.functions._persist import release
+        from al_drift_detection_spark.functions.health import association_drift
+        from al_drift_detection_spark.streaming.driver import _w_bucket_col
+
+        # reference-derived w quintile buckets + reference-observed fmt
+        # universe — the same deterministic-grid rules the streaming
+        # stream_association sink uses, so batch and stream verdicts are
+        # twins over the same row sets
+        wr = ref_rows.agg(
+            F.min(F.col("w").cast("double")).alias("lo"),
+            F.max(F.col("w").cast("double")).alias("hi"),
+        ).collect()[0]
+        w_lo = float(wr["lo"]) if wr["lo"] is not None else 0.0
+        w_hi = float(wr["hi"]) if wr["hi"] is not None else w_lo + 1.0
+        if w_hi <= w_lo:
+            w_hi = w_lo + 1.0
+        fmt_cats = sorted(
+            r["c"]
+            for r in ref_rows.select(
+                F.coalesce(F.col("fmt").cast("string"), F.lit("(null)")).alias("c")
+            )
+            .distinct()
+            .collect()
+            if r["c"] != "(other)"  # reserved catch-all absorbs a literal
+        )
+        ad = association_drift(
+            meta.withColumn("w_bucket", _w_bucket_col(w_lo, w_hi)),
+            "fmt", "w_bucket",
+            cats_a=fmt_cats, cats_b=[str(i) for i in range(5)],
+            ref_filter=F.col("window_id") < args.ref_windows,
+            max_abs_diff=0.1,
+        )
+        ad.orderBy("window_id").write.mode("overwrite").parquet(
+            f"{args.out}/assoc_drift"
+        )
+        release(ad)
 
     if args.health:
         from al_drift_detection_spark.functions._persist import release

@@ -527,3 +527,24 @@ def test_benford_domain_and_zero_digit_cells(spark):
     assert sum(r["observed"] for r in out.values()) == 4
     assert out[1]["observed"] == 3 and out[9]["observed"] == 1
     assert out[5]["observed"] == 0 and out[5]["chi2_term"] > 0
+
+
+def test_runner_assoc_drift_surface(spark, tmp_path_factory):
+    """--assoc-drift writes the per-window fmt × w-bucket MI verdict table;
+    fmt is generated independently of w in the synthetic corpus and the
+    planted w drift moves only the marginal, so all 6 windows pass — and
+    the reference-derived buckets must actually split the data (defined
+    Cramér's V), or the check would be vacuous."""
+    from al_drift_detection_spark import runner
+
+    out = str(tmp_path_factory.mktemp("assoc_cli") / "out")
+    rc = runner.main([
+        "--images", "synthetic:12000", "--out", out, "--master", "local[8]",
+        "--assoc-drift",
+    ])
+    assert rc == 0
+    a = spark.read.parquet(f"{out}/assoc_drift").toPandas().sort_values("window_id")
+    assert a["window_id"].tolist() == [0, 1, 2, 3, 4, 5]
+    assert (a["verdict"] == "pass").all()
+    assert a["cramers_v"].notna().all()
+    assert (a["mi"] > 0).any()

@@ -141,9 +141,17 @@ def cusum_levels(
     metric rows. Kernel twin: kernels.cusum_2sided (closed form ≡ recursion
     pinned in tests/test_changepoint.py).
 
+    `series` is persisted — it is the shared child of the reference
+    aggregate AND the main path (the CLAUDE.md rule: unpersisted, the
+    caller's raw-table aggregate would execute twice); the release
+    obligation rides on the returned frame (functions._persist.release).
+
     Output: (order_col, value_col, mu, k, s_inc, s_dec, alarm), floats
     un-rounded (round at the query edge).
     """
+    from al_drift_detection_spark.functions._persist import attach_persisted
+
+    series = series.persist()
     ref = series.filter(F.col(order_col) < ref_upto).agg(
         F.avg(value_col).alias("mu"),
         (float(k_mult) * F.coalesce(F.stddev(value_col), F.lit(0.0))).alias("k"),
@@ -160,7 +168,7 @@ def cusum_levels(
     ).withColumn(
         "s_dec", F.col("_cd") - F.least(F.lit(0.0), F.min("_cd").over(w))
     )
-    return d.select(
+    out = d.select(
         order_col,
         value_col,
         "mu",
@@ -172,6 +180,7 @@ def cusum_levels(
             | (F.col("s_dec") > float(threshold))
         ).alias("alarm"),
     )
+    return attach_persisted(out, series)
 
 
 def ddm_levels(

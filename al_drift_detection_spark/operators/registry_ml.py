@@ -2640,6 +2640,7 @@ def q_hist_distances(spark: SparkSession, sf: str) -> DataFrame:
     "pinned in tests/test_changepoint.py)",
 )
 def q_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions._persist import propagate_persisted
     from al_drift_detection_spark.functions.changepoint import cusum_levels
 
     series = (
@@ -2649,14 +2650,17 @@ def q_cusum(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = cusum_levels(series, "window_id", "x", ref_upto=10, threshold=25.0)
     si, sd = F.round("s_inc", 6), F.round("s_dec", 6)
-    return out.select(
-        "window_id",
-        F.round("x", 6).alias("x"),
-        F.round("mu", 6).alias("mu"),
-        F.round("k", 6).alias("k"),
-        si.alias("s_inc"),
-        sd.alias("s_dec"),
-        ((si > 25.0) | (sd > 25.0)).alias("alarm"),
+    return propagate_persisted(
+        out.select(
+            "window_id",
+            F.round("x", 6).alias("x"),
+            F.round("mu", 6).alias("mu"),
+            F.round("k", 6).alias("k"),
+            si.alias("s_inc"),
+            sd.alias("s_dec"),
+            ((si > 25.0) | (sd > 25.0)).alias("alarm"),
+        ),
+        out,
     )
 
 

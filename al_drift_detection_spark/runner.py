@@ -838,6 +838,10 @@ def main(argv: list[str] | None = None) -> int:
         # so --ph-threshold keeps its dimensionless std-units meaning here
         # too; cusum_levels then re-derives its baseline on the standardized
         # prefix (mu ≈ 0, k ≈ 0.5 std).
+        from al_drift_detection_spark.functions._persist import (
+            propagate_persisted,
+            release,
+        )
         from al_drift_detection_spark.functions.changepoint import cusum_levels
 
         cframes = []
@@ -859,13 +863,19 @@ def main(argv: list[str] | None = None) -> int:
                 norm, "window_id", "x", args.ref_windows,
                 threshold=args.ph_threshold,
             )
-            cframes.append(out.withColumn("column", F.lit(col)))
+            # withColumn drops the _persisted_children attribute — carry the
+            # cusum_levels series persist onto the appended frame
+            cframes.append(
+                propagate_persisted(out.withColumn("column", F.lit(col)), out)
+            )
         cu = cframes[0]
         for f in cframes[1:]:
             cu = cu.unionByName(f)
+        cu = propagate_persisted(cu, *cframes)
         cu.orderBy("column", "window_id").write.mode("overwrite").parquet(
             f"{args.out}/cusum"
         )
+        release(cu)
 
     if args.expect_schema:
         from al_drift_detection_spark.functions.health import schema_check

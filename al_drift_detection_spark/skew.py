@@ -91,20 +91,26 @@ def skew_profile(df: DataFrame, key: str, max_salts: int = 32) -> DataFrame:
     split one hot KEY inside a hash aggregate, so the decision needs this
     per-key view).
 
-    One shuffle total: per-key counts, then the O(keys) frame crossJoins its
-    own broadcast single-row total — fully lazy, no driver count() action.
-    skew_ratio is computed as cnt·n_keys/tot (all integer-valued doubles,
-    exact in IEEE754 below 2^53) rather than cnt/avg(cnt), so ceil() sits on
-    an exactly-reproducible quotient and the suggested fan-out never flips
+    One raw-table shuffle total: per-key counts, then the O(keys) frame
+    crossJoins its own broadcast single-row total. The count frame is the
+    shared child of the totals aggregate AND the join side (the CLAUDE.md
+    rule — unpersisted, the raw scan would execute twice), so it is
+    persisted and attached to the returned frame; release via
+    functions._persist.release after materializing. skew_ratio is computed
+    as cnt·n_keys/tot (all integer-valued doubles, exact in IEEE754 below
+    2^53) rather than cnt/avg(cnt), so ceil() sits on an
+    exactly-reproducible quotient and the suggested fan-out never flips
     across engines or retries from last-bit float drift.
     """
-    c = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    from al_drift_detection_spark.functions._persist import attach_persisted
+
+    c = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt")).persist()
     t = c.agg(
         F.sum("cnt").cast("double").alias("_tot"),
         F.count(F.lit(1)).cast("double").alias("_nk"),
     )
     ratio = F.col("cnt") * F.col("_nk") / F.col("_tot")
-    return c.crossJoin(F.broadcast(t)).select(
+    out = c.crossJoin(F.broadcast(t)).select(
         key,
         F.col("cnt").cast("long").alias("cnt"),
         F.round(F.col("cnt") / F.col("_tot"), 6).alias("share"),
@@ -113,3 +119,4 @@ def skew_profile(df: DataFrame, key: str, max_salts: int = 32) -> DataFrame:
         .cast("int")
         .alias("suggested_salts"),
     )
+    return attach_persisted(out, c)

@@ -704,11 +704,15 @@ def benford_digit_counts(df: DataFrame, col: str) -> DataFrame:
     mag = F.lit(1.0)
     for k in range(1, 9):
         mag = F.when(x >= float(10 ** k), float(10 ** k)).otherwise(mag)
+    # the digit-count frame is the shared child of the totals aggregate and
+    # the grid join (unpersisted, the raw scan would execute twice); the
+    # release obligation rides on the returned frame
     d = (
         df.filter(x.isNotNull() & (x >= 1.0) & (x < 1e9))
         .select(F.floor(x / mag).cast("long").alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("double").alias("o"))
+        .persist()
     )
     spark = df.sparkSession
     digits = spark.range(1, 10).select(F.col("id").alias("digit"))
@@ -724,10 +728,13 @@ def benford_digit_counts(df: DataFrame, col: str) -> DataFrame:
         )
     )
     o, n, p = F.col("o"), F.col("n"), F.col("p")
-    return g.select(
-        "digit",
-        o.cast("long").alias("observed"),
-        (o / n).alias("observed_p"),
-        p.alias("benford_p"),
-        ((o - n * p) * (o - n * p) / (n * p)).alias("chi2_term"),
+    return attach_persisted(
+        g.select(
+            "digit",
+            o.cast("long").alias("observed"),
+            (o / n).alias("observed_p"),
+            p.alias("benford_p"),
+            ((o - n * p) * (o - n * p) / (n * p)).alias("chi2_term"),
+        ),
+        d,
     )

@@ -2565,13 +2565,17 @@ def q_corr_drift(spark: SparkSession, sf: str) -> DataFrame:
     "histograms in tests/test_kernels.py)",
 )
 def q_hist_distances(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions._persist import attach_persisted
+
     b = _t(spark, sf, "events").select(
         F.when(F.col("event_id") % 2 == 0, "ref").otherwise("cur").alias("side"),
         F.least(
             F.greatest(F.floor(F.col("value") / 10).cast("long"), F.lit(0)), F.lit(9)
         ).alias("bin"),
     )
-    c = b.groupBy("side", "bin").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # the bin-count frame feeds both the side totals and the proportion join
+    # (the shared-child rule — unpersisted, the raw scan executes twice)
+    c = b.groupBy("side", "bin").agg(F.count(F.lit(1)).cast("double").alias("n")).persist()
     t = c.groupBy("side").agg(F.sum("n").alias("tot"))
     p = (
         c.join(t, "side")
@@ -2588,12 +2592,15 @@ def q_hist_distances(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     sp, sc = F.sqrt(F.col("pr")), F.sqrt(F.col("pc"))
-    return p.agg(
-        F.round(F.sqrt(0.5 * F.sum((sp - sc) * (sp - sc))), 6).alias("hellinger"),
-        F.round(0.5 * F.sum(F.abs(F.col("pr") - F.col("pc"))), 6).alias(
-            "total_variation"
+    return attach_persisted(
+        p.agg(
+            F.round(F.sqrt(0.5 * F.sum((sp - sc) * (sp - sc))), 6).alias("hellinger"),
+            F.round(0.5 * F.sum(F.abs(F.col("pr") - F.col("pc"))), 6).alias(
+                "total_variation"
+            ),
+            F.round(F.sum(F.sqrt(F.col("pr") * F.col("pc"))), 6).alias("bhattacharyya"),
         ),
-        F.round(F.sum(F.sqrt(F.col("pr") * F.col("pc"))), 6).alias("bhattacharyya"),
+        c,
     )
 
 
@@ -2865,13 +2872,17 @@ def q_association_drift(spark: SparkSession, sf: str) -> DataFrame:
     "tests/test_health.py)",
 )
 def q_benford(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions._persist import propagate_persisted
     from al_drift_detection_spark.functions.health import benford_digit_counts
 
     out = benford_digit_counts(_t(spark, sf, "lineitem"), "l_extendedprice")
-    return out.select(
-        "digit",
-        "observed",
-        F.round("observed_p", 6).alias("observed_p"),
-        F.round("benford_p", 6).alias("benford_p"),
-        F.round("chi2_term", 6).alias("chi2_term"),
+    return propagate_persisted(
+        out.select(
+            "digit",
+            "observed",
+            F.round("observed_p", 6).alias("observed_p"),
+            F.round("benford_p", 6).alias("benford_p"),
+            F.round("chi2_term", 6).alias("chi2_term"),
+        ),
+        out,
     )

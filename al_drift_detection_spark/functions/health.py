@@ -738,3 +738,72 @@ def benford_digit_counts(df: DataFrame, col: str) -> DataFrame:
         ),
         d,
     )
+
+
+def referential_drift(
+    df: DataFrame,
+    key_col: str,
+    dim: DataFrame,
+    dim_key: str,
+    window_col: str = "window_id",
+    ref_filter=None,
+    max_abs_jump: float = 0.05,
+) -> DataFrame:
+    """Per-window REFERENTIAL-integrity drift: each window's orphan rate
+    (fraction of fact keys absent from the dimension) vs the reference
+    windows' rate — the windowed-verdict form of the suite's one-shot
+    referential check (north_star: 'phash referential checks against a
+    broadcast reference set'; SURVEY.md §2.3 J4 anti-join family). A feed
+    whose producer starts emitting unknown foreign keys shows up here
+    window-by-window before any value constraint fires.
+
+    NULL fact keys are EXCLUDED from both numerator and denominator (SQL
+    FK semantics: NULL means "no reference", tracked by the completeness
+    check, not a violation of this one).
+
+    Scale shape: the dimension's distinct keys are broadcast (one tiny
+    distinct + broadcast hash join — no fact shuffle; the suite's
+    referential pattern); the fact table folds in ONE groupBy(window) pass
+    to the O(windows) (n, orphans) frame, persisted because the reference
+    rate folds from its SUMMED counts (_eager_reference contract: raises
+    loudly on an empty reference). For dimensions too large to broadcast,
+    pre-distinct and let AQE pick the join — the fold shape is unchanged.
+
+    Verdict is ONE-SIDED: 'fail' iff rate − ref_rate > max_abs_jump (fewer
+    orphans than the reference is an improvement, not drift). Output:
+    (window_id, n, orphans, rate, ref_rate, verdict).
+    Oracle twin: q_referential_drift."""
+    keys = dim.select(F.col(dim_key).alias("_dk")).distinct()
+    fact = df.filter(F.col(key_col).isNotNull())
+    flagged = fact.join(
+        F.broadcast(keys), fact[key_col] == F.col("_dk"), "left"
+    )
+    per_w = (
+        flagged.groupBy(F.col(window_col).alias("window_id"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("_dk").isNull().cast("long")).cast("double").alias("orphans"),
+        )
+        .persist()
+    )
+    ref_row = _eager_reference(
+        per_w,
+        ref_filter,
+        [F.sum("n").alias("n"), F.sum("orphans").alias("orphans")],
+        "referential_drift",
+    )
+    ref_rate = float(ref_row["orphans"]) / max(float(ref_row["n"]), 1.0)
+    rate = F.col("orphans") / F.col("n")
+    return attach_persisted(
+        per_w.select(
+            "window_id",
+            F.col("n").cast("long").alias("n"),
+            F.col("orphans").cast("long").alias("orphans"),
+            rate.alias("rate"),
+            F.lit(ref_rate).alias("ref_rate"),
+            F.when(rate - F.lit(ref_rate) > max_abs_jump, "fail")
+            .otherwise("pass")
+            .alias("verdict"),
+        ),
+        per_w,
+    )

@@ -2886,3 +2886,65 @@ def q_benford(spark: SparkSession, sf: str) -> DataFrame:
         ),
         out,
     )
+
+
+@register(
+    "q_referential_drift",
+    """
+    WITH k AS (SELECT DISTINCT c_custkey AS dk FROM customer),
+    f AS (
+      SELECT CAST(floor(event_id / 2000) AS BIGINT) AS window_id, user_id
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    w AS (
+      SELECT window_id, count(*)::DOUBLE AS n,
+             CAST(sum(CASE WHEN dk IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               AS orphans
+      FROM f LEFT JOIN k ON f.user_id = k.dk GROUP BY 1
+    ),
+    r AS (
+      SELECT sum(orphans) / greatest(sum(n), 1) AS ref_rate
+      FROM w WHERE window_id < 2
+    )
+    SELECT window_id, CAST(n AS BIGINT) AS n,
+           CAST(orphans AS BIGINT) AS orphans,
+           round(orphans / n, 6) AS rate, round(ref_rate, 6) AS ref_rate,
+           CASE WHEN round(orphans / n, 6) - round(ref_rate, 6) > 0.05
+                THEN 'fail' ELSE 'pass' END AS verdict
+    FROM w, r
+    """,
+    "per-window REFERENTIAL-integrity drift (health.referential_drift): "
+    "each window's orphan rate of events.user_id vs the customer dimension, "
+    "compared to the reference windows' rate — the windowed-verdict form of "
+    "the suite's one-shot referential check (north_star 'phash referential "
+    "checks against a broadcast reference set'; SURVEY.md S2.3 J4 anti-join "
+    "family). Broadcast distinct dim keys, ONE fact groupBy(window) fold, "
+    "reference rate from the persisted O(windows) frame's SUMMED counts. "
+    "NULL fact keys excluded (SQL FK semantics). All-clean synthetic data "
+    "-> all pass (no false positives); planted orphan surge pinned in "
+    "tests/test_health.py",
+)
+def q_referential_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions._persist import propagate_persisted
+    from al_drift_detection_spark.functions.health import referential_drift
+
+    ev = _t(spark, sf, "events").select(
+        F.floor(F.col("event_id") / 2000).cast("long").alias("window_id"),
+        "user_id",
+    )
+    out = referential_drift(
+        ev, "user_id", _t(spark, sf, "customer"), "c_custkey",
+        ref_filter=F.col("window_id") < 2, max_abs_jump=0.05,
+    )
+    r6, rr6 = F.round("rate", 6), F.round("ref_rate", 6)
+    return propagate_persisted(
+        out.select(
+            "window_id",
+            "n",
+            "orphans",
+            r6.alias("rate"),
+            rr6.alias("ref_rate"),
+            F.when(r6 - rr6 > 0.05, "fail").otherwise("pass").alias("verdict"),
+        ),
+        out,
+    )

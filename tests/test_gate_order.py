@@ -62,6 +62,8 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # distribution-SHAPE constraint (data-audit family); the chi2 grid
     # representative (q_chi2_drift) documents the same oracle split
     "q_benford",
+    # windowed-verdict form of the in-window q_anti_join referential family
+    "q_referential_drift",
     # corpus-quality extensions of the in-window q_quality_features family
     "q_repetition_ratio",
     "q_pii_scan",

@@ -548,3 +548,35 @@ def test_runner_assoc_drift_surface(spark, tmp_path_factory):
     assert (a["verdict"] == "pass").all()
     assert a["cramers_v"].notna().all()
     assert (a["mi"] > 0).any()
+
+
+def test_referential_drift_planted_orphan_surge(spark):
+    """Windows 0-2 reference only known dim keys; window 3's producer starts
+    emitting 20% unknown keys — exactly window 3 fails. NULL keys are
+    excluded from the rate (FK semantics), and an empty reference raises."""
+    from al_drift_detection_spark.functions._persist import release
+    from al_drift_detection_spark.functions.health import referential_drift
+
+    dim = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    rows = []
+    for w in range(4):
+        for i in range(200):
+            if w == 3 and i % 5 == 0:
+                key = 1000 + i  # unknown to the dimension
+            else:
+                key = i % 100
+            rows.append((w, key))
+    rows += [(0, None)] * 10  # excluded, not orphans
+    df = spark.createDataFrame(rows, "window_id long, fk long")
+    out = referential_drift(
+        df, "fk", dim, "k", ref_filter=F.col("window_id") < 3, max_abs_jump=0.05
+    )
+    got = {r["window_id"]: r for r in out.collect()}
+    release(out)
+    assert got[0]["n"] == 200  # nulls excluded from the denominator
+    assert all(got[w]["verdict"] == "pass" and got[w]["orphans"] == 0 for w in range(3))
+    assert got[3]["verdict"] == "fail" and got[3]["orphans"] == 40
+    assert got[3]["rate"] == pytest.approx(0.2)
+
+    with pytest.raises(ValueError, match="selects no windows"):
+        referential_drift(df, "fk", dim, "k", ref_filter=F.col("window_id") > 99)

@@ -199,3 +199,41 @@ def test_union_find_matches_reachability(n, raw_edges):
     expected = _reference_components(n, edges)
     for x in range(n):
         assert canon.get(x, x) == expected[x]
+
+
+@given(samples, samples)
+@settings(max_examples=60, deadline=None)
+def test_hist_distances_invariants(a, b):
+    from al_drift_detection_spark.kernels import hist_distances
+
+    h, tv, bc = hist_distances(np.asarray(a), np.asarray(b))
+    assert 0.0 <= h <= 1.0 + 1e-12
+    assert 0.0 <= tv <= 1.0 + 1e-12
+    assert 0.0 <= bc <= 1.0 + 1e-12
+    # Hellinger–Bhattacharyya identity holds on every input
+    assert abs(h * h - (1.0 - bc)) < 1e-9
+    if len(a) > 0:
+        hs, tvs, bcs = hist_distances(np.asarray(a), np.asarray(a))
+        assert hs < 1e-9 and tvs < 1e-9 and abs(bcs - 1.0) < 1e-9
+
+
+@given(
+    st.lists(floats, min_size=1, max_size=200),
+    st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+    st.floats(min_value=0.0, max_value=1e3, allow_nan=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_cusum_closed_form_matches_recursion_everywhere(xs, mu, k):
+    from al_drift_detection_spark.kernels import cusum_2sided
+
+    xs = np.asarray(xs)
+    si, sd = cusum_2sided(xs, mu, k)
+    ri = rd = 0.0
+    for t, x in enumerate(xs):
+        ri = max(0.0, ri + x - mu - k)
+        rd = max(0.0, rd + mu - x - k)
+        # closed form equals the textbook recursion at every step, and the
+        # statistics are nonnegative by construction
+        assert abs(si[t] - ri) < 1e-6 * max(1.0, abs(ri))
+        assert abs(sd[t] - rd) < 1e-6 * max(1.0, abs(rd))
+        assert si[t] >= 0.0 and sd[t] >= 0.0

@@ -230,3 +230,81 @@ class MetricsStore:
             return None
         hist = self.history(current_metrics.sparkSession, exclude_run_id=run_id)
         return anomaly_verdicts(hist, current_metrics, **kw)
+
+
+def store_changepoint(
+    history: DataFrame,
+    delta: float = 0.05,
+    threshold: float = 4.0,
+    min_runs: int = 5,
+) -> DataFrame:
+    """Two-sided Page-Hinkley per metric SERIES across the RUN history —
+    the cross-run sequential detector the within-run `--changepoint`
+    windows cannot be: anomaly_verdicts asks "is this run's stat outside
+    the trailing band?", this asks "WHEN did the series' level shift?"
+    cumulatively over the whole repository, per (part, column, metric) key
+    (the Deequ metrics-repository pattern's retrospective view; the
+    reference's analog is re-reading its fsync'd text log, util.py:8-23).
+
+    Each series is standardized by its own sample std over the full history
+    (retrospective analysis — deterministic and replay-stable; a degenerate
+    constant series falls back to unscaled deviations and can never alarm),
+    so `delta`/`threshold` are dimensionless per-series std units — one
+    default works across row counts, null ratios, and means alike. Series
+    with fewer than `min_runs` runs are excluded (a two-point series alarms
+    on noise).
+
+    Scale shape: the input is the store's O(runs × series) metric rows —
+    already aggregated, bounded by construction (the changepoint module's
+    O(windows)-series contract); the ordered windows are PARTITIONED by the
+    series key, so no single-task global sort exists at any width. The
+    shared history frame feeds the scale aggregate and the main path —
+    persisted, release obligation on the returned frame.
+
+    Output: (part, column, metric, run_id, run_ts, x, ph_inc, ph_dec,
+    alarm) — x is the standardized value; alarm per the PH test at
+    `threshold`.
+    """
+    from pyspark.sql.window import Window
+
+    from al_drift_detection_spark.functions._persist import attach_persisted
+
+    keys = list(SERIES_KEYS)
+    hist = history.persist()
+    scale = hist.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n_runs"),
+        F.coalesce(
+            F.nullif(F.stddev_samp("value"), F.lit(0.0)), F.lit(1.0)
+        ).alias("_sd"),
+    )
+    d = (
+        hist.join(scale, keys)
+        .filter(F.col("_n_runs") >= int(min_runs))
+        .withColumn("x", F.col("value") / F.col("_sd"))
+    )
+    w = Window.partitionBy(*keys).orderBy("run_ts", "run_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    x = F.col("x")
+    dev = x - F.col("cum_mean")
+    d = (
+        d.withColumn("cum_mean", F.avg(x).over(w))
+        .withColumn("mt_inc", F.sum(dev - F.lit(float(delta))).over(w))
+        .withColumn("mt_dec", F.sum(dev + F.lit(float(delta))).over(w))
+    )
+    d = d.withColumn(
+        "ph_inc", F.col("mt_inc") - F.min("mt_inc").over(w)
+    ).withColumn("ph_dec", F.max("mt_dec").over(w) - F.col("mt_dec"))
+    out = d.select(
+        *keys,
+        "run_id",
+        "run_ts",
+        "x",
+        "ph_inc",
+        "ph_dec",
+        (
+            (F.col("ph_inc") > float(threshold))
+            | (F.col("ph_dec") > float(threshold))
+        ).alias("alarm"),
+    )
+    return attach_persisted(out, hist)

@@ -542,6 +542,22 @@ def main(argv: list[str] | None = None) -> int:
         from al_drift_detection_spark.functions._persist import release
 
         release(verd)
+        if args.changepoint:
+            # cross-run sequential view of the repository: Page-Hinkley per
+            # metric series over ALL runs (this one included — it was just
+            # appended), alongside the per-run band verdicts above
+            from al_drift_detection_spark.functions.anomaly import (
+                store_changepoint,
+            )
+
+            cp = store_changepoint(
+                mstore.history(spark),
+                delta=args.ph_delta, threshold=args.ph_threshold,
+            )
+            cp.orderBy("part", "column", "metric", "run_ts").write.mode(
+                "overwrite"
+            ).parquet(f"{args.out}/metric_changepoint")
+            release(cp)
 
     if args.image_dedup:
         from al_drift_detection_spark.functions.dedup import (

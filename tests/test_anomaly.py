@@ -170,3 +170,59 @@ def test_metrics_store_cli(spark, tmp_path):
         v3.sort_values(key).reset_index(drop=True),
         v4.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_store_changepoint_planted_level_shift(spark):
+    """Cross-run Page-Hinkley over a planted repository: series A holds a
+    level for 8 runs then shifts +5σ for 6 — the alarm fires only after the
+    shift and only on series A; a stationary sibling series never alarms;
+    a constant series (std 0) and a short series (< min_runs) emit no
+    alarms/rows respectively."""
+    from al_drift_detection_spark.functions._persist import release
+    from al_drift_detection_spark.functions.anomaly import store_changepoint
+
+    rows = []
+    for t in range(14):
+        a = 100.0 + 0.5 * ((t * 7) % 3 - 1) + (8.0 if t >= 8 else 0.0)
+        b = 50.0 + 0.5 * ((t * 5) % 3 - 1)
+        rows.append((0, "w", "mean", a, t, f"r{t:02d}"))
+        rows.append((0, "h", "mean", b, t, f"r{t:02d}"))
+        rows.append((0, "w", "n_rows", 1000.0, t, f"r{t:02d}"))  # constant
+        if t < 3:
+            rows.append((0, "w", "nulls", float(t), t, f"r{t:02d}"))  # short
+    hist = spark.createDataFrame(
+        rows, "part int, column string, metric string, value double, "
+              "run_ts long, run_id string"
+    )
+    out = store_changepoint(hist, delta=0.05, threshold=4.0, min_runs=5)
+    pdf = out.toPandas()
+    release(out)
+    # the short series is excluded entirely
+    assert not ((pdf["column"] == "w") & (pdf["metric"] == "nulls")).any()
+    a = pdf[(pdf["column"] == "w") & (pdf["metric"] == "mean")].sort_values("run_ts")
+    alarms = a[a["alarm"]]["run_ts"].tolist()
+    assert alarms and min(alarms) >= 8, f"alarm outside the shift era: {alarms}"
+    b = pdf[(pdf["column"] == "h") & (pdf["metric"] == "mean")]
+    assert not b["alarm"].any(), "stationary series alarmed"
+    const = pdf[(pdf["column"] == "w") & (pdf["metric"] == "n_rows")]
+    assert len(const) == 14 and not const["alarm"].any()
+
+
+def test_store_changepoint_cli_surface(spark, tmp_path):
+    """--metrics-store + --changepoint also writes metric_changepoint/ (the
+    cross-run sequential view; with a single run every series is under
+    min_runs, so the table exists and is empty)."""
+    from al_drift_detection_spark import runner
+
+    store = str(tmp_path / "mstore")
+    rc = runner.main([
+        "--images", "synthetic:3000", "--master", "local[8]",
+        "--out", str(tmp_path / "o1"), "--run-id", "r1",
+        "--metrics-store", store, "--changepoint",
+    ])
+    assert rc == 0
+    cp = spark.read.parquet(f"{tmp_path}/o1/metric_changepoint")
+    assert cp.count() == 0
+    assert {"part", "column", "metric", "run_id", "ph_inc", "ph_dec", "alarm"} <= set(
+        cp.columns
+    )

@@ -2948,3 +2948,94 @@ def q_referential_drift(spark: SparkSession, sf: str) -> DataFrame:
         ),
         out,
     )
+
+
+@register(
+    "q_store_changepoint",
+    """
+    WITH s AS (
+      SELECT 0 AS part, event_type AS "column", 'mean' AS metric,
+             avg(value) AS value,
+             CAST(floor(event_id / 500) AS BIGINT) AS run_ts,
+             'r' || CAST(CAST(floor(event_id / 500) AS BIGINT) AS VARCHAR)
+               AS run_id
+      FROM events GROUP BY event_type, floor(event_id / 500)
+    ),
+    sc AS (
+      SELECT part, "column", metric, count(*) AS nr,
+             coalesce(nullif(stddev(value), 0), 1) AS sd
+      FROM s GROUP BY 1, 2, 3
+    ),
+    d AS (
+      SELECT s.part, s."column", s.metric, s.run_ts, s.run_id,
+             s.value / sd AS x
+      FROM s JOIN sc USING (part, "column", metric) WHERE nr >= 5
+    ),
+    m AS (
+      SELECT *, avg(x) OVER w AS cum_mean FROM d
+      WINDOW w AS (PARTITION BY part, "column", metric ORDER BY run_ts, run_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    p AS (
+      SELECT *, sum(x - cum_mean - 0.05) OVER w AS mt_inc,
+                sum(x - cum_mean + 0.05) OVER w AS mt_dec
+      FROM m
+      WINDOW w AS (PARTITION BY part, "column", metric ORDER BY run_ts, run_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    q AS (
+      SELECT *, mt_inc - min(mt_inc) OVER w AS ph_inc,
+                max(mt_dec) OVER w - mt_dec AS ph_dec
+      FROM p
+      WINDOW w AS (PARTITION BY part, "column", metric ORDER BY run_ts, run_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT part, "column", metric, run_id, run_ts, round(x, 6) AS x,
+           round(ph_inc, 6) AS ph_inc, round(ph_dec, 6) AS ph_dec,
+           (round(ph_inc, 6) > 4.0 OR round(ph_dec, 6) > 4.0) AS alarm
+    FROM q
+    """,
+    "cross-run metrics-repository changepoint (anomaly.store_changepoint; "
+    "the --metrics-store --changepoint surface): two-sided Page-Hinkley per "
+    "(part, column, metric) SERIES over the run history, each series "
+    "standardized by its own sample std, < min_runs series excluded. The "
+    "'store' here is a deterministic per-(event_type, run-window) mean "
+    "series derived from events, so the PARTITIONED ordered-window fold is "
+    "value-checked end-to-end in DuckDB (alarms re-derived from 6dp-rounded "
+    "statistics in both engines); planted level-shift behavior pinned in "
+    "tests/test_anomaly.py",
+)
+def q_store_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions._persist import propagate_persisted
+    from al_drift_detection_spark.functions.anomaly import store_changepoint
+
+    w = F.floor(F.col("event_id") / 500).cast("long")
+    hist = (
+        _t(spark, sf, "events")
+        .groupBy(F.col("event_type"), w.alias("run_ts"))
+        .agg(F.avg("value").alias("value"))
+        .select(
+            F.lit(0).alias("part"),
+            F.col("event_type").alias("column"),
+            F.lit("mean").alias("metric"),
+            "value",
+            "run_ts",
+            F.concat(F.lit("r"), F.col("run_ts").cast("string")).alias("run_id"),
+        )
+    )
+    out = store_changepoint(hist, delta=0.05, threshold=4.0, min_runs=5)
+    pi, pdn = F.round("ph_inc", 6), F.round("ph_dec", 6)
+    return propagate_persisted(
+        out.select(
+            "part",
+            "column",
+            "metric",
+            "run_id",
+            "run_ts",
+            F.round("x", 6).alias("x"),
+            pi.alias("ph_inc"),
+            pdn.alias("ph_dec"),
+            ((pi > 4.0) | (pdn > 4.0)).alias("alarm"),
+        ),
+        out,
+    )

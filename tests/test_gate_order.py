@@ -64,6 +64,10 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     "q_benford",
     # windowed-verdict form of the in-window q_anti_join referential family
     "q_referential_drift",
+    # cross-run metrics-repository view of the in-window q_page_hinkley
+    # sequential family (per-series partitioned fold, q_metric_anomaly's
+    # store)
+    "q_store_changepoint",
     # corpus-quality extensions of the in-window q_quality_features family
     "q_repetition_ratio",
     "q_pii_scan",

@@ -749,3 +749,77 @@ def closed_association_drift(
         ts_col, ["_a", "_b"], reduce_group, "_counts array<long>", watermark,
     )
     return _close_on(reduced, fn, ASSOC_OUT_SCHEMA, ASSOC_STATE_SCHEMA)
+
+
+REF_OUT_SCHEMA = (
+    "window_start timestamp, window_end timestamp, n long, orphans long, "
+    "rate double, ref_rate double, verdict string"
+)
+REF_STATE_SCHEMA = "n long, orphans long"
+
+
+def closed_referential_drift(
+    stream_df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    dim_keys: DataFrame,
+    ref_rate: float,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    slide: str | None = None,
+    max_abs_jump: float = 0.05,
+) -> DataFrame:
+    """Closed-window REFERENTIAL-integrity drift: the streaming twin of
+    health.referential_drift with window-close emission — each closed
+    window's orphan rate (fact keys absent from the dimension) vs the
+    reference rate the caller computed from the reference windows
+    (health.referential_drift's eager fold; orphan counts merge
+    losslessly, so batch and stream share one reference number).
+
+    The orphan flag is minted by a STREAM-STATIC left join against the
+    dimension's one-column distinct-key frame BEFORE the pre-reducer —
+    Catalyst broadcasts the static side, so flagging happens where the
+    stream rows already sit and only per-chunk (n, orphans) partials reach
+    the stateful task (state per window is two longs). NULL fact keys are
+    excluded by the same FK rule as the batch operator. Verdict is
+    one-sided: 'fail' iff rate − ref_rate > max_abs_jump. Parity:
+    tests/test_closed_windows.py splits a window across micro-batches and
+    matches health.referential_drift on the full row set."""
+    keys = F.broadcast(dim_keys.select(F.col(dim_keys.columns[0]).alias("_dk")).distinct())
+
+    def reduce_group(g):
+        return (len(g), int(g["_orphan"].sum()))
+
+    def fn(key, pdfs, state: GroupState):
+        w_start, w_end = key[0], key[1]
+        if state.hasTimedOut:
+            n, orphans = int(state.get[0]), int(state.get[1])
+            rate = orphans / n if n else 0.0
+            state.remove()
+            yield pd.DataFrame(
+                [(w_start, w_end, n, orphans, rate, float(ref_rate),
+                  "fail" if rate - float(ref_rate) > max_abs_jump else "pass")],
+                columns=["window_start", "window_end", "n", "orphans",
+                         "rate", "ref_rate", "verdict"],
+            )
+            return
+        n, orphans = (int(state.get[0]), int(state.get[1])) if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += int(pdf["_n"].sum())
+            orphans += int(pdf["_orphans"].sum())
+        state.update((n, orphans))
+        _arm_timeout(state, w_end)
+        return
+        yield  # pragma: no cover — generator form
+
+    win = _windowed(
+        stream_df.filter(F.col(key_col).isNotNull()), ts_col, window, slide
+    )
+    flagged = win.join(keys, win[key_col] == F.col("_dk"), "left").withColumn(
+        "_orphan", F.col("_dk").isNull().cast("long")
+    )
+    reduced = _pre_reduce(
+        flagged, ts_col, ["_orphan"], reduce_group,
+        "_n long, _orphans long", watermark,
+    )
+    return _close_on(reduced, fn, REF_OUT_SCHEMA, REF_STATE_SCHEMA)

@@ -662,3 +662,62 @@ def test_closed_association_drift_split_window_parity(spark, tmp_path_factory):
     ).toPandas()
     strong_ref_mi = float(dep_ref.loc[0, "mi"])
     assert abs(float(batch.loc[0, "mi"]) - strong_ref_mi) > 0.05
+
+
+def test_closed_referential_drift_split_window_parity(spark, tmp_path_factory):
+    """Window W1 split across two micro-batches: fragment A has only known
+    dimension keys, fragment B introduces 25% unknown keys; one closed
+    verdict for W1 with (n, orphans, rate) equal to health.referential_drift
+    on the full row set, and the verdict flips with the reference rate."""
+    from al_drift_detection_spark.functions._persist import release
+    from al_drift_detection_spark.functions.health import referential_drift
+    from al_drift_detection_spark.streaming.closed import closed_referential_drift
+
+    inp = str(tmp_path_factory.mktemp("crd") / "in")
+    rng = np.random.default_rng(41)
+    dim = spark.createDataFrame([(i,) for i in range(50)], "k long")
+
+    def frag(n, offset_s, orphan_every):
+        keys = [
+            (9000 + i) if (orphan_every and i % orphan_every == 0) else int(i % 50)
+            for i in range(n)
+        ]
+        return pd.DataFrame({
+            "ts": [BASE + pd.Timedelta(seconds=int(offset_s + s)) for s in
+                   rng.integers(0, 120, n)],
+            "fk": keys,
+        })
+
+    fa = frag(200, 0, orphan_every=0)
+    fb = frag(200, 120, orphan_every=4)  # 50 orphans
+    sentinel = pd.DataFrame({"ts": [BASE + pd.Timedelta(hours=1)], "fk": [0]})
+    _write_batches(spark, inp, [fa, fb, sentinel])
+
+    full = pd.concat([fa, fb])
+    # batch twin (ref = the window itself, so rate == ref_rate -> pass)
+    out_b = referential_drift(
+        spark.createDataFrame(full).withColumn("window_id", F.lit(0)),
+        "fk", dim, "k",
+    )
+    brow = out_b.collect()[0]
+    release(out_b)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, fk long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = closed_referential_drift(
+        stream, "ts", "fk", dim, ref_rate=0.0,
+        window="5 minutes", watermark="1 minute", max_abs_jump=0.05,
+    )
+    _run_stream(out, "crd_out")
+    got = spark.sql("SELECT * FROM crd_out").toPandas()
+
+    assert len(got) == 1 and got.loc[0, "window_start"] == BASE
+    assert got.loc[0, "n"] == brow["n"] == 400
+    assert got.loc[0, "orphans"] == brow["orphans"] == 50
+    assert got.loc[0, "rate"] == pytest.approx(brow["rate"], abs=1e-12)
+    # vs a clean reference (rate 0) the 12.5% orphan window fails; the batch
+    # self-reference run necessarily passes (rate == ref_rate)
+    assert got.loc[0, "verdict"] == "fail" and brow["verdict"] == "pass"

@@ -308,6 +308,7 @@ def test_streaming_closed_plans_are_pre_reduced(spark):
     from al_drift_detection_spark.streaming.closed import (
         closed_association_drift,
         closed_cat_drift,
+        closed_referential_drift,
         closed_drift_scores,
         closed_window_health,
         closed_window_quantiles,
@@ -331,6 +332,10 @@ def test_streaming_closed_plans_are_pre_reduced(spark):
         ),
         "closed_association_drift": closed_association_drift(
             s, "ts", "fmt", "caption", ["a", "b"], ["c"], ref_mi=0.0
+        ),
+        "closed_referential_drift": closed_referential_drift(
+            s, "ts", "image_id",
+            spark.createDataFrame([("0",)], "k string"), ref_rate=0.0,
         ),
     }
     for name, df in builds.items():

@@ -934,3 +934,85 @@ def q_uniqueness_drift(spark: SparkSession, sf: str) -> DataFrame:
     return uniqueness_drift(
         docs, "k", ref_filter=F.col("window_id") < 2, threshold=0.05, approx=False
     )
+
+
+@register(
+    "q_type_suggestions",
+    """
+    WITH s AS (
+      SELECT CAST(event_id AS VARCHAR) AS id_str,
+             CAST(value AS VARCHAR) AS val_str,
+             CAST(ts AS VARCHAR) AS ts_str,
+             event_type
+      FROM events
+    ),
+    u AS (
+      SELECT 'id_str' AS "column", id_str AS v FROM s
+      UNION ALL SELECT 'val_str', val_str FROM s
+      UNION ALL SELECT 'ts_str', ts_str FROM s
+      UNION ALL SELECT 'event_type', event_type FROM s
+    ),
+    a AS (
+      SELECT "column",
+             count(v) AS n_non_null,
+             coalesce(avg(CASE WHEN regexp_matches(v, '^[+-]?[0-9]+$')
+                               THEN 1.0 ELSE 0.0 END)
+                      FILTER (WHERE v IS NOT NULL), 0) AS ir,
+             coalesce(avg(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
+                               THEN 1.0 ELSE 0.0 END)
+                      FILTER (WHERE v IS NOT NULL), 0) AS dr,
+             coalesce(avg(CASE WHEN regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}')
+                                AND TRY_CAST(v AS TIMESTAMP) IS NOT NULL
+                               THEN 1.0 ELSE 0.0 END)
+                      FILTER (WHERE v IS NOT NULL), 0) AS tr
+      FROM u GROUP BY 1
+    )
+    SELECT "column", n_non_null,
+           round(ir, 6) AS int_rate,
+           round(dr, 6) AS double_rate,
+           round(tr, 6) AS timestamp_rate,
+           CASE WHEN round(ir, 6) >= 0.99 THEN 'bigint'
+                WHEN round(dr, 6) >= 0.99 THEN 'double'
+                WHEN round(tr, 6) >= 0.99 THEN 'timestamp'
+                ELSE 'string' END AS suggested_type
+    FROM a
+    """,
+    "column TYPE suggestion (profile.type_suggestions — the schema-"
+    "inference half of onboarding, TFDV/Deequ public designs): parse rates "
+    "of bigint (digits REGEXP, never try_cast — DuckDB rounds '48.35' to a "
+    "BIGINT where Spark's ANSI try_cast rejects it), double (try_cast), "
+    "and timestamp (try_cast GATED by a date-prefix regexp — Spark parses "
+    "bare '2026' as a year where DuckDB refuses) over each string column's "
+    "non-null values, one aggregate pass for all columns; suggestions from "
+    "6dp-rounded rates in both engines. The events-derived frame plants "
+    "one column per outcome: int-string, double-string, timestamp-string, "
+    "and a categorical that stays 'string'. Planted mixed/null behavior "
+    "pinned in tests/test_profile.py",
+)
+def q_type_suggestions(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.profile import type_suggestions
+
+    s = _t(spark, sf, "events").select(
+        F.col("event_id").cast("string").alias("id_str"),
+        F.col("value").cast("string").alias("val_str"),
+        F.col("ts").cast("string").alias("ts_str"),
+        "event_type",
+    )
+    out = type_suggestions(s, threshold=0.99)
+    ir, dr, tr = (
+        F.round("int_rate", 6),
+        F.round("double_rate", 6),
+        F.round("timestamp_rate", 6),
+    )
+    return out.select(
+        "column",
+        "n_non_null",
+        ir.alias("int_rate"),
+        dr.alias("double_rate"),
+        tr.alias("timestamp_rate"),
+        F.when(ir >= 0.99, "bigint")
+        .when(dr >= 0.99, "double")
+        .when(tr >= 0.99, "timestamp")
+        .otherwise("string")
+        .alias("suggested_type"),
+    )

@@ -206,3 +206,81 @@ def suite_from_suggestions(
         numeric_stat_cols=sorted(nums),
         id_stat_cols=sorted(ids),
     )
+
+
+def type_suggestions(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Column TYPE suggestion for string columns (the schema-inference half
+    of profiling — TFDV's inferred-schema / Deequ's suggestion layer, public
+    designs): a feed that ships numbers or timestamps as strings loses
+    every numeric constraint and kernel downstream, and onboarding should
+    flag it. For each string column, ONE aggregate pass computes the parse
+    rate of three candidate types over the column's NON-NULL values and
+    suggests the highest-priority type clearing `threshold`:
+
+    - bigint     — digits-only regexp '^[+-]?[0-9]+$'. A REGEXP, not
+      try_cast: DuckDB's TRY_CAST rounds '48.35' to 48 while Spark's ANSI
+      try_cast rejects it, so a cast-based rate is not engine-portable (and
+      a decimal column should suggest double, not a rounding bigint cast).
+    - double     — try_cast(double); supersedes nothing (ints also parse,
+      which is why bigint is checked first).
+    - timestamp  — try_cast(timestamp) GATED by a '^\\d{4}-\\d{2}-\\d{2}'
+      prefix regexp: Spark parses bare '2026' as a year timestamp while
+      DuckDB rejects it, and a column of small integers must never be
+      suggested as timestamps anyway.
+
+    Non-string columns are ignored (their types are already typed).
+    Output: one row per inspected column —
+    (column, n_non_null, int_rate, double_rate, timestamp_rate,
+    suggested_type), rates un-rounded; suggested_type 'string' when nothing
+    clears the threshold (keep as-is). Oracle twin: q_type_suggestions."""
+    from pyspark.sql.types import StringType
+
+    if cols is None:
+        cols = [f.name for f in df.schema.fields if isinstance(f.dataType, StringType)]
+    if not cols:
+        raise ValueError("type_suggestions: no string columns to inspect")
+    aggs = []
+    for i, c in enumerate(cols):
+        v = F.col(c)
+        nn = v.isNotNull()
+        aggs += [
+            F.sum(nn.cast("long")).alias(f"_n_{i}"),
+            F.avg(
+                F.when(nn, v.rlike("^[+-]?[0-9]+$").cast("double"))
+            ).alias(f"_i_{i}"),
+            F.avg(
+                F.when(nn, v.try_cast("double").isNotNull().cast("double"))
+            ).alias(f"_d_{i}"),
+            F.avg(
+                F.when(
+                    nn,
+                    (
+                        v.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}")
+                        & v.try_cast("timestamp").isNotNull()
+                    ).cast("double"),
+                )
+            ).alias(f"_t_{i}"),
+        ]
+    row = df.agg(*aggs)
+    parts = []
+    for i, c in enumerate(cols):
+        ir, dr, tr = F.col(f"_i_{i}"), F.col(f"_d_{i}"), F.col(f"_t_{i}")
+        parts.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.coalesce(F.col(f"_n_{i}"), F.lit(0)).alias("n_non_null"),
+                F.coalesce(ir, F.lit(0.0)).alias("int_rate"),
+                F.coalesce(dr, F.lit(0.0)).alias("double_rate"),
+                F.coalesce(tr, F.lit(0.0)).alias("timestamp_rate"),
+                F.when(ir >= threshold, "bigint")
+                .when(dr >= threshold, "double")
+                .when(tr >= threshold, "timestamp")
+                .otherwise("string")
+                .alias("suggested_type"),
+            )
+        )
+    return row.select(F.explode(F.array(*parts)).alias("s")).select("s.*")

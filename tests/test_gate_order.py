@@ -68,6 +68,8 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # sequential family (per-series partitioned fold, q_metric_anomaly's
     # store)
     "q_store_changepoint",
+    # schema-inference half of the q_suggest_constraints profiling family
+    "q_type_suggestions",
     # corpus-quality extensions of the in-window q_quality_features family
     "q_repetition_ratio",
     "q_pii_scan",

@@ -140,3 +140,43 @@ def test_approx_profile_confirms_unique_exactly(spark):
     # profile row carries the estimate evidence either way
     prof = profile_columns(df, ["k"], exact_distinct=False)
     assert prof["k"]["n_distinct"] >= (1 - 3 * 0.02) * n
+
+
+def test_type_suggestions_planted(spark):
+    """Type inference for string columns: clean int/double/timestamp strings
+    suggest their types; a 95%-parseable column stays 'string' at the 0.99
+    threshold; NULLs are excluded from the rates; bare year-like integers
+    must NOT suggest timestamp (the date-prefix gate); non-string columns
+    are ignored and an all-non-string frame raises."""
+    import pytest as _pytest
+
+    from al_drift_detection_spark.profile import type_suggestions
+
+    rows = []
+    for i in range(100):
+        rows.append((
+            str(i),                             # ints -> bigint
+            f"{i}.5",                           # decimals -> double
+            f"2026-01-{(i % 28) + 1:02d} 03:04:05",  # -> timestamp
+            "2026",                             # year-like int: bigint, NOT ts
+            str(i) if i % 20 else "oops",       # 95% ints -> stays string
+            None if i % 2 else str(i),          # 50% null, non-nulls all int
+            i,                                  # non-string: ignored
+        ))
+    df = spark.createDataFrame(
+        rows, "a string, b string, c string, d string, e string, f string, g long"
+    )
+    got = {r["column"]: r for r in type_suggestions(df).collect()}
+    assert set(got) == {"a", "b", "c", "d", "e", "f"}
+    assert got["a"]["suggested_type"] == "bigint"
+    assert got["b"]["suggested_type"] == "double" and got["b"]["int_rate"] == 0.0
+    assert got["c"]["suggested_type"] == "timestamp"
+    assert got["d"]["suggested_type"] == "bigint"
+    assert got["d"]["timestamp_rate"] == 0.0  # Spark would parse '2026'; gate blocks it
+    assert got["e"]["suggested_type"] == "string"
+    assert got["e"]["int_rate"] == _pytest.approx(0.95)
+    assert got["f"]["suggested_type"] == "bigint"  # rates over NON-NULL values
+    assert got["f"]["n_non_null"] == 50
+
+    with _pytest.raises(ValueError, match="no string columns"):
+        type_suggestions(df.select("g"))

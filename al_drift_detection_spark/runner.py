@@ -515,6 +515,14 @@ def main(argv: list[str] | None = None) -> int:
         )
         with open(f"{args.out}/suggested_suite.json", "w") as fh:
             json.dump(suite_to_config(sugg_suite), fh, indent=1)
+        # the schema-inference half: type suggestions for the string columns
+        # (an all-'string' verdict on this table IS the no-false-positive
+        # answer — ids/captions/fmt must not be suggested numeric)
+        from al_drift_detection_spark.profile import type_suggestions
+
+        type_suggestions(meta_full).orderBy("column").write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/suggested_types")
 
     if args.metrics_store:
         from al_drift_detection_spark.functions.anomaly import MetricsStore

@@ -122,6 +122,12 @@ def test_suggest_cli(spark, tmp_path):
     # exactly the parquet evidence's checks
     loaded = suite_from_json(f"{out}/suggested_suite.json")
     assert {(c.column, c.kind) for c in loaded.checks} == by
+    # the schema-inference half: every string column of the image table
+    # must stay 'string' (ids/captions/fmt suggested numeric would be a
+    # false positive)
+    types = spark.read.parquet(f"{out}/suggested_types").toPandas()
+    assert len(types) > 0
+    assert (types["suggested_type"] == "string").all()
 
 
 def test_approx_profile_confirms_unique_exactly(spark):

@@ -1016,3 +1016,50 @@ def q_type_suggestions(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("string")
         .alias("suggested_type"),
     )
+
+
+@register(
+    "q_uniqueness_metrics",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+           count(*) AS n_distinct,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exactly_once,
+           round(count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS distinctness,
+           round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                 / CAST(sum(cnt) AS DOUBLE), 6) AS uniqueness,
+           round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS unique_value_ratio
+    FROM c
+    """,
+    "COMPOSITE-key uniqueness analyzer triple (Deequ's Distinctness vs "
+    "Uniqueness vs UniqueValueRatio, public design — three DIFFERENT "
+    "fractions the single distinct-ratio check conflates: distinct/total, "
+    "exactly-once/total, exactly-once/distinct) over the (user_id, "
+    "event_type) pair. One groupBy(keys) shuffle + one fold over the "
+    "O(keys) count frame — the multi-column form SURVEY S2.4 A2's "
+    "single-column distinct count doesn't cover; at 100 TB the count frame "
+    "is bounded by key cardinality and the fold is partial+final",
+)
+def q_uniqueness_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        _t(spark, sf, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    once = F.sum((F.col("cnt") == 1).cast("long"))
+    n = F.sum("cnt").cast("double")
+    return c.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        once.alias("n_exactly_once"),
+        F.round(F.count(F.lit(1)) / n, 6).alias("distinctness"),
+        F.round(once / n, 6).alias("uniqueness"),
+        F.round(once / F.count(F.lit(1)).cast("double"), 6).alias(
+            "unique_value_ratio"
+        ),
+    )

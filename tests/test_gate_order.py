@@ -70,6 +70,9 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     "q_store_changepoint",
     # schema-inference half of the q_suggest_constraints profiling family
     "q_type_suggestions",
+    # composite-key Deequ uniqueness triple (multi-column form of the
+    # in-window q_distinct_keys / q_uniqueness_drift family)
+    "q_uniqueness_metrics",
     # corpus-quality extensions of the in-window q_quality_features family
     "q_repetition_ratio",
     "q_pii_scan",

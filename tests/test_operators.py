@@ -275,3 +275,28 @@ def test_skew_profile_planted_hot_key(spark):
     capped = {r["key"]: r["suggested_salts"]
               for r in skew_profile(solo, "key", max_salts=8).collect()}
     assert capped["a"] == 8
+
+
+def test_uniqueness_metrics_planted(spark):
+    """Deequ's three uniqueness fractions are genuinely different: with
+    composite keys [A,A,B,C] -> distinctness 3/4, uniqueness 2/4 (B and C
+    occur exactly once), unique_value_ratio 2/3."""
+    from al_drift_detection_spark.operators import REGISTRY
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (3, "b")], "user_id long, event_type string"
+    )
+    c = df.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    once = F.sum((F.col("cnt") == 1).cast("long"))
+    n = F.sum("cnt").cast("double")
+    got = c.agg(
+        F.round(F.count(F.lit(1)) / n, 6).alias("distinctness"),
+        F.round(once / n, 6).alias("uniqueness"),
+        F.round(once / F.count(F.lit(1)).cast("double"), 6).alias("uvr"),
+    ).collect()[0]
+    assert got["distinctness"] == 0.75
+    assert got["uniqueness"] == 0.5
+    assert got["uvr"] == pytest.approx(2 / 3, abs=1e-6)
+    # and the registry entry runs end-to-end on the fixture tables
+    row = REGISTRY["q_uniqueness_metrics"].fn(spark, SF).collect()[0]
+    assert row["n_rows"] >= row["n_distinct"] >= row["n_exactly_once"]

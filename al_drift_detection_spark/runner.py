@@ -223,6 +223,15 @@ def main(argv: list[str] | None = None) -> int:
         "(< --stream-window) — each window instance closes independently "
         "with a verdict over its full row set; default tumbling",
     )
+    ap.add_argument(
+        "--stream-combined", action="store_true",
+        help="run every --stream verdict family in ONE streaming query over "
+        "ONE read of the feed (closed_multi: shared projection + one tagged "
+        "pre-reducer + one stateful dispatcher) instead of one share-nothing "
+        "query per family — N families cost one corpus scan, not N. Writes "
+        "the generic stream_combined/ sink, then splits it into the same "
+        "per-family directories with identical rows",
+    )
     ap.add_argument("--resume", action="store_true", help="skip partitions already passed in checkpoint")
     ap.add_argument("--run-id", default="run1")
     ap.add_argument(
@@ -407,7 +416,12 @@ def main(argv: list[str] | None = None) -> int:
             args.stream_window, args.stream_watermark,
         )
         refs = stream_driver.build_references(meta_full, args.ref_windows, cat_cols)
-        counts = stream_driver.run_closed_streams(
+        run_streams = (
+            stream_driver.run_closed_streams_combined
+            if args.stream_combined
+            else stream_driver.run_closed_streams
+        )
+        counts = run_streams(
             spark, f"{args.out}/_stream_input", args.out, refs, cat_cols,
             window_seconds=args.stream_window,
             watermark=f"{args.stream_watermark} seconds",

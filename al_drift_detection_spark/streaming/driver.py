@@ -228,6 +228,51 @@ def _w_bucket_col(w_lo: float, w_hi: float):
     )
 
 
+def stream_specs(refs: dict, cat_cols: list[str]) -> list:
+    """The CLI stream's verdict families as ClosedSpecs — ONE config list
+    shared verbatim by the share-nothing path (run_closed_streams) and the
+    single-scan combined path (run_closed_streams_combined), so the two
+    modes cannot diverge on thresholds, universes, or references. Spec
+    names are the sink directory names."""
+    from al_drift_detection_spark.streaming import closed as C
+
+    specs = [
+        C.drift_scores_spec(["w", "h"], refs["samples"], name="stream_drift"),
+        C.window_health_spec(
+            refs["volume"], refs["null_ratios"], name="stream_health"
+        ),
+        C.window_uniqueness_spec(
+            "image_id", refs["uniq_ratio"], name="stream_uniqueness"
+        ),
+        # the constraint grid (0..10000, the between-bound universe) — same
+        # deterministic-reference rule as the batch --quantile-store surface
+        C.window_quantiles_spec(
+            "w", 0.0, 10000.0, [0.25, 0.5, 0.75, 0.95], n_bins=1024,
+            name="stream_quantiles",
+        ),
+        # fmt × w-bucket joint-structure verdicts vs the reference MI (the
+        # batch association_drift twin; w bucketed with the same expression
+        # the reference fold used — minted on the stream by _with_bucket)
+        C.association_drift_spec(
+            "fmt", "w_bucket", refs["assoc"]["cats_a"], refs["assoc"]["cats_b"],
+            refs["assoc"]["ref_mi"], name="stream_association",
+        ),
+    ]
+    for col in cat_cols:
+        specs.append(
+            C.cat_drift_spec(
+                col, refs["cat_props"][col], name=f"stream_cat_drift_{col}"
+            )
+        )
+    return specs
+
+
+def _with_bucket(df: DataFrame, refs: dict) -> DataFrame:
+    return df.withColumn(
+        "w_bucket", _w_bucket_col(refs["assoc"]["w_lo"], refs["assoc"]["w_hi"])
+    )
+
+
 def run_closed_streams(
     spark: SparkSession,
     stage_dir: str,
@@ -244,64 +289,25 @@ def run_closed_streams(
     emitted-window row counts. Each query reads the file source
     independently (share-nothing), so a failed sink resumes from its own
     checkpoint without touching the others — the streaming analog of the
-    batch checkpoint's per-partition resume."""
-    from al_drift_detection_spark.streaming.closed import (
-        closed_association_drift,
-        closed_cat_drift,
-        closed_drift_scores,
-        closed_window_health,
-        closed_window_quantiles,
-        closed_window_uniqueness,
-    )
+    batch checkpoint's per-partition resume. N families therefore cost N
+    corpus scans; run_closed_streams_combined is the single-scan mode."""
+    from al_drift_detection_spark.streaming.closed import _run_spec
 
     window = f"{window_seconds} seconds"
     slide = f"{slide_seconds} seconds" if slide_seconds else None
 
     def src():
-        return (
+        return _with_bucket(
             spark.readStream.schema(STAGE_DDL)
             .option("maxFilesPerTrigger", files_per_trigger)
-            .parquet(stage_dir)
+            .parquet(stage_dir),
+            refs,
         )
 
     outs = {
-        "stream_drift": closed_drift_scores(
-            src(), "ts", ["w", "h"], refs["samples"],
-            window=window, watermark=watermark, slide=slide,
-        ),
-        "stream_health": closed_window_health(
-            src(), "ts", refs["volume"], refs["null_ratios"],
-            window=window, watermark=watermark, slide=slide,
-        ),
-        "stream_uniqueness": closed_window_uniqueness(
-            src(), "ts", "image_id", refs["uniq_ratio"],
-            window=window, watermark=watermark, slide=slide,
-        ),
-        # the constraint grid (0..10000, the between-bound universe) — same
-        # deterministic-reference rule as the batch --quantile-store surface
-        "stream_quantiles": closed_window_quantiles(
-            src(), "ts", "w", 0.0, 10000.0, [0.25, 0.5, 0.75, 0.95],
-            n_bins=1024, window=window, watermark=watermark, slide=slide,
-        ),
-        # fmt × w-bucket joint-structure verdicts vs the reference MI (the
-        # batch association_drift twin; w bucketed with the same expression
-        # the reference fold used)
-        "stream_association": closed_association_drift(
-            src().withColumn(
-                "w_bucket",
-                _w_bucket_col(refs["assoc"]["w_lo"], refs["assoc"]["w_hi"]),
-            ),
-            "ts", "fmt", "w_bucket",
-            refs["assoc"]["cats_a"], refs["assoc"]["cats_b"],
-            refs["assoc"]["ref_mi"],
-            window=window, watermark=watermark, slide=slide,
-        ),
+        spec.name: _run_spec(src(), "ts", spec, window, watermark, slide)
+        for spec in stream_specs(refs, cat_cols)
     }
-    for col in cat_cols:
-        outs[f"stream_cat_drift_{col}"] = closed_cat_drift(
-            src(), "ts", col, refs["cat_props"][col],
-            window=window, watermark=watermark, slide=slide,
-        )
 
     queries = []
     for name, df in outs.items():
@@ -319,3 +325,62 @@ def run_closed_streams(
     return {
         name: spark.read.parquet(f"{out_dir}/{name}").count() for name in outs
     }
+
+
+def run_closed_streams_combined(
+    spark: SparkSession,
+    stage_dir: str,
+    out_dir: str,
+    refs: dict,
+    cat_cols: list[str],
+    window_seconds: int = 300,
+    watermark: str = "60 seconds",
+    files_per_trigger: int = 1,
+    slide_seconds: int | None = None,
+) -> dict[str, int]:
+    """SINGLE-SCAN mode (VERDICT r6 Next #1): every verdict family in ONE
+    streaming query over ONE read of the feed — one projection, one
+    mapInPandas pre-reducer emitting `_check`-tagged partials for all
+    families per chunk, one stateful dispatcher (closed.closed_multi), one
+    trigger sequence. The generic long-format sink (`stream_combined/`) is
+    then split — a deterministic batch projection over the tiny verdict
+    rows — into the SAME per-family directories run_closed_streams writes,
+    with identical schemas and rows (parity pinned in
+    tests/test_closed_combined.py). The reference analog: the detector
+    scores ALL features in one window pass (gan.py:730-735).
+
+    Trade-off vs share-nothing: one checkpoint for all families (a poison
+    row in one family halts the whole pass instead of one sink), which is
+    the price of N× fewer corpus scans and triggers at 100 TB."""
+    from al_drift_detection_spark.streaming.closed import closed_multi, split_closed
+
+    specs = stream_specs(refs, cat_cols)
+    src = _with_bucket(
+        spark.readStream.schema(STAGE_DDL)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(stage_dir),
+        refs,
+    )
+    generic = closed_multi(
+        src, "ts", specs,
+        window=f"{window_seconds} seconds", watermark=watermark,
+        slide=f"{slide_seconds} seconds" if slide_seconds else None,
+    )
+    q = (
+        generic.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/stream_combined")
+        .option("checkpointLocation", f"{out_dir}/stream_ckpt/stream_combined")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    gen = spark.read.parquet(f"{out_dir}/stream_combined")
+    counts = {}
+    for spec in specs:
+        split_closed(gen, spec).write.mode("overwrite").parquet(
+            f"{out_dir}/{spec.name}"
+        )
+        counts[spec.name] = spark.read.parquet(f"{out_dir}/{spec.name}").count()
+    return counts

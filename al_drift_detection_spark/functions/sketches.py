@@ -48,27 +48,29 @@ def window_hll_sketches(
 
 
 def cumulative_uniqueness(sketches: DataFrame, window_col: str) -> DataFrame:
-    """Cumulative distinct-count series from PER-WINDOW sketches alone: for
-    each window t, union the sketches of windows ≤ t (prefix self-join over
-    the O(windows)-by-construction sketch frame — the raw data is never
-    touched again). The sketch frame is persisted: both sides of the
-    non-equi self-join share its expensive child (the full raw-table HLL
-    aggregation), and broadcast build + probe sides cannot reuse an
-    exchange (the CLAUDE.md self-join rule) — without it the scan+sketch
-    stage runs twice. Caller releases via functions._persist.release.
-    Output: (window_col, est_cum:long)."""
-    from al_drift_detection_spark.functions._persist import attach_persisted
+    """Cumulative distinct-count series from PER-WINDOW sketches alone: a
+    RUNNING UNION (hll_union_agg over an UNBOUNDED PRECEDING frame) over the
+    O(windows)-by-construction sketch frame — the raw data is never touched
+    again, and exactly W sketch rows move for a W-window series.
 
-    sk = sketches.persist()
-    a = sk.select(F.col(window_col).alias("_t"))
-    b = sk.select(F.col(window_col).alias("_i"), "sketch")
-    out = (
-        a.join(b, F.col("_i") <= F.col("_t"))
-        .groupBy("_t")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_cum"))
-        .select(F.col("_t").alias(window_col), "est_cum")
+    This replaces the prefix self-join (VERDICT r6 "What's wrong" #2): that
+    shape materialized W(W+1)/2 join rows EACH CARRYING a ~few-KB sketch —
+    ~5×10⁹ sketch copies for a year of 5-minute windows, a scale-killer for
+    exactly the long-horizon series the sketch store exists for. Spark
+    evaluates a growing-frame window aggregate incrementally (one buffer
+    update per row, UnboundedPrecedingWindowFunctionFrame), so the running
+    union costs W merges total, not W²/2. The un-partitioned Window is the
+    deliberate single-task ordered fold over an already-aggregated
+    O(windows) frame — the same carve-out exact_cumulative_distinct's
+    prefix sum uses (operators/windows.global_cumulative is for RAW-row
+    cumulatives); no persist is needed because the sketch child is read
+    once. O(W)-movement is pinned by plan + row-count checks in
+    tests/test_sketches.py. Output: (window_col, est_cum:long)."""
+    w = Window.orderBy(window_col).rowsBetween(Window.unboundedPreceding, 0)
+    return sketches.select(
+        F.col(window_col),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch").over(w)).alias("est_cum"),
     )
-    return attach_persisted(out, sk)
 
 
 def exact_cumulative_distinct(

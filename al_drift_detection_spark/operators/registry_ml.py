@@ -1768,12 +1768,10 @@ def q_hll_uniqueness(spark: SparkSession, sf: str) -> DataFrame:
     ev = _t(spark, sf, "events").select(
         F.floor(F.col("event_id") / 500).cast("long").alias("window_id"), "user_id"
     )
-    from al_drift_detection_spark.functions._persist import propagate_persisted
-
     sk = window_hll_sketches(ev, "user_id", "window_id")
     est = cumulative_uniqueness(sk, "window_id")
     ex = exact_cumulative_distinct(ev, "user_id", "window_id")
-    out = ex.join(est, "window_id").select(
+    return ex.join(est, "window_id").select(
         "window_id",
         F.col("n_exact_cum").cast("long").alias("n_exact_cum"),
         (
@@ -1781,7 +1779,6 @@ def q_hll_uniqueness(spark: SparkSession, sf: str) -> DataFrame:
             <= 0.05 * F.col("n_exact_cum")
         ).alias("est_ok"),
     )
-    return propagate_persisted(out, est)
 
 
 @register(

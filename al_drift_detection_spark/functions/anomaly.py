@@ -191,15 +191,29 @@ class MetricsStore:
             .parquet(self.path)
         )
 
+    def _retained(self, spark: SparkSession) -> DataFrame:
+        """The store's committed view: rows of runs NEWER than the highest
+        committed expiry cutoff (`_expired_<run_ts>.committed` markers — the
+        functions/stores protocol). Stale expired partitions awaiting vacuum
+        are filtered out, so a crashed/skipped vacuum never changes answers."""
+        from al_drift_detection_spark.functions.stores import max_committed_level
+
+        df = spark.read.schema(STORE_SCHEMA).parquet(self.path)
+        cutoff = max_committed_level(self.path, "_expired_")
+        if cutoff is not None:
+            df = df.filter(F.col("run_ts") > cutoff)
+        return df
+
     def resolve_run_ts(self, spark: SparkSession, run_id: str) -> int:
         """Replay-safe ordering key: a run_id already present keeps its
         original run_ts (a crash-retried ingest lands exactly where it did
-        in the history order); a new run_id gets max+1 (0 on first ingest)."""
+        in the history order); a new run_id gets max+1 (0 on first ingest).
+        A run_id whose rows were EXPIRED counts as new — its re-ingest
+        enters the history at the head, not at its long-gone position."""
         if not self.exists():
             return 0
         row = (
-            spark.read.schema(STORE_SCHEMA)
-            .parquet(self.path)
+            self._retained(spark)
             .agg(
                 F.max(
                     F.when(F.col("run_id") == run_id, F.col("run_ts"))
@@ -208,13 +222,83 @@ class MetricsStore:
             )
             .collect()[0]
         )
-        return int(row["own"]) if row["own"] is not None else int(row["mx"]) + 1
+        if row["own"] is not None:
+            return int(row["own"])
+        from al_drift_detection_spark.functions.stores import max_committed_level
+
+        cutoff = max_committed_level(self.path, "_expired_")
+        mx = int(row["mx"]) if row["mx"] is not None else (
+            cutoff if cutoff is not None else -1
+        )
+        return mx + 1
 
     def history(self, spark: SparkSession, exclude_run_id: str | None = None) -> DataFrame:
-        df = spark.read.schema(STORE_SCHEMA).parquet(self.path)
+        df = self._retained(spark)
         if exclude_run_id is not None:
             df = df.filter(F.col("run_id") != exclude_run_id)
         return df
+
+    def expire(self, spark: SparkSession, keep_last_runs: int) -> int | None:
+        """RETENTION (VERDICT r6 Next #3): keep only the newest
+        `keep_last_runs` runs — unlike the sketch stores there is no lossless
+        merge of runs (the anomaly z-scores and the cross-run changepoint
+        need the individual points), so retention here is EXPIRY with the
+        honest semantics: verdicts afterwards are computed over exactly the
+        retained window (identical to filtering the full history to the same
+        horizon — pinned in tests/test_store_compaction.py). Commit point is
+        one atomic marker; expired run partitions are vacuumed best-effort
+        and invisible either way. Returns the cutoff run_ts or None."""
+        if keep_last_runs < 1:
+            raise ValueError(f"keep_last_runs must be >= 1, got {keep_last_runs}")
+        if not self.exists():
+            return None
+        from al_drift_detection_spark.functions.stores import commit_level
+
+        ts = sorted(
+            r["run_ts"]
+            for r in self._retained(spark).select("run_ts").distinct().collect()
+        )
+        if len(ts) <= keep_last_runs:
+            return None
+        cutoff = int(ts[len(ts) - keep_last_runs - 1])
+        commit_level(self.path, cutoff, "_expired_")
+        self.vacuum(spark)
+        return cutoff
+
+    def vacuum(self, spark: SparkSession) -> int:
+        """Best-effort removal of run partitions wholly at-or-under the
+        committed expiry cutoff. Readers already ignore them (_retained's
+        run_ts filter), so a crash mid-vacuum is harmless."""
+        import shutil
+
+        from al_drift_detection_spark.functions.stores import max_committed_level
+
+        cutoff = max_committed_level(self.path, "_expired_")
+        if cutoff is None:
+            return 0
+        doomed = (
+            spark.read.schema(STORE_SCHEMA)
+            .parquet(self.path)
+            .groupBy("run_id")
+            .agg(F.max("run_ts").alias("mx"))
+            .filter(F.col("mx") <= cutoff)
+            .collect()
+        )
+        removed = 0
+        for r in doomed:
+            d = os.path.join(self.path, f"run_id={r['run_id']}")
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+        for f in list(os.listdir(self.path)):  # superseded expiry markers
+            if (
+                f.startswith("_expired_")
+                and f.endswith(".committed")
+                and int(f[len("_expired_"):-len(".committed")]) < cutoff
+            ):
+                os.remove(os.path.join(self.path, f))
+                removed += 1
+        return removed
 
     def verdicts(
         self,

@@ -215,16 +215,28 @@ def read_signature_store(spark, store_path: str):
     with only some of its band rows (a plain parquet append commits task
     files non-atomically, so a mid-commit crash used to persist a subset of
     a doc's bands forever: the id-level anti-join skipped re-signing while
-    probes missed the absent bands — review-caught). Returns None when no
-    committed generation exists."""
+    probes missed the absent bands — review-caught).
+
+    Generations at or below the highest committed COMPACTION cutoff
+    (compact_signature_store) are read from the merged `_compacted_<m>/`
+    directory instead — same row set, O(1) directories for the compacted
+    history. Returns None when no committed generation exists."""
     import os
 
-    gens = _committed_gens(store_path)
-    if not gens:
+    from al_drift_detection_spark.functions.stores import max_committed_level
+
+    lvl = max_committed_level(store_path)
+    gens = [
+        g for g in _committed_gens(store_path)
+        if lvl is None or g > lvl
+    ]
+    paths = (
+        [os.path.join(store_path, f"_compacted_{lvl}", f"gen={lvl}")]
+        if lvl is not None else []
+    ) + [os.path.join(store_path, f"gen={g}") for g in gens]
+    if not paths:
         return None
-    return spark.read.parquet(
-        *[os.path.join(store_path, f"gen={g}") for g in gens]
-    )
+    return spark.read.parquet(*paths)
 
 
 def _commit_store_generation(banded_new: DataFrame, store_path: str) -> None:
@@ -232,17 +244,101 @@ def _commit_store_generation(banded_new: DataFrame, store_path: str) -> None:
     read_signature_store): data files first (full-directory overwrite, so a
     crash-retry rewrites rather than duplicates), then the atomic marker
     rename that makes them visible. The generation number is deterministic
-    under replay — a crashed, marker-less attempt is not counted."""
+    under replay — a crashed, marker-less attempt is not counted; numbering
+    continues above the compaction cutoff once older gens are vacuumed."""
     import os
 
+    from al_drift_detection_spark.functions.stores import max_committed_level
+
     gens = _committed_gens(store_path)
-    g = (gens[-1] + 1) if gens else 0
+    lvl = max_committed_level(store_path)
+    g = max(gens[-1] if gens else -1, lvl if lvl is not None else -1) + 1
     banded_new.write.mode("overwrite").parquet(
         os.path.join(store_path, f"gen={g}")
     )
     tmp = os.path.join(store_path, f"._gen_{g}.tmp")
     open(tmp, "w").close()
     os.replace(tmp, os.path.join(store_path, f"_gen_{g}.committed"))
+
+
+def compact_signature_store(spark, store_path: str, keep_last: int = 1) -> int | None:
+    """Bound the signature store (VERDICT r6 Next #3): fold every committed
+    generation except the newest `keep_last` into one `_compacted_<m>/`
+    directory. Signatures are one row set partitioned by batch — each doc is
+    signed exactly once (the membership anti-join), so the fold is a plain
+    set-preserving union: probes and membership answers are IDENTICAL
+    before/after (tests/test_store_compaction.py). Atomicity via the same
+    marker rename the generation appends use: a crash anywhere leaves the
+    store logically unchanged, and the best-effort vacuum of the folded
+    gen directories is ignored by readers either way. Returns the committed
+    cutoff generation or None when fewer than two units are mergeable."""
+    import os
+
+    from al_drift_detection_spark.functions.stores import (
+        commit_level,
+        max_committed_level,
+    )
+
+    lvl = max_committed_level(store_path)
+    gens = [g for g in _committed_gens(store_path) if lvl is None or g > lvl]
+    units = ([lvl] if lvl is not None else []) + gens
+    to_merge = units[: max(len(units) - keep_last, 0)]
+    if len(to_merge) < 2:
+        return None
+    cutoff = to_merge[-1]
+    paths = (
+        [os.path.join(store_path, f"_compacted_{lvl}", f"gen={lvl}")]
+        if lvl is not None else []
+    ) + [os.path.join(store_path, f"gen={g}") for g in gens if g <= cutoff]
+    # the `gen=` leaf keeps the directory visible to Spark's file listing
+    # (names starting with `_` are hidden unless they contain `=`)
+    spark.read.parquet(*paths).write.mode("overwrite").parquet(
+        os.path.join(store_path, f"_compacted_{cutoff}", f"gen={cutoff}")
+    )
+    commit_level(store_path, cutoff)
+    vacuum_signature_store(store_path)
+    return cutoff
+
+
+def vacuum_signature_store(store_path: str) -> int:
+    """Best-effort removal of generation directories/markers folded into the
+    committed compaction, plus superseded compacted dirs/markers. Readers
+    never look at them, so this can crash or be skipped freely."""
+    import os
+    import shutil
+
+    from al_drift_detection_spark.functions.stores import (
+        COMPACT_MARKER,
+        max_committed_level,
+    )
+
+    lvl = max_committed_level(store_path)
+    if lvl is None:
+        return 0
+    removed = 0
+    for d in list(os.listdir(store_path)):
+        p = os.path.join(store_path, d)
+        if d.startswith("gen=") and int(d.split("=", 1)[1]) <= lvl:
+            shutil.rmtree(p, ignore_errors=True)
+            removed += 1
+        elif (
+            d.startswith("_gen_")
+            and d.endswith(".committed")
+            and int(d[len("_gen_"):-len(".committed")]) <= lvl
+        ):
+            os.remove(p)
+            removed += 1
+        elif d.startswith("_compacted_") and int(d.rsplit("_", 1)[1]) < lvl:
+            shutil.rmtree(p, ignore_errors=True)
+            removed += 1
+        elif (
+            d.startswith(COMPACT_MARKER)
+            and d.endswith(".committed")
+            and int(d[len(COMPACT_MARKER):-len(".committed")]) < lvl
+        ):
+            os.remove(p)
+            removed += 1
+    return removed
 
 
 def incremental_minhash_pairs(

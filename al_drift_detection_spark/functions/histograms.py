@@ -148,6 +148,23 @@ def update_histogram_store(
     )
 
 
+def compact_histogram_store(
+    spark: SparkSession, store_path: str, keep_last: int = 1
+) -> int | None:
+    """Bound the store (VERDICT r6 Next #3): merge every snapshot except the
+    newest `keep_last` into one — per (window, bin), sum counts. The
+    histogram merge is lossless by construction (module docstring), so
+    answers are IDENTICAL before/after (tests/test_store_compaction.py);
+    atomicity via the functions/stores marker protocol. Returns the
+    committed cutoff or None if nothing to do."""
+    from al_drift_detection_spark.functions.stores import compact_snapshot_store
+
+    return compact_snapshot_store(
+        spark, store_path, lambda rows: merge_histograms(rows, by_window=True),
+        keep_last=keep_last, schema=STORE_SCHEMA,
+    )
+
+
 def store_quantiles(
     spark: SparkSession,
     store_path: str,
@@ -158,10 +175,16 @@ def store_quantiles(
 ) -> DataFrame:
     """Per-window + corpus-lifetime quantiles from the STORE alone (no raw
     data): per-window rows merge the same window across snapshots; the
-    lifetime row (window NULL) merges everything. O(store rows) work."""
+    lifetime row (window NULL) merges everything. O(store rows) work.
+    Reads the store's committed view (live snapshots above the highest
+    committed compaction cutoff + the merged rows at it)."""
+    from al_drift_detection_spark.functions.stores import read_snapshot_store
+
     if not os.path.exists(store_path):
         raise FileNotFoundError(store_path)
-    st = spark.read.schema(STORE_SCHEMA).parquet(store_path)
+    st = read_snapshot_store(spark, store_path, schema=STORE_SCHEMA)
+    if st is None:
+        raise FileNotFoundError(f"{store_path}: no committed snapshots")
     per_w = histogram_quantiles(
         merge_histograms(st, by_window=True), qs, lo, hi, n_bins
     )

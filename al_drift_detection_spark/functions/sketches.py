@@ -126,15 +126,42 @@ def update_hll_store(
     )
 
 
+def compact_hll_store(
+    spark: SparkSession, store_path: str, window_col: str, keep_last: int = 1
+) -> int | None:
+    """Bound the store (VERDICT r6 Next #3): merge every snapshot except the
+    newest `keep_last` into one — per window, union the sketches and sum
+    n_rows. HLL register union is exactly the operation every read already
+    performs, so answers are IDENTICAL before/after (pinned in
+    tests/test_store_compaction.py); the merge is committed atomically by
+    the functions/stores marker protocol (crash anywhere = store logically
+    unchanged). Returns the committed cutoff or None if nothing to do."""
+    from al_drift_detection_spark.functions.stores import compact_snapshot_store
+
+    def merge(rows: DataFrame) -> DataFrame:
+        return rows.groupBy(window_col).agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.hll_union_agg("sketch").alias("sketch"),
+        ).withColumn("est", F.hll_sketch_estimate("sketch"))
+
+    return compact_snapshot_store(spark, store_path, merge, keep_last=keep_last)
+
+
 def store_uniqueness(
     spark: SparkSession, store_path: str, window_col: str
 ) -> DataFrame:
     """Distinct-count answers from the STORE alone (no raw data): per-window
     estimates (sketches of the same window across snapshots union-merged)
-    plus the corpus-lifetime estimate as window NULL. O(store rows) work."""
+    plus the corpus-lifetime estimate as window NULL. O(store rows) work.
+    Reads the store's committed view (live snapshots above the highest
+    committed compaction cutoff + the merged rows at it)."""
+    from al_drift_detection_spark.functions.stores import read_snapshot_store
+
     if not os.path.exists(store_path):
         raise FileNotFoundError(store_path)
-    st = spark.read.parquet(store_path)
+    st = read_snapshot_store(spark, store_path)
+    if st is None:
+        raise FileNotFoundError(f"{store_path}: no committed snapshots")
     per_w = st.groupBy(window_col).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
         F.sum("n_rows").alias("n_rows"),

@@ -224,6 +224,17 @@ def main(argv: list[str] | None = None) -> int:
         "with a verdict over its full row set; default tumbling",
     )
     ap.add_argument(
+        "--store-compact-keep", type=int, default=None, metavar="N",
+        help="retention for the persisted stores after this run's ingest: "
+        "keep the newest N snapshots/generations/runs and fold (or, for the "
+        "metrics repository, expire) everything older — applies to whichever "
+        "of --hll-store / --quantile-store / --metrics-store / "
+        "--image-dedup-store are given. Lossless for the sketch/signature "
+        "stores (answers identical); retention-semantics for the metrics "
+        "history. Atomic marker commit; crash anywhere leaves the store "
+        "logically unchanged",
+    )
+    ap.add_argument(
         "--stream-combined", action="store_true",
         help="run every --stream verdict family in ONE streaming query over "
         "ONE read of the feed (closed_multi: shared projection + one tagged "
@@ -557,6 +568,11 @@ def main(argv: list[str] | None = None) -> int:
             "part", "column", "metric", "value"
         )
         mstore.append(cur, args.run_id, run_ts)
+        if args.store_compact_keep is not None:
+            # retention AFTER the append, BEFORE scoring: verdicts compare
+            # against exactly the retained window (this run's rows are
+            # excluded from its own history either way)
+            mstore.expire(spark, keep_last_runs=args.store_compact_keep)
         verd = mstore.verdicts(cur, args.run_id)
         verd.orderBy("strategy", "part", "column", "metric").write.mode(
             "overwrite"
@@ -652,6 +668,17 @@ def main(argv: list[str] | None = None) -> int:
                 fp.select("image_id").distinct(), ledger, "image_id"
             )
             clusters = fp.select("image_id").join(keep, "image_id", "left")
+            if args.store_compact_keep is not None:
+                from al_drift_detection_spark.functions.dedup import (
+                    compact_signature_store,
+                )
+
+                # materialize the verdicts (they probe the store) BEFORE the
+                # fold rewrites its directories
+                clusters = clusters.localCheckpoint(eager=True)
+                compact_signature_store(
+                    spark, store, keep_last=args.store_compact_keep
+                )
         else:
             pairs = hamming_pairs(fp, "phash", "image_id", max_distance=3, bands=4)
             clusters = dedup_clusters(fp.select("image_id"), pairs, id_col="image_id")
@@ -781,35 +808,41 @@ def main(argv: list[str] | None = None) -> int:
         release(uniq)
 
     if args.hll_store:
-        import zlib
-
         from al_drift_detection_spark.functions.sketches import (
+            compact_hll_store,
             store_uniqueness,
             update_hll_store,
         )
+        from al_drift_detection_spark.functions.stores import allocate_snapshot_id
 
-        # snapshot key = stable hash of --run-id: a crash-retried run
-        # dynamic-overwrites its OWN snapshot partition (idempotent), a new
-        # run-id appends a new snapshot; estimates are union-merges over the
-        # store, so re-sketching identical rows never inflates the distinct
-        # count (HLL registers are value-idempotent) — only n_rows, which
-        # counts ingested rows by design
-        snap = zlib.crc32(args.run_id.encode())
+        # snapshot key = the store's MONOTONIC run-keyed allocation: a
+        # crash-retried run keeps its id and dynamic-overwrites its OWN
+        # snapshot partition (idempotent), a new run-id gets the next id —
+        # the ordering the compaction cutoff requires; estimates are
+        # union-merges over the store, so re-sketching identical rows never
+        # inflates the distinct count (HLL registers are value-idempotent)
+        # — only n_rows, which counts ingested rows by design
+        snap = allocate_snapshot_id(args.hll_store, args.run_id)
         update_hll_store(
             meta_full.select("window_id", "image_id"),
             args.hll_store, "image_id", "window_id", snapshot_id=snap,
         )
+        if args.store_compact_keep is not None:
+            compact_hll_store(
+                spark, args.hll_store, "window_id",
+                keep_last=args.store_compact_keep,
+            )
         store_uniqueness(spark, args.hll_store, "window_id").orderBy(
             F.col("window_id").asc_nulls_last()
         ).write.mode("overwrite").parquet(f"{args.out}/hll_uniqueness")
 
     if args.quantile_store:
-        import zlib as _zlib
-
         from al_drift_detection_spark.functions.histograms import (
+            compact_histogram_store,
             store_quantiles,
             update_histogram_store,
         )
+        from al_drift_detection_spark.functions.stores import allocate_snapshot_id
 
         # grid = the suite's between-constraint bounds (a DETERMINISTIC
         # reference universe, never data-derived — the categorical_drift
@@ -818,8 +851,13 @@ def main(argv: list[str] | None = None) -> int:
         update_histogram_store(
             meta_full.select("window_id", "w"),
             args.quantile_store, "w", "window_id", q_lo, q_hi,
-            snapshot_id=_zlib.crc32(args.run_id.encode()), n_bins=q_bins,
+            snapshot_id=allocate_snapshot_id(args.quantile_store, args.run_id),
+            n_bins=q_bins,
         )
+        if args.store_compact_keep is not None:
+            compact_histogram_store(
+                spark, args.quantile_store, keep_last=args.store_compact_keep
+            )
         store_quantiles(
             spark, args.quantile_store, [0.25, 0.5, 0.75, 0.95],
             q_lo, q_hi, q_bins,

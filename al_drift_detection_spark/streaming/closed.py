@@ -65,11 +65,22 @@ key there, so the combined dispatcher is audited too, not skipped).
 
 The category universe / reference rules are the deterministic ones of
 drift.categorical_drift and functions/health (fixed ref literals), so a
-window's verdict never depends on other windows or batch boundaries. Rows
-arriving later than the watermark can re-open a window and produce a second
-(fragment-only) verdict at its next close — the standard watermark
-trade-off; size the delay for the source's lateness (dedupe_verdicts in
-this module gives consumers the first-emission-wins read path).
+window's verdict never depends on other windows or batch boundaries.
+
+LATE-DATA CONTRACT (pinned in tests/test_closed_windows.py): a row arriving
+LATER than the watermark is DROPPED by Spark's stateful operator before it
+reaches the fold — it can NOT re-open a closed window, so every window
+emits at most ONE verdict and consumers never see a duplicate from
+lateness. The cost is silent exclusion: a too-small watermark delay loses
+late rows from their window's n entirely — size the delay for the source's
+real lateness. Rows late relative to their WINDOW END but inside the
+watermark delay still fold into the (single) verdict. The remaining
+duplicate risk for consumers is at the SINK, not the state: the sink's
+exactly-once guarantee lives in its _spark_metadata manifest, which only
+Spark directory reads honor — files synced/copied elsewhere or read by
+non-Spark consumers (the engine's DuckDB checks) surface orphan files from
+failed triggers as duplicate verdict rows; dedupe_verdicts is the
+first-emission-wins read path for that.
 """
 
 from __future__ import annotations
@@ -220,9 +231,11 @@ def _pre_reduce(proj: DataFrame, specs: list[ClosedSpec], watermark: str) -> Dat
 
 def _arm_timeout(state: GroupState, w_end) -> None:
     # close when the watermark passes the window end (the watermark already
-    # carries the lateness allowance); a LATE partial re-opening an already-
-    # closed window would find watermark ≥ window_end, where a past timeout
-    # is rejected — clamp just above the watermark
+    # carries the lateness allowance). The clamp is defensive: arming a
+    # timeout at or before the current watermark throws; under the
+    # pre-reducer's invariant (_pre_ts < window end, and later-than-watermark
+    # partials are dropped before the fold) watermark < w_end always holds
+    # here, but a guard beats an unrecoverable stream crash if it ever breaks
     state.setTimeoutTimestamp(
         max(int(w_end.timestamp() * 1000), state.getCurrentWatermarkMs() + 1)
     )
@@ -326,18 +339,22 @@ def split_closed(generic_df: DataFrame, spec: ClosedSpec) -> DataFrame:
 
 def dedupe_verdicts(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
     """First-emission-wins read path for closed-window sinks (VERDICT r6
-    Next #6): a row later than the watermark RE-OPENS its window and emits a
-    second, fragment-only verdict at the next close (module docstring) —
-    appended to the sink after the full-window verdict. Downstream consumers
-    that sum or join per-window verdicts would silently double-count.
+    Next #6). The STATE layer already guarantees at most one verdict per
+    window (late rows are dropped before the fold — module docstring), but
+    the SINK can still surface duplicates: its exactly-once guarantee lives
+    in the _spark_metadata manifest, which only Spark reads of the original
+    directory honor — once the files are synced or copied elsewhere
+    (manifest left behind), or read by a non-Spark consumer (this engine's
+    DuckDB checks), orphan files from failed/retried triggers appear as
+    duplicate verdict rows. Downstream sums/joins would silently
+    double-count them.
 
-    Sinks carry no emission order, so recover it from the sink files'
-    modification time (`_metadata.file_modification_time` — the streaming
-    file sink writes each emission in its own trigger's files, so the
-    full-window verdict's file strictly precedes the late fragment's) with
-    the row-group ordinal as tie-break, and keep the FIRST emission per
-    (window × key): the verdict over the window's complete row set. Late
-    fragments are dropped on read; the sink itself stays append-only.
+    Keep the FIRST emission per (window × key), ordered by the sink files'
+    modification time (`_metadata.file_modification_time`; a retried
+    trigger's orphan strictly precedes its committed twin only by content —
+    they are byte-identical verdicts, so either winning is correct; for
+    genuinely distinct rows the earlier file is the one the manifest
+    committed) with file name as tie-break. The sink stays append-only.
 
     key_cols: the family's non-metric dimension columns (e.g. ["column",
     "kernel"] for drift, ["check", "column"] for health, ["q"] for

@@ -721,3 +721,91 @@ def test_closed_referential_drift_split_window_parity(spark, tmp_path_factory):
     # vs a clean reference (rate 0) the 12.5% orphan window fails; the batch
     # self-reference run necessarily passes (rate == ref_rate)
     assert got.loc[0, "verdict"] == "fail" and brow["verdict"] == "pass"
+
+
+def test_late_data_contract_single_verdict_and_sink_dedupe(spark, tmp_path_factory):
+    """The LATE-DATA CONTRACT (closed.py module docstring, VERDICT r6 Next
+    #6): (a) a row later than the watermark is DROPPED before the stateful
+    fold — it cannot re-open a closed window, so the sink carries exactly
+    ONE verdict per window and its n excludes the dropped row; (b) a row
+    late relative to its WINDOW END but inside the watermark delay still
+    folds into that single verdict; (c) the remaining consumer-side dupe
+    source — orphan trigger files read past the sink's _spark_metadata
+    manifest — is removed by the dedupe_verdicts first-emission-wins read
+    path."""
+    import glob
+    import shutil
+
+    from al_drift_detection_spark.streaming.closed import (
+        closed_window_health,
+        dedupe_verdicts,
+    )
+
+    root = tmp_path_factory.mktemp("late")
+    inp, sink, ckpt = str(root / "in"), str(root / "sink"), str(root / "ckpt")
+
+    def rows(ts_list):
+        return pd.DataFrame({"ts": ts_list, "caption": ["c"] * len(ts_list)})
+
+    w1 = [BASE + pd.Timedelta(seconds=int(s)) for s in range(0, 300, 2)]  # 150 rows
+    frames = [
+        rows(w1),                                        # W1 fragment A
+        # 10 more W1 rows arriving in a LATER file while the watermark is
+        # still below W1's end — late relative to nothing yet: must fold
+        rows([BASE + pd.Timedelta(seconds=299)] * 10),   # in-delay late: folds
+        rows([BASE + pd.Timedelta(hours=1)]),            # advance watermark
+        rows([BASE + pd.Timedelta(hours=1, minutes=6)]),  # trigger: W1 closes
+        rows([BASE + pd.Timedelta(seconds=10)] * 25),    # PAST-watermark late: dropped
+        rows([BASE + pd.Timedelta(hours=3)]),            # more triggers — W1 must
+        rows([BASE + pd.Timedelta(hours=5)]),            # never emit again
+    ]
+    _write_batches(spark, inp, frames, schema="ts timestamp, caption string")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, caption string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = closed_window_health(
+        stream, "ts", ref_volume=160.0, ref_null_ratios={"caption": 0.0},
+        window="5 minutes", watermark="1 minute",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    raw = spark.read.parquet(sink)
+    vol = raw.filter(F.col("check") == "volume").toPandas()
+    w1_vol = vol[vol["window_start"] == BASE]
+    # (a)+(b): exactly ONE W1 verdict; n = 150 + 10 in-delay late rows,
+    # the 25 past-watermark rows silently excluded — never a re-open row
+    assert len(w1_vol) == 1
+    assert w1_vol.iloc[0]["n_rows"] == 160
+
+    # (c) fabricate the manifest-less consumer scenario: the sink's data
+    # files get synced to another location WITHOUT _spark_metadata (the
+    # exactly-once manifest), carrying an orphan file a failed trigger left
+    # behind — duplicates are now visible, and the dedupe read path removes
+    # them keeping the first emission
+    synced = str(root / "synced")
+    import os
+
+    os.makedirs(synced)
+    for f in sorted(glob.glob(f"{sink}/part-*.parquet")):
+        shutil.copy(f, synced)
+    time.sleep(0.05)
+    biggest = max(glob.glob(f"{sink}/part-*.parquet"), key=os.path.getsize)
+    shutil.copy(biggest, f"{synced}/part-99999-orphan.c000.snappy.parquet")
+    dirty = spark.read.parquet(synced)
+    assert dirty.count() > raw.count()  # the orphan IS visible without the manifest
+    clean = dedupe_verdicts(dirty, ["check", "column"]).toPandas()
+    assert not clean.duplicated(
+        ["window_start", "window_end", "check", "column"]).any()
+    cw1 = clean[(clean["window_start"] == BASE) & (clean["check"] == "volume")]
+    assert len(cw1) == 1 and cw1.iloc[0]["n_rows"] == 160

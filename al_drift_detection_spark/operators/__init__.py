@@ -16,6 +16,10 @@ order is therefore CURATED, not accidental:
   in tests/test_plans.py) were demoted to make driver-gate room for the
   r3-r4 families q_wasserstein (extended drift kernel) and
   q_uniqueness_drift (health);
+- r7 ROTATION (VERDICT r6 item 5): q_zscore + q_vector_magnitude (one
+  scalar-expression family, two slots) and q_time_bucket (F7's gate rep is
+  q_group_extents) demoted; the round-6 store families promoted —
+  q_histogram_quantiles, q_metric_anomaly, q_store_changepoint;
 - 12 oracle entries are DEMOTED past the window as redundant twins of
   in-window entries (the gate re-checks the same operator family):
   q_ks_statistic (⊂ q_ks_pvalue), q_except_keys (≡ q_anti_join shape),
@@ -70,9 +74,10 @@ GATE_FRONT: list[str] = [
     # set ops / sampling (U1-U3, M1)
     "q_union_tagged",
     "q_stratified_sample",
-    # scalar functions (F1-F5)
-    "q_zscore",
-    "q_vector_magnitude",
+    # scalar functions (F3-F5; the F1/F2 scalar-expression twins q_zscore /
+    # q_vector_magnitude were demoted in the r7 rotation — one projection
+    # family needs one gate representative, and q_orbit_prep still
+    # value-checks the z-score composition locally)
     "q_regexp_extract",
     "q_label_remap",
     "q_abs_gap_flags",
@@ -91,6 +96,14 @@ GATE_FRONT: list[str] = [
     "q_wasserstein",
     "q_uniqueness_drift",
     "q_page_hinkley",
+    # r7 rotation (VERDICT r6 item 5): the round-6 store families take the
+    # slots freed by q_zscore / q_vector_magnitude / q_time_bucket —
+    # mergeable histogram-quantile sketch store (interpolation math under
+    # oracle), the metrics repository's anomaly verdicts, and the cross-run
+    # store changepoint
+    "q_histogram_quantiles",
+    "q_metric_anomaly",
+    "q_store_changepoint",
     # dedup / text
     "q_dedup_exact",
     "q_ngram_jaccard_pairs",
@@ -101,11 +114,12 @@ GATE_FRONT: list[str] = [
     # similarity / inference
     "q_cosine_topk",
     "q_batch_inference",
-    # ext: rollups, sketches, time, correlation, as-of, splits, skew, sequences
+    # ext: rollups, sketches, correlation, as-of, splits, skew, sequences
+    # (q_time_bucket demoted r7: the F7 timestamp family's gate
+    # representative is q_group_extents)
     "q_grouping_sets",
     "q_pivot",
     "q_percentiles",
-    "q_time_bucket",
     "q_corr_covar",
     "q_asof_join",
     "q_split_assignment",

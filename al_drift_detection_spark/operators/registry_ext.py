@@ -292,6 +292,49 @@ def q_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_salted_agg_auto",
+    """
+    SELECT event_type,
+           round(sum(value), 2) AS sum_value,
+           count(*) AS n,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    "AUTO-salted aggregation (VERDICT r6 Next #7 — wires q_skew_profile's "
+    "measurement into q_salted_agg's mitigation): the fan-out is DERIVED "
+    "from the key's measured skew profile (max suggested_salts), falling "
+    "back to the plain one-level aggregate when the key is uniform. The "
+    "oracle is the PLAIN group-by — whatever fan-out the profile picks, "
+    "the rewrite must be semantics-preserving (skew.salted_agg_auto; "
+    "two-stage plan + planted-skew fan-out pinned in tests/test_skew_auto.py)",
+)
+def q_salted_agg_auto(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.skew import salted_agg_auto
+
+    ev = _t(spark, sf, "events")
+    out, _n = salted_agg_auto(
+        ev,
+        group_cols=["event_type"],
+        aggs={
+            "sum_value": F.sum("value"),
+            "n": F.count(F.lit(1)),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+        },
+        row_key="event_id",
+        max_salts=32,
+    )
+    return out.select(
+        "event_type",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.col("n").cast("long").alias("n"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )
+
+
+@register(
     "q_sequence_checksum",
     """
     SELECT event_id,

@@ -224,6 +224,16 @@ def main(argv: list[str] | None = None) -> int:
         "with a verdict over its full row set; default tumbling",
     )
     ap.add_argument(
+        "--salted-stats", action="store_true",
+        help="per-fmt aggregate stats over the images table via the "
+        "AUTO-salted two-level aggregation (skew.salted_agg_auto): measure "
+        "the fmt skew profile (the table is ~90/10 jpeg/png — FIXTURES.md), "
+        "derive the salt fan-out from it, and aggregate with hot keys "
+        "leveled across reducers; writes skew_profile/ and fmt_stats/ "
+        "(values identical to the plain group-by — the salting is purely a "
+        "physical rewrite)",
+    )
+    ap.add_argument(
         "--store-compact-keep", type=int, default=None, metavar="N",
         help="retention for the persisted stores after this run's ingest: "
         "keep the newest N snapshots/generations/runs and fold (or, for the "
@@ -806,6 +816,30 @@ def main(argv: list[str] | None = None) -> int:
             f"{args.out}/health_uniqueness"
         )
         release(uniq)
+
+    if args.salted_stats:
+        from al_drift_detection_spark.functions._persist import release
+        from al_drift_detection_spark.skew import salted_agg_auto, skew_profile
+
+        prof = skew_profile(meta_full, "fmt", max_salts=32)
+        prof_rows = prof.orderBy(F.desc("cnt"))
+        prof_rows.write.mode("overwrite").parquet(f"{args.out}/skew_profile")
+        stats_df, n_salts = salted_agg_auto(
+            meta_full,
+            group_cols=["fmt"],
+            aggs={
+                "n": F.count(F.lit(1)),
+                "sum_w": F.sum(F.col("w").cast("double")),
+                "min_h": F.min("h"),
+                "max_h": F.max("h"),
+            },
+            row_key="image_id",
+            profile=spark.read.parquet(f"{args.out}/skew_profile"),
+        )
+        release(prof)
+        stats_df.withColumn("n_salts_used", F.lit(int(n_salts))).orderBy(
+            "fmt"
+        ).write.mode("overwrite").parquet(f"{args.out}/fmt_stats")
 
     if args.hll_store:
         from al_drift_detection_spark.functions.sketches import (

@@ -81,7 +81,53 @@ def skewed_key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
     )
 
 
-def skew_profile(df: DataFrame, key: str, max_salts: int = 32) -> DataFrame:
+def salted_agg_auto(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, Column],
+    row_key: str,
+    profile: DataFrame | int | None = None,
+    max_salts: int = 32,
+) -> tuple[DataFrame, int]:
+    """salted_agg with the fan-out DERIVED from the skew profile instead of
+    hand-plumbed (VERDICT r6 Next #7 — q_skew_profile measured the skew and
+    q_salted_agg demonstrated the mitigation, but nothing wired them).
+
+    profile:
+      None       — measure skew_profile(df, group_cols) here (one extra
+                   count pass over df; at scale, measure once and reuse);
+      DataFrame  — a skew_profile output for this key: its max
+                   suggested_salts is the fan-out (hot keys dominate the
+                   level-1 reducer, so leveling the hottest levels all);
+      int        — an explicit fan-out (the caller's own sizing).
+
+    A derived fan-out ≤ 1 means the key is not skewed: return the PLAIN
+    one-level aggregate — salting a uniform key would only add a pointless
+    second shuffle. Returns (result frame, n_salts used); values are
+    identical to the unsalted aggregate either way (parity pinned in
+    tests/test_skew_auto.py and by q_salted_agg_auto's plain-GROUP-BY
+    oracle)."""
+    if profile is None:
+        profile = skew_profile(df, group_cols, max_salts=max_salts)
+    if isinstance(profile, DataFrame):
+        from al_drift_detection_spark.functions._persist import release
+
+        row = profile.agg(F.max("suggested_salts").alias("_s")).collect()[0]
+        release(profile)
+        n_salts = int(row["_s"]) if row["_s"] is not None else 1
+    else:
+        n_salts = int(profile)
+    if n_salts <= 1:
+        return (
+            df.groupBy(*group_cols).agg(
+                *[c.alias(name) for name, c in aggs.items()]
+            ),
+            1,
+        )
+    return salted_agg(df, group_cols, aggs, row_key, n_salts=n_salts), n_salts
+
+
+def skew_profile(df: DataFrame, key: str | list[str], max_salts: int = 32) -> DataFrame:
     """Skew PROFILER for a grouping/join key: per-key row count, share of
     total, skew ratio vs a uniform key distribution, and the salt fan-out
     salted_agg would need to level that key (suggested_salts =
@@ -104,14 +150,15 @@ def skew_profile(df: DataFrame, key: str, max_salts: int = 32) -> DataFrame:
     """
     from al_drift_detection_spark.functions._persist import attach_persisted
 
-    c = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt")).persist()
+    keys = [key] if isinstance(key, str) else list(key)
+    c = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt")).persist()
     t = c.agg(
         F.sum("cnt").cast("double").alias("_tot"),
         F.count(F.lit(1)).cast("double").alias("_nk"),
     )
     ratio = F.col("cnt") * F.col("_nk") / F.col("_tot")
     out = c.crossJoin(F.broadcast(t)).select(
-        key,
+        *keys,
         F.col("cnt").cast("long").alias("cnt"),
         F.round(F.col("cnt") / F.col("_tot"), 6).alias("share"),
         F.round(ratio, 6).alias("skew_ratio"),

@@ -32,6 +32,14 @@ DEMOTED_ORACLE_TWINS = {
     # q_error_sdi freed the slot for q_page_hinkley (the new sequential
     # change-detector family's representative)
     "q_error_sdi",
+    # r7 rotation (VERDICT r6 item 5): one scalar-expression family held two
+    # slots (q_zscore F1 / q_vector_magnitude F2 — q_orbit_prep still
+    # value-checks the z-score composition locally), and q_time_bucket's F7
+    # timestamp family is represented by q_group_extents; the freed slots
+    # went to q_histogram_quantiles / q_metric_anomaly / q_store_changepoint
+    "q_zscore",
+    "q_vector_magnitude",
+    "q_time_bucket",
 }
 
 # oracle-bearing EXTENSIONS beyond the SURVEY §2 inventory, plus explicit
@@ -52,8 +60,11 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # known-baseline sequential detector; the family's representative
     # (q_page_hinkley) is in-window via the late-r6 rotation
     "q_cusum",
-    # skew MEASUREMENT step of the in-window q_salted_agg mitigation
+    # skew MEASUREMENT step of the in-window q_salted_agg mitigation, and
+    # the r7 auto-wired variant (profile-derived fan-out; same plain
+    # GROUP-BY oracle as the in-window manual q_salted_agg)
     "q_skew_profile",
+    "q_salted_agg_auto",
     # categorical sibling of q_corr_drift's joint-structure family
     # (Deequ MutualInformation analyzer: MI + Cramér's V) and its
     # per-window drift form
@@ -64,10 +75,6 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     "q_benford",
     # windowed-verdict form of the in-window q_anti_join referential family
     "q_referential_drift",
-    # cross-run metrics-repository view of the in-window q_page_hinkley
-    # sequential family (per-series partitioned fold, q_metric_anomaly's
-    # store)
-    "q_store_changepoint",
     # schema-inference half of the q_suggest_constraints profiling family
     "q_type_suggestions",
     # composite-key Deequ uniqueness triple (multi-column form of the
@@ -103,11 +110,10 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     "q_cvm_drift",
     "q_ad_drift",
     "q_energy_distance",
-    # r6 mergeable histogram-quantile sketches: the one-shot quantile family
-    # is in-window via q_percentiles; this adds the mergeable/incremental
-    # sketch layer (store twin of q_hll_uniqueness)
-    "q_histogram_quantiles",
-    "q_histogram_drift",  # sketch-only PSI/KS twin of q_psi_fixed_bins
+    # r6 mergeable histogram sketches: q_histogram_quantiles was promoted
+    # in-window by the r7 rotation; the sketch-only PSI/KS drift twin stays
+    # local (q_psi_fixed_bins is its in-window representative)
+    "q_histogram_drift",
     # r6 cross-column correlation drift: joint-structure health extension of
     # the in-window q_corr_covar / drift-kernel families
     "q_corr_drift",
@@ -115,10 +121,6 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # suggested checks' runtime families (not_null/in_set/between/unique)
     # are in-window via the validation suite entries
     "q_suggest_constraints",
-    # r6 metric-history anomaly validation (Deequ metrics-repository
-    # pattern): scores the newest ingest's stat rows against trailing run
-    # history — the stats (A13) and drift-verdict families are in-window
-    "q_metric_anomaly",
     # r6 sequential change-detector family: q_page_hinkley is the in-window
     # representative; DDM and the EWMA chart are its family twins
     "q_ddm_error_rate",

@@ -113,6 +113,7 @@ TOTAL_EXCLUDED = {
     "q_cusum",
     "validation_pass_decode",  # reported in queries but never summed either
     "stream_pass",  # round-6 streaming leg, additive
+    "stream_pass_combined",  # round-7 single-scan streaming leg, additive
 }
 
 
@@ -207,15 +208,22 @@ def validation_pass(spark, images_path: str, include_decode: bool = False) -> di
     }
 
 
-def stream_pass(spark, images_path: str, out_root: str) -> dict:
+def stream_pass(spark, images_path: str, out_root: str, combined: bool = False) -> dict:
     """Closed-window STREAMING twin of the validation pass (round 6): stage
     the corpus meta as an event-time feed (one file per positional window +
-    sentinel) and run the four closed-window verdict streams — KS/PSI/MMD
-    drift, volume/completeness health, KMV uniqueness, chi-square fmt drift
-    — end-to-end as Structured Streaming queries with parquet sinks
-    (streaming/driver.py). Reported rows/sec covers stage + stream; the
-    split is returned so the stream-only rate is visible (staging is the
-    bounded-replay harness cost — a deployment reads a live feed)."""
+    sentinel) and run the closed-window verdict streams — KS/PSI/MMD
+    drift, volume/completeness health, KMV uniqueness, histogram quantiles,
+    association, chi-square fmt drift — end-to-end as Structured Streaming
+    queries with parquet sinks (streaming/driver.py). Reported rows/sec
+    covers stage + stream; the split is returned so the stream-only rate is
+    visible (staging is the bounded-replay harness cost — a deployment
+    reads a live feed).
+
+    combined=True (round 7) runs the SAME families through the single-scan
+    path (one query, one feed read, one tagged pre-reducer, one stateful
+    dispatcher — closed.closed_multi) instead of one share-nothing query
+    per family: the per-query effective scan rate collapses from N× the
+    headline to 1× (VERDICT r6 "What's wrong" #3)."""
     import shutil
 
     from al_drift_detection_spark.streaming import driver as sd
@@ -228,7 +236,8 @@ def stream_pass(spark, images_path: str, out_root: str) -> dict:
     sd.stage_bounded_stream(meta, f"{out_root}/_in", 300, 60)
     refs = sd.build_references(meta, 4, ["fmt"])
     t_staged = time.perf_counter()
-    counts = sd.run_closed_streams(
+    run = sd.run_closed_streams_combined if combined else sd.run_closed_streams
+    counts = run(
         spark, f"{out_root}/_in", out_root, refs, ["fmt"],
         files_per_trigger=128,
     )
@@ -343,6 +352,16 @@ def main() -> None:
     warm_page_cache(images_path)
     stv = stream_pass(spark, images_path, f"/tmp/bench_stream_{n_images}")
     queries["stream_pass"] = round(stv["wall"], 3)
+
+    # round-7 additive key: the SAME verdict families through the
+    # single-scan combined stream (one feed read + one stateful dispatcher
+    # instead of one share-nothing query per family) — the consolidation
+    # VERDICT r6 Next #1 asked to make bench-visible
+    warm_page_cache(images_path)
+    stc = stream_pass(
+        spark, images_path, f"/tmp/bench_streamc_{n_images}", combined=True
+    )
+    queries["stream_pass_combined"] = round(stc["wall"], 3)
 
     result = {
         "metric": "headline_suite_sec",

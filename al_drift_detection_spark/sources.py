@@ -155,6 +155,35 @@ def merge_upsert(
         spark.catalog.dropTempView(view)
 
 
+def expire_snapshots(
+    spark: SparkSession,
+    table: str,
+    retain_last: int = 1,
+    older_than: str | None = None,
+):
+    """Iceberg snapshot retention — the DEPLOYMENT form of the sandbox
+    stores' marker-committed compaction (functions/stores.py: there the
+    merged dir + atomic marker reproduce exactly this snapshot-swap
+    atomicity on plain POSIX directories). Invokes the standard
+    `system.expire_snapshots` procedure on the table's catalog; `older_than`
+    is an optional `TIMESTAMP 'YYYY-MM-DD HH:MM:SS'` literal body. Returns
+    the procedure's result frame (deleted file counts). Exercised for real
+    by the skipped-unless-Iceberg test in tests/test_iceberg_seam.py."""
+    if "." not in table:
+        raise ValueError(
+            f"{table!r} is not catalog-qualified — snapshot expiry is a "
+            "catalog procedure (the parquet stand-ins use "
+            "functions/stores.compact_snapshot_store instead)"
+        )
+    catalog = table.split(".", 1)[0]
+    args = [f"table => '{table}'", f"retain_last => {int(retain_last)}"]
+    if older_than is not None:
+        args.append(f"older_than => TIMESTAMP '{older_than}'")
+    return spark.sql(
+        f"CALL {catalog}.system.expire_snapshots({', '.join(args)})"
+    )
+
+
 def read_orbit_csvs(
     spark: SparkSession,
     path_glob: str | list[str],

@@ -190,6 +190,70 @@ def minhash_lsh_pairs(
     return attach_persisted(cand.filter(F.col("est_jaccard") >= threshold), banded)
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    threshold: float = 0.2,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate / contained-copy pairs from WINNOWING fingerprints
+    (text.winnow_fingerprints): documents sharing any token run of length
+    ≥ w + k − 1 are guaranteed ≥ 1 shared fingerprint, so the candidate join
+    misses no qualifying pair; overlap = |shared fps| / min(|A|, |B|) — the
+    CONTAINMENT normalization, which (unlike Jaccard) still scores a small
+    document pasted inside a large one near 1.0.
+
+    Scale shape mirrors ngram_jaccard_pairs, but on the ~2/(w+1)-density
+    fingerprint rows instead of every shingle — the join input is ~w/2×
+    smaller for the same corpus. The join key is the fingerprint hash
+    (high-cardinality, well-distributed); `max_doc_freq` drops boilerplate
+    fingerprints appearing in more than that many docs BEFORE the self-join
+    (the hot-shingle df cap — no near-dup signal, d²/2 join rows). The
+    per-doc fingerprint SET frame feeds sizes and both join sides — the
+    shared-child persist rule; caller releases via _persist.release."""
+    from al_drift_detection_spark.functions.text import winnow_fingerprints
+
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+        .select(F.col(id_col).alias("id"), "fp")
+        .distinct()
+        .persist()
+    )
+    use = fps
+    if max_doc_freq is not None:
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("fp")
+        )
+        use = fps.join(rare, "fp")
+    sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = use.alias("a"), use.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        shared.join(
+            sizes.select(F.col("id").alias("a_id"), F.col("n_fp").alias("na")), "a_id"
+        )
+        .join(
+            sizes.select(F.col("id").alias("b_id"), F.col("n_fp").alias("nb")), "b_id"
+        )
+        .select(
+            "a_id", "b_id", "n_shared",
+            F.round(F.col("n_shared") / F.least("na", "nb"), 6).alias("overlap"),
+        )
+        .filter(F.col("overlap") >= threshold)
+    )
+    return attach_persisted(out, fps)
+
+
 def _committed_gens(store_path: str) -> list[int]:
     import os
 

@@ -271,6 +271,78 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every word k-gram, slide a window of w consecutive
+    hashes over each document, and select each window's MINIMUM (rightmost
+    position on ties — "robust winnowing", so a repeated shingle inside one
+    window contributes one stable pick). The selected (pos, hash) set is the
+    fingerprint, with the scheme's guarantee: any shared token run of length
+    ≥ w + k − 1 between two documents yields at least one SHARED fingerprint
+    — unlike fingerprint()'s single min-hash digest, matches survive
+    reordering, prefix insertion, and partial overlap, and the fingerprint
+    density is ~2/(w+1) of shingles regardless of document length.
+
+    Relational shape (no UDF): shingle rows with positions (the shingle_rows
+    lead() pattern), ONE ordered window pass per document computing each
+    window-start's min over a [0, w−1] row frame — the per-doc ordering
+    shuffle is the only exchange, partitioned by doc id. The hash is md5 of
+    the shingle text compared as its hex string: a deterministic total order
+    an ANSI oracle reproduces bit-for-bit (xxhash64 has no DuckDB twin).
+    Window starts are FULL windows only (pos ≤ S − w); a document with
+    fewer than w shingles degenerates to its global minimum, so every
+    tokenizable document keeps ≥ 1 fingerprint.
+
+    Output: (doc_id, pos, fp) — pos is the selected shingle's position,
+    fp its md5 hex. Oracle: q_winnow_fingerprints (full SQL twin);
+    guarantee/tie/degenerate cases pinned in tests/test_winnowing.py.
+    Reference scope: target-only LLM-pipeline operator (SURVEY §2 scope
+    note), sibling of the MinHash/SimHash dedup family."""
+    if k < 1 or w < 1:
+        raise ValueError(f"need k >= 1 and w >= 1, got k={k}, w={w}")
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "t")
+    )
+    ww = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("t")] + [F.lead("t", i).over(ww) for i in range(1, k)]
+    sh = (
+        tok.select(
+            "id", "pos",
+            F.when(
+                F.lead("t", k - 1).over(ww).isNotNull() | F.lit(k == 1),
+                F.md5(F.concat_ws(" ", *parts)),
+            ).alias("h"),
+        )
+        .filter(F.col("h").isNotNull())
+    )
+    frame = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    sized = sh.withColumn("s", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    sel = sized.withColumn(
+        # per window START: (min hash, rightmost position holding it) — the
+        # struct min orders by (h asc, -pos asc) = ties → larger pos
+        "_sel", F.min(F.struct(F.col("h").alias("mh"),
+                               (-F.col("pos")).alias("np"))).over(frame),
+    ).filter(
+        (F.col("pos") <= F.col("s") - w) | ((F.col("s") < w) & (F.col("pos") == 0))
+    )
+    return (
+        sel.select(
+            F.col("id").alias(id_col),
+            (-F.col("_sel.np")).cast("long").alias("pos"),
+            F.col("_sel.mh").alias("fp"),
+        )
+        .distinct()
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

@@ -644,6 +644,81 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.04)
 
 
+_WINNOW_CTE = """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]) AS h
+      FROM tok, UNNEST(range(1, len(ts) - 1)) AS r(i)
+    ),
+    sized AS (SELECT *, count(*) OVER (PARTITION BY doc_id) AS s FROM sh),
+    starts AS (
+      SELECT doc_id, pos AS start, s,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+      FROM sized
+    ),
+    valid AS (
+      SELECT * FROM starts WHERE start <= s - 4 OR (s < 4 AND start = 0)
+    ),
+    sel AS (
+      SELECT v.doc_id, v.start, v.mh AS fp, max(x.pos) AS pos
+      FROM valid v JOIN sized x
+        ON x.doc_id = v.doc_id
+       AND x.pos BETWEEN v.start AND v.start + 3
+       AND x.h = v.mh
+      GROUP BY 1, 2, 3
+    )
+"""
+
+
+@register(
+    "q_winnow_fingerprints",
+    _WINNOW_CTE + """
+    SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM sel
+    """,
+    "WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken — the MOSS "
+    "scheme): md5 every word 3-gram, slide a 4-hash window, keep each "
+    "window's minimum (rightmost on ties — robust winnowing); guarantees "
+    "any shared run of >= w+k-1 = 6 tokens yields a shared fingerprint. "
+    "One ordered window pass per doc, no UDF; md5 hex gives an order the "
+    "oracle reproduces bit-for-bit (text.winnow_fingerprints; guarantee + "
+    "tie + short-doc cases in tests/test_winnowing.py)",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.text import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf, "documents"), k=3, w=4)
+
+
+@register(
+    "q_winnow_overlap_pairs",
+    _WINNOW_CTE + """,
+    fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+    sizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, n_shared,
+           round(n_shared / least(sa.n_fp, sb.n_fp), 6) AS overlap
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE round(n_shared / least(sa.n_fp, sb.n_fp), 6) >= 0.2
+    """,
+    "contained-copy / near-dup pairs from winnowing fingerprints: join on "
+    "shared fingerprints (guaranteed for any >= 6-token shared run), "
+    "overlap = shared / min(|A|,|B|) — the CONTAINMENT normalization that "
+    "scores a small doc pasted into a large one near 1.0 where Jaccard "
+    "dilutes; join input is the ~2/(w+1)-density fingerprint rows, not all "
+    "shingles (dedup.winnow_overlap_pairs)",
+)
+def q_winnow_overlap_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return D.winnow_overlap_pairs(_t(spark, sf, "documents"), threshold=0.2)
+
+
 @register(
     "q_decontamination",
     """

@@ -80,6 +80,10 @@ HEADLINE = [
     "q_corr_drift",
     "q_hist_distances",
     "q_cusum",
+    # round-7 additions (additive keys, excluded from the summed total)
+    "q_winnow_fingerprints",
+    "q_winnow_overlap_pairs",
+    "q_salted_agg_auto",
 ]
 
 # reported per-query but EXCLUDED from the summed `value` metric, which keeps
@@ -111,6 +115,9 @@ TOTAL_EXCLUDED = {
     "q_corr_drift",
     "q_hist_distances",
     "q_cusum",
+    "q_winnow_fingerprints",
+    "q_winnow_overlap_pairs",
+    "q_salted_agg_auto",
     "validation_pass_decode",  # reported in queries but never summed either
     "stream_pass",  # round-6 streaming leg, additive
     "stream_pass_combined",  # round-7 single-scan streaming leg, additive

@@ -85,6 +85,11 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     "q_pii_scan",
     "q_quality_gate",
     "q_decontamination",  # membership family is in-window via q_anti_join
+    # winnowing (MOSS) fingerprints + containment pairs: the shingle/pair
+    # families are in-window via q_ngram_jaccard_pairs / q_dedup_clusters;
+    # these add the guarantee-bearing fingerprint scheme (round 7)
+    "q_winnow_fingerprints",
+    "q_winnow_overlap_pairs",
     # exact-Jaccard twin of the in-window q_near_dup_rate (VERDICT r3 item 5):
     # value-checks the windowed dup-rate series; LSH stays the scale path
     "q_near_dup_rate_exact",

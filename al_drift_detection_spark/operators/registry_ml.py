@@ -1857,6 +1857,81 @@ def q_hll_uniqueness(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_frequent_items",
+    """
+    WITH c AS (
+      SELECT CAST(floor(event_id / 500) AS BIGINT) AS "window",
+             event_type AS item, count(*) AS n
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT "window", item, n,
+             row_number() OVER (PARTITION BY "window" ORDER BY n DESC, item) AS rank,
+             CAST(sum(n) OVER (PARTITION BY "window") AS BIGINT) AS n_total
+      FROM c
+    )
+    SELECT "window", item, n, rank, round(n / n_total, 6) AS share, n_total
+    FROM r WHERE rank <= 5
+    """,
+    "EXACT per-window frequent items (Deequ FrequentItems/Histogram "
+    "analyzer): top-5 by count with deterministic (count desc, item asc) "
+    "ordering — the small-scale oracle twin of the Misra-Gries sketch path "
+    "(functions/frequent.window_frequent_items)",
+)
+def q_frequent_items(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.frequent import window_frequent_items
+
+    ev = _t(spark, sf, "events").select(
+        F.floor(F.col("event_id") / 500).alias("window_id"), "event_type"
+    )
+    return window_frequent_items(ev, "event_type", "window_id", top=5)
+
+
+@register(
+    "q_mg_frequent_items",
+    """
+    WITH src AS (
+      SELECT CAST(floor(event_id / 500) AS BIGINT) AS "window",
+             CASE WHEN event_id % 10 < 6 THEN 'hot'
+                  ELSE 'u' || CAST(user_id % 50 AS VARCHAR) END AS item
+      FROM events
+    ),
+    c AS (SELECT "window", item, count(*) AS n FROM src GROUP BY 1, 2),
+    r AS (
+      SELECT "window", item, n,
+             row_number() OVER (PARTITION BY "window" ORDER BY n DESC, item) AS rank,
+             sum(n) OVER (PARTITION BY "window") AS n_total
+      FROM c
+    )
+    SELECT "window", item, n, rank, round(n / n_total, 6) AS share,
+           n / n_total > 1.0 / 5 AS guaranteed,
+           TRUE AS ok
+    FROM r WHERE rank <= 5
+    """,
+    "MISRA-GRIES frequent items under its own INVARIANTS as the oracle "
+    "(the q_hll_uniqueness est_ok pattern — MG estimates are "
+    "chunking-dependent, the guarantees are not): a planted 60%-hot-key "
+    "column with 50 cold tail items forces real k=4 reductions; for the "
+    "exact top-5 the engine emits ok = (n_exact - est)*(k+1) <= n_total, "
+    "the undercount bound whose violation would also catch a missing "
+    "guaranteed heavy hitter (est 0 blows the bound). DuckDB recomputes "
+    "the exact side and expects ok TRUE everywhere "
+    "(functions/frequent.mg_verified; chunking-invariance + store tests "
+    "in tests/test_frequent.py)",
+)
+def q_mg_frequent_items(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.frequent import mg_verified
+
+    ev = _t(spark, sf, "events").select(
+        F.floor(F.col("event_id") / 500).alias("window_id"),
+        F.when(F.col("event_id") % 10 < 6, F.lit("hot"))
+        .otherwise(F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string")))
+        .alias("item"),
+    )
+    return mg_verified(ev, "item", "window_id", k=4, top=5)
+
+
+@register(
     "q_ad_drift",
     """
     WITH s AS (

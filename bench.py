@@ -84,6 +84,8 @@ HEADLINE = [
     "q_winnow_fingerprints",
     "q_winnow_overlap_pairs",
     "q_salted_agg_auto",
+    "q_frequent_items",
+    "q_mg_frequent_items",
 ]
 
 # reported per-query but EXCLUDED from the summed `value` metric, which keeps
@@ -118,6 +120,8 @@ TOTAL_EXCLUDED = {
     "q_winnow_fingerprints",
     "q_winnow_overlap_pairs",
     "q_salted_agg_auto",
+    "q_frequent_items",
+    "q_mg_frequent_items",
     "validation_pass_decode",  # reported in queries but never summed either
     "stream_pass",  # round-6 streaming leg, additive
     "stream_pass_combined",  # round-7 single-scan streaming leg, additive

@@ -85,6 +85,11 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     "q_pii_scan",
     "q_quality_gate",
     "q_decontamination",  # membership family is in-window via q_anti_join
+    # frequent-items family (round 7): the exact top-k twin and the
+    # Misra-Gries invariant-verified sketch (ordering family in-window via
+    # q_topk_per_group; the sketch-store pattern via q_histogram_quantiles)
+    "q_frequent_items",
+    "q_mg_frequent_items",
     # winnowing (MOSS) fingerprints + containment pairs: the shingle/pair
     # families are in-window via q_ngram_jaccard_pairs / q_dedup_clusters;
     # these add the guarantee-bearing fingerprint scheme (round 7)

@@ -215,3 +215,101 @@ def store_frequent_items(
     if st is None:
         raise FileNotFoundError(f"{store_path}: no committed snapshots")
     return mg_summary(st.select("window", "item", "cnt"), k=k)
+
+
+def frequent_items_drift(
+    df: DataFrame,
+    col: str,
+    window_col: str,
+    ref_windows: int,
+    top: int = 10,
+    l1_threshold: float = 0.3,
+    entrant_threshold: float = 0.1,
+) -> DataFrame:
+    """Top-item DRIFT per window — "did the heavy hitters change": compare
+    each post-reference window's item shares against the reference windows'
+    top-`top` set on two signals, (a) the L1 share distance over the
+    REFERENCE top set (the deterministic-universe rule: the compared item
+    set derives from the reference, never from the observed window, so a
+    window's verdict is independent of other windows) and (b) the largest
+    NEW-ENTRANT share — the heaviest item outside the reference top set
+    (L1 over a fixed set alone is blind to a brand-new heavy hitter that
+    steals mass proportionally). fail iff l1 > l1_threshold or
+    entrant_share > entrant_threshold.
+
+    One count shuffle over (window, item); everything downstream is
+    O(windows × top) relational work on the aggregated frame, which is
+    persisted — it feeds the reference fold, the per-window totals, both
+    share joins, and the entrant ranking (the shared-child rule); caller
+    releases via _persist.release. Output: (window, l1, entrant_item,
+    entrant_share, verdict)."""
+    from al_drift_detection_spark.functions._persist import attach_persisted
+
+    c = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(
+            F.col(window_col).cast("long").alias("window"),
+            F.col(col).cast("string").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    refc = (
+        c.filter(F.col("window") < ref_windows)
+        .groupBy("item")
+        .agg(F.sum("n").alias("rn"))
+    )
+    ref_tot = refc.agg(F.sum("rn").alias("rtot"))
+    top_ref = (
+        refc.crossJoin(F.broadcast(ref_tot))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("rn"), F.asc("item"))),
+        )
+        .filter(F.col("rk") <= top)
+        .select("item", (F.col("rn") / F.col("rtot")).alias("ref_share"))
+    )
+    cur = c.filter(F.col("window") >= ref_windows)
+    w_tot = cur.groupBy("window").agg(F.sum("n").alias("n_total"))
+
+    # (a) L1 over the fixed reference universe — absent items count as 0
+    universe = w_tot.crossJoin(F.broadcast(top_ref))
+    shares = universe.join(cur, ["window", "item"], "left").select(
+        "window",
+        F.abs(
+            F.coalesce(F.col("n"), F.lit(0)) / F.col("n_total")
+            - F.col("ref_share")
+        ).alias("gap"),
+    )
+    l1 = shares.groupBy("window").agg(F.round(F.sum("gap"), 6).alias("l1"))
+
+    # (b) heaviest item OUTSIDE the reference set (deterministic tie-break)
+    ent = (
+        cur.join(F.broadcast(top_ref.select("item")), "item", "left_anti")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("window").orderBy(F.desc("n"), F.asc("item"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .join(w_tot, "window")
+        .select(
+            "window",
+            F.col("item").alias("entrant_item"),
+            F.round(F.col("n") / F.col("n_total"), 6).alias("entrant_share"),
+        )
+    )
+    out = (
+        l1.join(ent, "window", "left")
+        .select(
+            "window", "l1", "entrant_item",
+            F.coalesce("entrant_share", F.lit(0.0)).alias("entrant_share"),
+            F.when(
+                (F.col("l1") > l1_threshold)
+                | (F.coalesce("entrant_share", F.lit(0.0)) > entrant_threshold),
+                "fail",
+            ).otherwise("pass").alias("verdict"),
+        )
+    )
+    return attach_persisted(out, c)

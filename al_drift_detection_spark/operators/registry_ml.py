@@ -1932,6 +1932,77 @@ def q_mg_frequent_items(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_frequent_items_drift",
+    """
+    WITH src AS (
+      SELECT CAST(floor(event_id / 500) AS BIGINT) AS w,
+             CASE WHEN event_id % 10 < 6 THEN
+                  (CASE WHEN event_id >= 5000 THEN 'hotB' ELSE 'hotA' END)
+                  ELSE 'u' || CAST(user_id % 50 AS VARCHAR) END AS item
+      FROM events
+    ),
+    c AS (SELECT w, item, count(*) AS n FROM src GROUP BY 1, 2),
+    refc AS (SELECT item, sum(n) AS rn FROM c WHERE w < 4 GROUP BY 1),
+    reft AS (SELECT CAST(sum(rn) AS DOUBLE) AS rtot FROM refc),
+    ranked AS (
+      SELECT item, rn / rtot AS ref_share,
+             row_number() OVER (ORDER BY rn DESC, item) AS rk
+      FROM refc, reft
+    ),
+    topref AS (SELECT item, ref_share FROM ranked WHERE rk <= 3),
+    cur AS (SELECT * FROM c WHERE w >= 4),
+    wt AS (SELECT w, CAST(sum(n) AS DOUBLE) AS n_total FROM cur GROUP BY 1),
+    l1 AS (
+      SELECT wt.w,
+             round(sum(abs(coalesce(cur.n, 0) / wt.n_total - tr.ref_share)), 6)
+               AS l1
+      FROM wt CROSS JOIN topref tr
+      LEFT JOIN cur ON cur.w = wt.w AND cur.item = tr.item
+      GROUP BY 1
+    ),
+    ent AS (
+      SELECT w, item AS entrant_item, n,
+             row_number() OVER (PARTITION BY w ORDER BY n DESC, item) AS rk
+      FROM cur WHERE item NOT IN (SELECT item FROM topref)
+    ),
+    ent1 AS (
+      SELECT e.w, e.entrant_item,
+             round(e.n / wt.n_total, 6) AS entrant_share
+      FROM ent e JOIN wt ON wt.w = e.w WHERE e.rk = 1
+    )
+    SELECT l1.w AS "window", l1.l1, ent1.entrant_item,
+           coalesce(ent1.entrant_share, 0.0) AS entrant_share,
+           CASE WHEN l1.l1 > 0.3 OR coalesce(ent1.entrant_share, 0.0) > 0.1
+                THEN 'fail' ELSE 'pass' END AS verdict
+    FROM l1 LEFT JOIN ent1 ON ent1.w = l1.w
+    """,
+    "top-item DRIFT per window ('did the heavy hitters change'): L1 share "
+    "distance over the REFERENCE top set (deterministic universe — the "
+    "categorical_drift rule) plus the largest NEW-ENTRANT share, which L1 "
+    "over a fixed set is blind to. The planted hot-key SWAP at "
+    "event_id >= 5000 makes windows >= 10 fail on a 0.6 entrant while "
+    "windows 4-9 pass — both verdict paths exercised under the full oracle "
+    "(functions/frequent.frequent_items_drift)",
+)
+def q_frequent_items_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.frequent import frequent_items_drift
+
+    ev = _t(spark, sf, "events").select(
+        F.floor(F.col("event_id") / 500).alias("window_id"),
+        F.when(
+            F.col("event_id") % 10 < 6,
+            F.when(F.col("event_id") >= 5000, F.lit("hotB")).otherwise(F.lit("hotA")),
+        )
+        .otherwise(F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string")))
+        .alias("item"),
+    )
+    return frequent_items_drift(
+        ev, "item", "window_id", ref_windows=4, top=3,
+        l1_threshold=0.3, entrant_threshold=0.1,
+    )
+
+
+@register(
     "q_ad_drift",
     """
     WITH s AS (

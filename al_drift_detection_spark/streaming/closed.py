@@ -110,7 +110,8 @@ HEALTH_OUT_SCHEMA = (
 # each payload shape. Unused slots ride as empty arrays (a few bytes per
 # partial row / state entry).
 _PARTIAL_FIELDS = (
-    "_n long, _longs array<long>, _dbls array<double>, _dblss array<array<double>>"
+    "_n long, _longs array<long>, _dbls array<double>, "
+    "_dblss array<array<double>>, _strs array<string>"
 )
 GEN_STATE_SCHEMA = (
     "n long, longs array<long>, dbls array<double>, "
@@ -136,7 +137,7 @@ class ClosedSpec:
 
     name: str                      # check tag = sink name in combined mode
     cols: dict[str, Column]        # local input name -> JVM expression
-    # pandas fragment (local cols) -> (n, longs, dbls, dblss) generic partial
+    # pandas fragment (local cols) -> (n, longs, dbls, dblss[, strs]) partial
     reduce: Callable[[pd.DataFrame], tuple]
     init: Callable[[], tuple]      # -> generic 5-tuple state
     # (generic state tuple, generic-partial pandas frame) -> new state tuple
@@ -213,13 +214,14 @@ def _pre_reduce(proj: DataFrame, specs: list[ClosedSpec], watermark: str) -> Dat
                 for name, locals_, reduce_ in plan:
                     gl = g[[f"{name}__{c}" for c in locals_]]
                     gl.columns = locals_
-                    n, longs, dbls, dblss = reduce_(gl)
-                    rows.append((ws, we, pre_ts, name, n,
-                                 longs or [], dbls or [], dblss or []))
+                    n, longs, dbls, dblss, *rest = reduce_(gl)
+                    strs = rest[0] if rest else None
+                    rows.append((ws, we, pre_ts, name, n, longs or [],
+                                 dbls or [], dblss or [], strs or []))
             yield pd.DataFrame(
                 rows,
                 columns=["_w_start", "_w_end", "_pre_ts", "_check",
-                         "_n", "_longs", "_dbls", "_dblss"],
+                         "_n", "_longs", "_dbls", "_dblss", "_strs"],
             )
 
     schema = (
@@ -1143,4 +1145,94 @@ def closed_referential_drift(
     tests/test_closed_windows.py splits a window across micro-batches and
     matches health.referential_drift on the full row set."""
     spec = referential_drift_spec(key_col, dim_keys, ref_rate, max_abs_jump)
+    return _run_spec(stream_df, ts_col, spec, window, watermark, slide)
+
+
+FREQ_OUT_SCHEMA = (
+    "window_start timestamp, window_end timestamp, item string, est long, "
+    "rank int, n_rows long"
+)
+
+
+def frequent_items_spec(
+    col: str, k: int = 16, top: int = 5, name: str = "frequent"
+) -> ClosedSpec:
+    """Closed-window MISRA-GRIES frequent items: the streaming twin of
+    functions/frequent.mg_frequent_items with window-close emission — each
+    chunk reduces to ≤ k (item, count) pairs (exact chunk counts minus the
+    (k+1)-th largest, the frequent.py reduction), the state folds summaries
+    with the same k-reduction, and the close emits the window's top `top`
+    items by estimate (ties → item asc). State is bounded at k counters per
+    window regardless of column cardinality, and the Agarwal et al. merge
+    bound holds across any micro-batch split: est ≤ true count,
+    true − est ≤ n/(k+1), every item with share > 1/(k+1) present —
+    the invariants tests/test_closed_windows.py pins against the exact
+    per-window counts (estimates themselves are chunking-dependent, so the
+    batch ≡ streaming contract here is invariant-level, not byte-level).
+    n_rows counts the window's non-null item rows (the exact twin's
+    n_total)."""
+    if k < 1 or top < 1:
+        raise ValueError(f"need k >= 1 and top >= 1, got k={k}, top={top}")
+
+    def reduce(g):
+        it = g["_it"].dropna()
+        vc = it.value_counts()
+        if len(vc) > k:
+            t = int(vc.iloc[k])
+            vc = vc.iloc[:k] - t
+            vc = vc[vc > 0]
+        return (int(len(it)), [int(c) for c in vc.values], None, None,
+                [str(i) for i in vc.index])
+
+    def fold(st, pdf):
+        n = int(st[0]) + int(pdf["_n"].sum())
+        counts = dict(zip(st[4], (int(x) for x in st[1])))
+        for longs, strs in zip(pdf["_longs"].to_numpy(), pdf["_strs"].to_numpy()):
+            for item, c in zip(strs, longs):
+                counts[item] = counts.get(item, 0) + int(c)
+        if len(counts) > k:
+            t = sorted(counts.values(), reverse=True)[k]
+            counts = {i: c - t for i, c in counts.items() if c - t > 0}
+        items = sorted(counts)  # deterministic state layout
+        return (n, [counts[i] for i in items], [], [], items)
+
+    def close(st, w_start, w_end):
+        n = int(st[0])
+        pairs = sorted(
+            zip(st[4], (int(x) for x in st[1])), key=lambda p: (-p[1], p[0])
+        )
+        return [
+            (w_start, w_end, item, c, r + 1, n)
+            for r, (item, c) in enumerate(pairs[:top])
+        ]
+
+    return ClosedSpec(
+        name=name,
+        cols={"_it": F.col(col).cast("string")},
+        reduce=reduce,
+        init=lambda: (0, [], [], [], []),
+        fold=fold,
+        close=close,
+        out_schema=FREQ_OUT_SCHEMA,
+        out_columns=["window_start", "window_end", "item", "est",
+                     "rank", "n_rows"],
+        to_generic=lambda r: (r[2], None, int(r[3]), int(r[4]),
+                              float(r[5]), None, None, None, None),
+        split_fields=[("s1", "item", None), ("l1", "est", "long"),
+                      ("l2", "rank", "int"), ("d1", "n_rows", "long")],
+    )
+
+
+def closed_frequent_items(
+    stream_df: DataFrame,
+    ts_col: str,
+    col: str,
+    k: int = 16,
+    top: int = 5,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Per-query builder for frequent_items_spec (docstring there)."""
+    spec = frequent_items_spec(col, k=k, top=top)
     return _run_spec(stream_df, ts_col, spec, window, watermark, slide)

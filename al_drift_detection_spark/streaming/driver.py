@@ -257,6 +257,10 @@ def stream_specs(refs: dict, cat_cols: list[str]) -> list:
             "fmt", "w_bucket", refs["assoc"]["cats_a"], refs["assoc"]["cats_b"],
             refs["assoc"]["ref_mi"], name="stream_association",
         ),
+        # per-window heavy hitters (Misra-Gries closed windows; fmt's tiny
+        # universe keeps it exact here — the k bound matters for the
+        # high-cardinality columns a deployment points it at)
+        C.frequent_items_spec("fmt", k=8, top=5, name="stream_frequent"),
     ]
     for col in cat_cols:
         specs.append(

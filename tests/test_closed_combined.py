@@ -168,7 +168,8 @@ def test_combined_cli(spark, tmp_path_factory):
     gen = spark.read.parquet(f"{out}/stream_combined")
     assert set(gen.select("check").distinct().toPandas()["check"]) == {
         "stream_drift", "stream_health", "stream_uniqueness",
-        "stream_quantiles", "stream_association", "stream_cat_drift_fmt",
+        "stream_quantiles", "stream_association", "stream_frequent",
+        "stream_cat_drift_fmt",
     }
     health = spark.read.parquet(f"{out}/stream_health").toPandas()
     vol = health[health["check"] == "volume"]

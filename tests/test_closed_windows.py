@@ -809,3 +809,54 @@ def test_late_data_contract_single_verdict_and_sink_dedupe(spark, tmp_path_facto
         ["window_start", "window_end", "check", "column"]).any()
     cw1 = clean[(clean["window_start"] == BASE) & (clean["check"] == "volume")]
     assert len(cw1) == 1 and cw1.iloc[0]["n_rows"] == 160
+
+
+def test_closed_frequent_items_invariants_across_batches(spark, tmp_path_factory):
+    """Closed-window Misra-Gries frequent items: a window split across THREE
+    micro-batches with a planted 50%-hot item plus a 30-item tail emits one
+    top-list at close obeying the MG invariants against the exact counts —
+    est ≤ true, deficit ≤ n/(k+1), the hot item present and ranked first.
+    (Estimates are chunking-dependent, so batch ≡ streaming is pinned at the
+    invariant level — frequent_items_spec docstring.)"""
+    from al_drift_detection_spark.streaming.closed import closed_frequent_items
+
+    inp = str(tmp_path_factory.mktemp("cfi") / "in")
+    rng = np.random.default_rng(47)
+    items = ["hot"] * 50 + [f"c{i}" for i in range(30)]
+
+    def frag(n, offset_s):
+        return pd.DataFrame({
+            "ts": [BASE + pd.Timedelta(seconds=int(offset_s + s)) for s in
+                   rng.integers(0, 90, n)],
+            "item": rng.choice(items, n),
+        })
+
+    frags = [frag(400, 0), frag(400, 90), frag(400, 180)]
+    sentinel = pd.DataFrame({"ts": [BASE + pd.Timedelta(hours=1)], "item": ["x"]})
+    _write_batches(spark, inp, frags + [sentinel],
+                   schema="ts timestamp, item string")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    K = 6
+    out = closed_frequent_items(
+        stream, "ts", "item", k=K, top=5, window="5 minutes",
+        watermark="1 minute",
+    )
+    _run_stream(out, "cfi_out")
+    got = spark.sql("SELECT * FROM cfi_out").toPandas()
+
+    assert (got["window_start"] == BASE).all()
+    assert len(got) == 5 and sorted(got["rank"]) == [1, 2, 3, 4, 5]
+    assert (got["n_rows"] == 1200).all()
+
+    full = pd.concat(frags)
+    exact = full["item"].value_counts()
+    for _, r in got.iterrows():
+        true = int(exact.get(r["item"], 0))
+        assert r["est"] <= true
+        assert true - r["est"] <= 1200 / (K + 1)
+    assert got.sort_values("rank").iloc[0]["item"] == "hot"

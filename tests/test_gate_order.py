@@ -90,6 +90,7 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # q_topk_per_group; the sketch-store pattern via q_histogram_quantiles)
     "q_frequent_items",
     "q_mg_frequent_items",
+    "q_frequent_items_drift",
     # winnowing (MOSS) fingerprints + containment pairs: the shingle/pair
     # families are in-window via q_ngram_jaccard_pairs / q_dedup_clusters;
     # these add the guarantee-bearing fingerprint scheme (round 7)

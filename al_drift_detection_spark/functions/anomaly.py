@@ -315,6 +315,23 @@ class MetricsStore:
         hist = self.history(current_metrics.sparkSession, exclude_run_id=run_id)
         return anomaly_verdicts(hist, current_metrics, **kw)
 
+    def seasonal_verdicts(
+        self,
+        current_metrics: DataFrame,
+        run_id: str,
+        run_ts: int,
+        period: int,
+        **kw,
+    ) -> DataFrame | None:
+        """seasonal_anomaly over the store (docstring there) — same
+        replay-safe exclude-own-rows contract as ``verdicts``; the caller
+        passes the run_ts it resolved for the append so the slot is the one
+        this run actually occupies in the history order."""
+        if not self.exists():
+            return None
+        hist = self.history(current_metrics.sparkSession, exclude_run_id=run_id)
+        return seasonal_anomaly(hist, current_metrics, run_ts, period, **kw)
+
 
 def store_changepoint(
     history: DataFrame,
@@ -392,3 +409,110 @@ def store_changepoint(
         ).alias("alarm"),
     )
     return attach_persisted(out, hist)
+
+
+def seasonal_anomaly(
+    history: DataFrame,
+    current: DataFrame,
+    run_ts: int,
+    period: int,
+    keys: tuple[str, ...] = SERIES_KEYS,
+    value_col: str = "value",
+    order_col: str = "run_ts",
+    k_sigma: float = 3.0,
+    min_cycles: int = 2,
+) -> DataFrame:
+    """SEASONAL anomaly strategy over the metrics repository — the missing
+    sibling of anomaly_verdicts' zscore/rel_change for series with a known
+    cycle (day-of-week row counts, hour-of-day null rates: the Deequ
+    HoltWinters use case, public design; the repo's run_ts is the dense
+    resolve_run_ts sequence, so slot = run_ts mod period IS the calendar
+    slot for regular ingests). A plain zscore over such a series fails every
+    in-cycle peak; a seasonal baseline compares each run against ITS OWN
+    slot.
+
+    Closed relational form (no sequential recurrence — same discipline as
+    the EWMA/DDM kernels): per (series, slot) the history folds to the slot
+    mean, and the series' residual std pools every history point's deviation
+    from its own slot mean (stddev_samp of the DESEASONALIZED series).
+    Verdict for the current run, whose slot is run_ts mod period:
+    |value − slot_mean| > k_sigma · resid_sd. A perfectly seasonal history
+    (resid_sd = 0) keeps the zscore edge rule — any off-baseline value
+    fails, an exact repeat passes. Slots with fewer than `min_cycles` prior
+    points (and series too new for a residual std) emit 'insufficient' —
+    the fail-open contract of anomaly_verdicts.
+
+    Scale shape: two groupBys over the store's O(runs × series) rows —
+    already aggregated, never a raw re-scan; the slot frame is
+    O(series × period) and broadcast to both the residual fold and the
+    current join. The history projection is the shared child of the slot
+    and residual folds — persisted, release obligation on the returned
+    frame (the CLAUDE.md shared-child rule).
+
+    Output matches anomaly_verdicts' schema exactly (union-compatible for
+    the metric_anomalies sink): (keys..., value, strategy='seasonal',
+    baseline=slot mean, stat=|resid|/resid_sd, threshold=k_sigma,
+    n_hist=prior points IN THIS SLOT, verdict). SURVEY.md §2.4 A13 / S8
+    (metrics sink); reference analog: the per-orbit (per-regime) baselines
+    of gan.py's drift scoring — a verdict relative to the matching cohort,
+    never the global pool.
+    """
+    from al_drift_detection_spark.functions._persist import attach_persisted
+
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    klist = list(keys)
+    h = history.select(
+        *klist,
+        F.col(value_col).alias("_v"),
+        F.pmod(F.col(order_col), F.lit(int(period))).alias("_slot"),
+    ).persist()
+    slot_means = h.groupBy(*klist, "_slot").agg(
+        F.count(F.lit(1)).alias("_n_slot"),
+        F.avg("_v").alias("_slot_mean"),
+    )
+    resid = (
+        h.join(F.broadcast(slot_means), klist + ["_slot"])
+        .groupBy(*klist)
+        .agg(
+            F.count(F.lit(1)).alias("n_hist_total"),
+            F.stddev_samp(F.col("_v") - F.col("_slot_mean")).alias("_resid_sd"),
+        )
+    )
+    cur_slot = int(run_ts) % int(period)
+    cur = current.select(*klist, F.col(value_col).alias("value"))
+    j = (
+        cur.join(
+            F.broadcast(
+                slot_means.filter(F.col("_slot") == cur_slot).drop("_slot")
+            ),
+            klist,
+            "left",
+        )
+        .join(F.broadcast(resid), klist, "left")
+    )
+    v, mu, sd = F.col("value"), F.col("_slot_mean"), F.col("_resid_sd")
+    n_slot = F.coalesce(F.col("_n_slot"), F.lit(0))
+    enough = (n_slot >= F.lit(int(min_cycles))) & sd.isNotNull()
+    out = j.select(
+        *klist,
+        "value",
+        F.lit("seasonal").alias("strategy"),
+        mu.alias("baseline"),
+        F.when(sd > 0, F.abs(v - mu) / sd).alias("stat"),
+        F.lit(float(k_sigma)).alias("threshold"),
+        n_slot.cast("long").alias("n_hist"),
+        F.when(~enough, "insufficient")
+        # NULL current metric over a real seasonal history IS the anomaly
+        # (the metric vanished) — the anomaly_verdicts guard
+        .when(v.isNull(), "fail")
+        .when(
+            F.when(sd > 0, F.abs(v - mu) > F.lit(float(k_sigma)) * sd).otherwise(
+                v != mu
+            ),
+            "fail",
+        )
+        .otherwise("pass")
+        .alias("verdict"),
+    )
+    return attach_persisted(out, h)

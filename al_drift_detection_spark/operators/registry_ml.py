@@ -2393,6 +2393,145 @@ def q_metric_anomaly(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_seasonal_anomaly",
+    """
+    WITH s AS (
+      SELECT CAST(floor(event_id / 500) AS BIGINT) AS w,
+             count(*) AS n_rows, avg(value) AS v_avg
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT w, 0 AS part, 'value' AS "column", 'seasonal_mean' AS metric,
+             v_avg + (w % 4) * 50.0 AS value FROM s
+      UNION ALL
+      SELECT w, 0, 'value', 'shifted_mean',
+             v_avg + (w % 4) * 50.0
+               + CASE WHEN w = 19 THEN 500.0 ELSE 0.0 END FROM s
+      UNION ALL
+      SELECT w, 0, '*', 'n_rows', CAST(n_rows AS DOUBLE) FROM s
+      UNION ALL
+      SELECT w, 0, 'value', 'late_mean', v_avg FROM s WHERE w >= 17
+    ),
+    hist AS (
+      SELECT part, "column", metric, w % 4 AS slot, value
+      FROM m WHERE w < 19
+    ),
+    sm AS (
+      SELECT part, "column", metric, slot,
+             count(*) AS n_slot, avg(value) AS slot_mean
+      FROM hist GROUP BY 1, 2, 3, 4
+    ),
+    rs AS (
+      SELECT h.part, h."column", h.metric,
+             stddev_samp(h.value - s.slot_mean) AS resid_sd
+      FROM hist h JOIN sm s USING (part, "column", metric, slot)
+      GROUP BY 1, 2, 3
+    ),
+    cur AS (SELECT part, "column", metric, value FROM m WHERE w = 19)
+    SELECT c.part, c."column", c.metric, round(c.value, 6) AS value,
+           'seasonal' AS strategy, round(s.slot_mean, 6) AS baseline,
+           round(CASE WHEN r.resid_sd > 0
+                 THEN abs(c.value - s.slot_mean) / r.resid_sd END, 6) AS stat,
+           3.0 AS threshold,
+           coalesce(s.n_slot, 0) AS n_hist,
+           CASE WHEN coalesce(s.n_slot, 0) < 2 OR r.resid_sd IS NULL
+                THEN 'insufficient'
+                WHEN r.resid_sd > 0 THEN
+                  CASE WHEN round(abs(c.value - s.slot_mean) / r.resid_sd, 6)
+                            > 3.0
+                       THEN 'fail' ELSE 'pass' END
+                ELSE CASE WHEN round(c.value, 6) = round(s.slot_mean, 6)
+                          THEN 'pass' ELSE 'fail' END
+           END AS verdict
+    FROM cur c
+    LEFT JOIN (SELECT * FROM sm WHERE slot = 3) s USING (part, "column", metric)
+    LEFT JOIN rs r USING (part, "column", metric)
+    """,
+    "SEASONAL anomaly strategy over the metrics repository (functions/"
+    "anomaly.seasonal_anomaly — the Deequ HoltWinters use case in closed "
+    "relational form, SURVEY.md §2.4 A13 / S8 metrics sink): each run is "
+    "scored against the slot it occupies in the cycle (slot = run mod 4), "
+    "baseline = slot mean, scale = pooled std of the DESEASONALIZED "
+    "history. Four verdict paths under the full oracle: a strongly "
+    "seasonal series the current run fits (pass — a plain zscore would "
+    "fail every in-cycle peak), a planted +500 shift (fail), a constant "
+    "series (resid_sd = 0 zscore-edge pass), and a 2-run-old series whose "
+    "current slot has no history (insufficient). Two groupBys over the "
+    "O(runs x series) store rows, slot frame broadcast both ways",
+)
+def q_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.anomaly import seasonal_anomaly
+
+    ev = _t(spark, sf, "events")
+    s = ev.groupBy(
+        F.floor(F.col("event_id") / 500).cast("long").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg("value").alias("v_avg"),
+    )
+    seas = F.col("v_avg") + F.pmod(F.col("w"), F.lit(4)) * 50.0
+    m = (
+        s.select(
+            "w", F.lit(0).alias("part"), F.lit("value").alias("column"),
+            F.lit("seasonal_mean").alias("metric"), seas.alias("value"),
+        )
+        .unionByName(
+            s.select(
+                "w", F.lit(0).alias("part"), F.lit("value").alias("column"),
+                F.lit("shifted_mean").alias("metric"),
+                (seas + F.when(F.col("w") == 19, 500.0).otherwise(0.0))
+                .alias("value"),
+            )
+        )
+        .unionByName(
+            s.select(
+                "w", F.lit(0).alias("part"), F.lit("*").alias("column"),
+                F.lit("n_rows").alias("metric"),
+                F.col("n_rows").cast("double").alias("value"),
+            )
+        )
+        .unionByName(
+            s.filter(F.col("w") >= 17).select(
+                "w", F.lit(0).alias("part"), F.lit("value").alias("column"),
+                F.lit("late_mean").alias("metric"),
+                F.col("v_avg").alias("value"),
+            )
+        )
+    )
+    out = seasonal_anomaly(
+        m.filter(F.col("w") < 19),
+        m.filter(F.col("w") == 19),
+        run_ts=19,
+        period=4,
+        keys=("part", "column", "metric"),
+        order_col="w",
+        k_sigma=3.0,
+        min_cycles=2,
+    )
+    # verdicts re-derived from 6dp-rounded statistics so both engines
+    # compare identical values (the q_metric_anomaly convention)
+    stat6, v6, b6 = F.round("stat", 6), F.round("value", 6), F.round("baseline", 6)
+    verdict6 = (
+        F.when(F.col("verdict") == "insufficient", "insufficient")
+        .when(
+            stat6.isNotNull(),
+            F.when(stat6 > 3.0, "fail").otherwise("pass"),
+        )
+        .otherwise(F.when(v6 == b6, "pass").otherwise("fail"))
+    )
+    from al_drift_detection_spark.functions._persist import propagate_persisted
+
+    return propagate_persisted(
+        out.select(
+            "part", "column", "metric", v6.alias("value"), "strategy",
+            b6.alias("baseline"), stat6.alias("stat"), "threshold",
+            "n_hist", verdict6.alias("verdict"),
+        ),
+        out,
+    )
+
+
+@register(
     "q_suggest_constraints",
     """
     WITH p AS (

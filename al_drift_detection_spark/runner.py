@@ -168,6 +168,15 @@ def main(argv: list[str] | None = None) -> int:
         "reproduces the same verdicts)",
     )
     ap.add_argument(
+        "--seasonal-period", type=int, default=None, metavar="N",
+        help="with --metrics-store: add the SEASONAL strategy (Deequ "
+        "HoltWinters use case) — score this run against the slot it "
+        "occupies in an N-run cycle (slot = run_ts mod N; e.g. 7 for "
+        "day-of-week on daily ingests) instead of the whole trailing band; "
+        "rows union into metric_anomalies/ under strategy='seasonal' "
+        "(functions.anomaly.seasonal_anomaly)",
+    )
+    ap.add_argument(
         "--changepoint", action="store_true",
         help="sequential change detectors over the per-window metric series: "
         "two-sided Page-Hinkley on each drift column's per-window mean "
@@ -584,11 +593,19 @@ def main(argv: list[str] | None = None) -> int:
             # excluded from its own history either way)
             mstore.expire(spark, keep_last_runs=args.store_compact_keep)
         verd = mstore.verdicts(cur, args.run_id)
+        from al_drift_detection_spark.functions._persist import (
+            propagate_persisted,
+            release,
+        )
+
+        if args.seasonal_period:
+            seas = mstore.seasonal_verdicts(
+                cur, args.run_id, run_ts, args.seasonal_period
+            )
+            verd = propagate_persisted(verd.unionByName(seas), verd, seas)
         verd.orderBy("strategy", "part", "column", "metric").write.mode(
             "overwrite"
         ).parquet(f"{args.out}/metric_anomalies")
-        from al_drift_detection_spark.functions._persist import release
-
         release(verd)
         if args.changepoint:
             # cross-run sequential view of the repository: Page-Hinkley per

@@ -226,3 +226,94 @@ def test_store_changepoint_cli_surface(spark, tmp_path):
     assert {"part", "column", "metric", "run_id", "ph_inc", "ph_dec", "alarm"} <= set(
         cp.columns
     )
+
+
+def test_seasonal_anomaly_planted(spark):
+    """Seasonal strategy (functions/anomaly.seasonal_anomaly): a period-4
+    series with a MODEST off-season shift fails seasonal but PASSES plain
+    zscore (the reason the strategy exists — the shift hides inside the
+    seasonal swing's global std); an in-slot value passes; a constant
+    series keeps the sd=0 edge rule; a series too new for the current slot
+    is insufficient."""
+    from al_drift_detection_spark.functions.anomaly import seasonal_anomaly
+
+    hist_rows = []
+    season = [0.0, 10.0, 20.0, 30.0]
+    noise = [0.05, -0.05, 0.1, -0.1, 0.0, 0.05, -0.05, 0.1, -0.1, 0.0, 0.05, -0.05]
+    for ts in range(12):
+        hist_rows += [
+            (0, "c1", "m_inslot", season[ts % 4] + noise[ts], ts),
+            (0, "c1", "m_offseason", season[ts % 4] + noise[ts], ts),
+            (0, "c1", "m_const", 7.0, ts),
+        ]
+    hist_rows += [(0, "c1", "m_new", 5.0, 10), (0, "c1", "m_new", 5.0, 11)]
+    hist = spark.createDataFrame(hist_rows, HIST_SCHEMA)
+    # current run_ts 12 → slot 0 (baseline ≈ 0); slots 2,3 hold m_new's
+    # only two points, so its slot-0 history is empty
+    cur = spark.createDataFrame(
+        [
+            (0, "c1", "m_inslot", 0.08),     # within the slot-0 band
+            (0, "c1", "m_offseason", 3.0),   # 3 ≫ resid_sd, ≪ global σ
+            (0, "c1", "m_const", 7.0),
+            (0, "c1", "m_new", 5.0),
+        ],
+        CUR_SCHEMA,
+    )
+    v = _verdict_map(
+        seasonal_anomaly(hist, cur, run_ts=12, period=4), "seasonal"
+    )
+    assert v == {
+        "m_inslot": "pass",
+        "m_offseason": "fail",
+        "m_const": "pass",
+        "m_new": "insufficient",
+    }
+    # the contrast that motivates the strategy: plain zscore waves the same
+    # off-season 3.0 through (|3 − 15| / σ_global ≈ 1 < 3)
+    vz = _verdict_map(anomaly_verdicts(hist, cur), "zscore")
+    assert vz["m_offseason"] == "pass"
+    # changed constant series still fails (sd = 0 edge preserved)
+    cur2 = spark.createDataFrame([(0, "c1", "m_const", 7.5)], CUR_SCHEMA)
+    v2 = _verdict_map(
+        seasonal_anomaly(hist, cur2, run_ts=12, period=4), "seasonal"
+    )
+    assert v2 == {"m_const": "fail"}
+
+
+def test_seasonal_store_and_cli(spark, tmp_path):
+    """MetricsStore.seasonal_verdicts follows the replay-safe store contract
+    (exclude-own-rows; slots fill as runs accumulate), and `runner
+    --metrics-store --seasonal-period` unions strategy='seasonal' rows into
+    metric_anomalies/."""
+    from al_drift_detection_spark import runner
+
+    store = MetricsStore(str(tmp_path / "mstore"))
+    a = spark.createDataFrame([(0, "c1", "avg", 10.0)], CUR_SCHEMA)
+    b = spark.createDataFrame([(0, "c1", "avg", 20.0)], CUR_SCHEMA)
+    # alternating 10/20 with period 2: runs 0..4 = [10, 20, 10, 20, 10]
+    for i, frame in enumerate([a, b, a, b, a]):
+        store.append(frame, f"r{i}", i)
+    # run 5 (slot 1, history {20, 20}): in-pattern 20 passes, 10 fails —
+    # and 10 would PASS a plain zscore (global mean 16, σ ≈ 5.5)
+    ts5 = store.resolve_run_ts(spark, "r5")
+    assert ts5 == 5
+    ok = _verdict_map(
+        store.seasonal_verdicts(b, "r5", ts5, period=2), "seasonal"
+    )
+    assert ok == {"avg": "pass"}
+    bad = _verdict_map(
+        store.seasonal_verdicts(a, "r5", ts5, period=2), "seasonal"
+    )
+    assert bad == {"avg": "fail"}
+    assert _verdict_map(store.verdicts(a, "r5"), "zscore") == {"avg": "pass"}
+
+    # CLI wiring: seasonal rows ride the metric_anomalies sink; with no
+    # prior history every slot is empty → all insufficient (fail-open)
+    args = ["--images", "synthetic:3000", "--master", "local[8]",
+            "--metrics-store", str(tmp_path / "clistore"),
+            "--seasonal-period", "2"]
+    assert runner.main(["--out", str(tmp_path / "o1"), "--run-id", "s1", *args]) == 0
+    v1 = spark.read.parquet(f"{tmp_path}/o1/metric_anomalies").toPandas()
+    seas = v1[v1.strategy == "seasonal"]
+    assert len(seas) > 0 and (seas["verdict"] == "insufficient").all()
+    assert set(v1.strategy) == {"zscore", "rel_change", "seasonal"}

@@ -91,6 +91,9 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     "q_frequent_items",
     "q_mg_frequent_items",
     "q_frequent_items_drift",
+    # seasonal strategy of the in-window q_metric_anomaly repository family
+    # (Deequ HoltWinters use case; round 7)
+    "q_seasonal_anomaly",
     # winnowing (MOSS) fingerprints + containment pairs: the shingle/pair
     # families are in-window via q_ngram_jaccard_pairs / q_dedup_clusters;
     # these add the guarantee-bearing fingerprint scheme (round 7)

@@ -3396,3 +3396,123 @@ def q_store_changepoint(spark: SparkSession, sf: str) -> DataFrame:
         ),
         out,
     )
+
+
+_CMS_PARAMS = {"depth": 3, "width": 64, "win": 2000, "top": 8}
+
+
+def _cms_oracle_sql() -> str:
+    """FULL DuckDB oracle for q_cms_point_estimates — the q_ivf_topk lazy
+    technique applied to the count-min sketch: the sketch is deterministic
+    given the data (bucket = pmod(xxhash64(key, r), width), replicated
+    bit-exactly by operators/xxh64_replica), so the key->bucket mapping for
+    the table's distinct keys is embedded as SQL literals and DuckDB
+    rebuilds the ENTIRE pipeline — cells, point query (min over hash rows,
+    absent cell = 0), exact twin, and the overcount column — value-checked
+    end-to-end. Literal size is O(distinct keys x depth); the oracle gate
+    runs at sf0.01 (150 user_ids -> 450 literal rows)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from al_drift_detection_spark.operators.xxh64_replica import xxhash64_long_int
+
+    P = _CMS_PARAMS
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf}/events.parquet", columns=["user_id"])
+    keys = np.unique(t.column("user_id").to_numpy())
+    vals = ", ".join(
+        f"({int(k)}, {r}, {int(xxhash64_long_int(np.array([k]), r)[0] % P['width'])})"
+        for k in keys
+        for r in range(P["depth"])
+    )
+    return f"""
+    WITH m(user_id, r, bucket) AS (VALUES {vals}),
+    e AS (
+      SELECT CAST(floor(event_id / {P["win"]}) AS BIGINT) AS w, user_id
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    cells AS (
+      SELECT e.w, m.r, m.bucket, count(*) AS cnt
+      FROM e JOIN m USING (user_id) GROUP BY 1, 2, 3
+    ),
+    cand AS (
+      SELECT user_id FROM e GROUP BY 1
+      ORDER BY count(*) DESC, user_id LIMIT {P["top"]}
+    ),
+    grid AS (
+      SELECT w.w, m.user_id, m.r, m.bucket
+      FROM (SELECT DISTINCT w FROM e) w
+      CROSS JOIN (SELECT m.* FROM m JOIN cand USING (user_id)) m
+    ),
+    est AS (
+      SELECT g.w, g.user_id,
+             CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+      FROM grid g LEFT JOIN cells c
+        ON c.w = g.w AND c.r = g.r AND c.bucket = g.bucket
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT w, user_id, count(*) AS n FROM e
+      WHERE user_id IN (SELECT user_id FROM cand) GROUP BY 1, 2
+    )
+    SELECT est.w, est.user_id, est.est,
+           CAST(coalesce(exact.n, 0) AS BIGINT) AS n_exact,
+           CAST(est.est - coalesce(exact.n, 0) AS BIGINT) AS overcount
+    FROM est LEFT JOIN exact ON exact.w = est.w AND exact.user_id = est.user_id
+    """
+
+
+@register(
+    "q_cms_point_estimates",
+    _cms_oracle_sql,
+    "Count-min sketch point queries (functions/cms.py — the point-query "
+    "sibling of the Misra-Gries frequent-items analyzer; SURVEY.md §2.4 A3 "
+    "approximate twin / A13 one-pass sketches; bounded-summary analog of "
+    "gan.py:400-413): per-window sparse CMS over user_id (depth 3 x width "
+    "64 — 150 keys in 64 buckets force real collisions), estimates for the "
+    "global top-8 keys from the CELLS alone, with the exact twin and the "
+    "overcount (>= 0 by the CMS one-sided guarantee) in-row. FULL lazy "
+    "DuckDB oracle: the key->bucket mapping is embedded as literals via "
+    "the bit-exact xxhash64 replica, so build, merge, probe and overcount "
+    "are all value-checked. Store/merge/compaction in tests/test_cms.py",
+)
+def q_cms_point_estimates(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.cms import (
+        cms_cells,
+        cms_point_estimates,
+    )
+
+    P = _CMS_PARAMS
+    ev = (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.floor(F.col("event_id") / P["win"]).cast("long").alias("w"),
+            "user_id",
+        )
+    )
+    cells = cms_cells(ev, "user_id", "w", depth=P["depth"], width=P["width"])
+    cand = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), "user_id")
+        .limit(P["top"])
+        .select("user_id")
+    )
+    est = cms_point_estimates(
+        cells, cand, "user_id", "w", depth=P["depth"], width=P["width"]
+    )
+    exact = (
+        ev.join(F.broadcast(cand), "user_id")
+        .groupBy("w", "user_id")
+        .agg(F.count(F.lit(1)).alias("_nx"))
+    )
+    return est.join(exact, ["w", "user_id"], "left").select(
+        "w",
+        "user_id",
+        "est",
+        F.coalesce("_nx", F.lit(0)).cast("long").alias("n_exact"),
+        (F.col("est") - F.coalesce("_nx", F.lit(0))).cast("long").alias("overcount"),
+    )

@@ -94,6 +94,10 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # seasonal strategy of the in-window q_metric_anomaly repository family
     # (Deequ HoltWinters use case; round 7)
     "q_seasonal_anomaly",
+    # count-min point queries: the approximate twin of in-window
+    # q_value_counts-family exact counts (lazy xxhash64-replica oracle;
+    # round 7)
+    "q_cms_point_estimates",
     # winnowing (MOSS) fingerprints + containment pairs: the shingle/pair
     # families are in-window via q_ngram_jaccard_pairs / q_dedup_clusters;
     # these add the guarantee-bearing fingerprint scheme (round 7)

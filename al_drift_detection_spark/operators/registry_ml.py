@@ -3516,3 +3516,92 @@ def q_cms_point_estimates(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce("_nx", F.lit(0)).cast("long").alias("n_exact"),
         (F.col("est") - F.coalesce("_nx", F.lit(0))).cast("long").alias("overcount"),
     )
+
+
+_BLOOM_PARAMS = {"n_bits": 16384, "n_hashes": 5, "win": 4000}
+
+
+def _bloom_oracle_sql() -> str:
+    """FULL DuckDB oracle for q_bloom_referential — the CMS lazy technique
+    on the membership surface: each key's k bit positions
+    (pmod(xxhash64(key, r), n_bits), bit-exact via operators/xxh64_replica)
+    are embedded as list literals, DuckDB rebuilds the filter (occupied =
+    dim keys' positions) and reproduces n_bloom_missing EXACTLY — both the
+    no-false-negative invariant and the fp_missed count are value-checked,
+    not bounded. Literal size is O(distinct keys); the gate runs at sf0.01
+    (1.5k customer keys)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from al_drift_detection_spark.operators.xxh64_replica import xxhash64_long_int
+
+    P = _BLOOM_PARAMS
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    ck = pq.read_table(f"{sf}/customer.parquet", columns=["c_custkey"])
+    ok = pq.read_table(f"{sf}/orders.parquet", columns=["o_custkey"])
+    keys = np.unique(
+        np.concatenate(
+            [ck.column("c_custkey").to_numpy(), ok.column("o_custkey").to_numpy()]
+        )
+    )
+    pos = [xxhash64_long_int(keys, r) % P["n_bits"] for r in range(P["n_hashes"])]
+    vals = ", ".join(
+        f"({int(k)}, [{', '.join(str(int(pos[r][j])) for r in range(P['n_hashes']))}])"
+        for j, k in enumerate(keys)
+    )
+    return f"""
+    WITH m(k, ps) AS (VALUES {vals}),
+    mu AS (SELECT k, unnest(ps) AS p FROM m),
+    dim AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 7 <> 3),
+    occ AS (SELECT DISTINCT p FROM mu JOIN dim USING (k)),
+    km AS (
+      SELECT mu.k, bool_and(occ.p IS NOT NULL) AS member
+      FROM mu LEFT JOIN occ USING (p) GROUP BY mu.k
+    ),
+    f AS (
+      SELECT CAST(floor(o_orderkey / {P["win"]}) AS BIGINT) AS w, o_custkey AS k
+      FROM orders WHERE o_custkey IS NOT NULL
+    )
+    SELECT f.w,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(sum(CASE WHEN dim.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_missing,
+           CAST(sum(CASE WHEN NOT km.member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_missing,
+           CAST(sum(CASE WHEN dim.k IS NULL AND km.member THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp_missed
+    FROM f JOIN km USING (k) LEFT JOIN dim USING (k)
+    GROUP BY 1
+    """
+
+
+@register(
+    "q_bloom_referential",
+    _bloom_oracle_sql,
+    "Bloom-filter referential membership (functions/bloom.py — SURVEY.md "
+    "§2.3 J4 at 100 TB; membership-gate analog of gan.py's known-drift "
+    "filtering, SURVEY §2.1 S7): a dimension too large to broadcast as raw "
+    "keys ships as BITS (one bounded bit_or aggregate, one-row broadcast, "
+    "zero fact-side shuffle); flagged rows are DEFINITE violations (no "
+    "false negatives), fp_missed counts true violations hidden by "
+    "collisions. Planted removal: customers with c_custkey % 7 == 3 leave "
+    "the dimension, so ~14% of orders violate. FULL lazy DuckDB oracle "
+    "(key->positions literals via the xxhash64 replica) reproduces "
+    "n_bloom_missing exactly; forced-collision + invariant tests in "
+    "tests/test_bloom.py",
+)
+def q_bloom_referential(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.bloom import bloom_referential_counts
+
+    P = _BLOOM_PARAMS
+    fact = _t(spark, sf, "orders").select(
+        F.floor(F.col("o_orderkey") / P["win"]).cast("long").alias("w"),
+        "o_custkey",
+    )
+    dim = _t(spark, sf, "customer").filter(F.col("c_custkey") % 7 != 3)
+    return bloom_referential_counts(
+        fact, dim, "o_custkey", "c_custkey", "w",
+        n_bits=P["n_bits"], n_hashes=P["n_hashes"],
+    )

@@ -98,6 +98,10 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # q_value_counts-family exact counts (lazy xxhash64-replica oracle;
     # round 7)
     "q_cms_point_estimates",
+    # bloom membership: the at-scale twin of the in-window q_anti_join /
+    # q_referential_drift exact family (lazy xxhash64-replica oracle;
+    # round 7)
+    "q_bloom_referential",
     # winnowing (MOSS) fingerprints + containment pairs: the shingle/pair
     # families are in-window via q_ngram_jaccard_pairs / q_dedup_clusters;
     # these add the guarantee-bearing fingerprint scheme (round 7)

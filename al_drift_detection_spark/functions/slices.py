@@ -1,0 +1,157 @@
+"""Per-slice drift drill-down — WHICH subgroup moved (SURVEY.md §2.7 W8
+sliding ref-vs-cur drift + §2.4 A14 grouping: the reference scores drift on
+whole windows, /root/reference/gan.py:700-760; a production triage needs the
+next question answered in the same pass — "window 5 drifted: was it every
+slice, or one upstream source?"; the Deequ/whylogs slicing idea, public
+design).
+
+Semantics: a PSI per (slice, window) of the numeric column's distribution
+vs the SLICE'S OWN reference distribution — so a slice whose values were
+always bimodal does not alarm just for being different from the pool (the
+per-cohort-baseline discipline of gan.py's per-orbit scoring), and a global
+alarm decomposes into the slices that caused it (ranked per window).
+
+Determinism rules (both inherited from drift.categorical_drift — the
+CLAUDE.md category-universe constraint):
+- the SLICE UNIVERSE is the reference's top `max_slices` slices by count
+  (ties by name) plus one "(other)" catch-all; a corrupted high-cardinality
+  slice column bounds the grid instead of exploding it, and a window's row
+  set never depends on what other windows contained;
+- the BIN GRID is `bins` equal-width bins over the reference's GLOBAL
+  [min, max] (clamped outside) — fixed by the reference alone, identical
+  for every slice and window.
+
+Scale shape: two partial+final aggregate passes over the raw rows (ref
+counts, cur counts); everything downstream — shares, eps-clipping, the PSI
+fold, ranking — runs on the O(slices x bins) and O(slices x bins x windows)
+aggregated frames with broadcast joins. Pure JVM end to end (the PSI is the
+closed relational form of q_psi_fixed_bins, per slice), so the whole
+operator sits under a FULL DuckDB oracle (q_sliced_drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+OTHER = "(other)"
+
+
+def sliced_psi_drift(
+    df: DataFrame,
+    value_col: str,
+    slice_col: str,
+    window_col: str,
+    ref_filter: Column,
+    bins: int = 10,
+    max_slices: int = 20,
+    eps: float = 1e-4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """PSI drill-down of `value_col` per (slice, window): rows matching
+    `ref_filter` form the per-slice reference; every other window is scored
+    against it. Output one row per (window x universe slice): (window_col,
+    slice, n_cur, psi, rank, verdict) with rank 1 = the window's biggest
+    mover (ties by slice name) and verdict fail iff psi > threshold. A
+    slice with NO current rows in a window emits psi NULL / 'no_data' (an
+    empty distribution is a volume problem — health.volume owns it — not
+    distributional drift). "(other)" absorbs both the reference's tail
+    slices and brand-new current slices; a genuinely new slice therefore
+    scores against the tail's reference (or all-eps when the tail is
+    empty) and spikes."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    sl = F.coalesce(F.col(slice_col).cast("string"), F.lit("(null)"))
+    base = df.select(
+        F.col(window_col).alias("_w"),
+        sl.alias("_s"),
+        F.col(value_col).cast("double").alias("_v"),
+        ref_filter.alias("_is_ref"),
+    ).filter(F.col("_v").isNotNull())
+
+    ref = base.filter("_is_ref")
+    # reference-derived constants: bin range + slice universe (both tiny)
+    rng = ref.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    top = (
+        ref.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), "_s")
+        .limit(max_slices)
+        .select("_s")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / bins
+    binned = (
+        base.crossJoin(F.broadcast(rng))
+        .join(F.broadcast(top.withColumn("_known", F.lit(True))), "_s", "left")
+        .select(
+            "_w",
+            "_is_ref",
+            F.when(F.col("_known"), F.col("_s")).otherwise(F.lit(OTHER)).alias("_s"),
+            F.when(
+                width > 0,
+                F.least(
+                    F.greatest(
+                        F.floor((F.col("_v") - F.col("_lo")) / width), F.lit(0)
+                    ),
+                    F.lit(bins - 1),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_b"),
+        )
+    )
+
+    refc = binned.filter("_is_ref").groupBy("_s", "_b").agg(
+        F.count(F.lit(1)).cast("double").alias("_rn")
+    )
+    reft = refc.groupBy("_s").agg(F.sum("_rn").alias("_rt"))
+    curc = (
+        binned.filter(~F.col("_is_ref"))
+        .groupBy("_w", "_s", "_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("_cn"))
+    )
+    curt = curc.groupBy("_w", "_s").agg(F.sum("_cn").alias("_ct"))
+
+    # deterministic grid: every window x universe slice x bin
+    universe = top.unionByName(
+        top.sparkSession.createDataFrame([(OTHER,)], "_s string")
+    )
+    wins = binned.filter(~F.col("_is_ref")).select("_w").distinct()
+    cells = (
+        wins.crossJoin(F.broadcast(universe))
+        .crossJoin(F.broadcast(top.sparkSession.range(bins).select(F.col("id").alias("_b"))))
+    )
+    pr = F.greatest(
+        F.coalesce(F.col("_rn") / F.col("_rt"), F.lit(0.0)), F.lit(float(eps))
+    )
+    pc = F.greatest(
+        F.coalesce(F.col("_cn") / F.col("_ct"), F.lit(0.0)), F.lit(float(eps))
+    )
+    per = (
+        cells.join(F.broadcast(refc), ["_s", "_b"], "left")
+        .join(F.broadcast(reft), "_s", "left")
+        .join(curc, ["_w", "_s", "_b"], "left")
+        .join(curt, ["_w", "_s"], "left")
+        .groupBy("_w", "_s")
+        .agg(
+            F.coalesce(F.first("_ct"), F.lit(0.0)).cast("long").alias("n_cur"),
+            F.sum((pc - pr) * F.log(pc / pr)).alias("_psi_raw"),
+        )
+        .withColumn(
+            "psi", F.when(F.col("n_cur") > 0, F.col("_psi_raw"))
+        )
+    )
+    rk = Window.partitionBy("_w").orderBy(F.col("psi").desc_nulls_last(), "_s")
+    return per.select(
+        F.col("_w").alias(window_col),
+        F.col("_s").alias("slice"),
+        "n_cur",
+        "psi",
+        F.row_number().over(rk).alias("rank"),
+        F.when(F.col("n_cur") == 0, "no_data")
+        .when(F.col("psi") > threshold, "fail")
+        .otherwise("pass")
+        .alias("verdict"),
+    )

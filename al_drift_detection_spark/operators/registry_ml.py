@@ -3605,3 +3605,109 @@ def q_bloom_referential(spark: SparkSession, sf: str) -> DataFrame:
         fact, dim, "o_custkey", "c_custkey", "w",
         n_bits=P["n_bits"], n_hashes=P["n_hashes"],
     )
+
+
+@register(
+    "q_sliced_drift",
+    """
+    WITH base AS (
+      SELECT CAST(floor(event_id / 1000) AS BIGINT) AS w,
+             coalesce(event_type, '(null)') AS s,
+             value + CASE WHEN event_type = 'click'
+                           AND event_id >= 5000 THEN 120.0 ELSE 0.0 END AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    rng AS (SELECT min(v) AS lo, max(v) AS hi FROM base WHERE w < 5),
+    top AS (
+      SELECT s FROM base WHERE w < 5 GROUP BY s
+      ORDER BY count(*) DESC, s LIMIT 5
+    ),
+    binned AS (
+      SELECT w, (w < 5) AS is_ref,
+             CASE WHEN s IN (SELECT s FROM top) THEN s ELSE '(other)' END AS s,
+             CASE WHEN hi > lo THEN
+               least(greatest(CAST(floor((v - lo) / ((hi - lo) / 10)) AS BIGINT),
+                              0), 9)
+             ELSE 0 END AS b
+      FROM base, rng
+    ),
+    refc AS (SELECT s, b, count(*)::DOUBLE AS rn FROM binned WHERE is_ref GROUP BY 1, 2),
+    reft AS (SELECT s, sum(rn) AS rt FROM refc GROUP BY 1),
+    curc AS (SELECT w, s, b, count(*)::DOUBLE AS cn FROM binned WHERE NOT is_ref GROUP BY 1, 2, 3),
+    curt AS (SELECT w, s, sum(cn) AS ct FROM curc GROUP BY 1, 2),
+    uni AS (SELECT s FROM top UNION ALL SELECT '(other)'),
+    cells AS (
+      SELECT wn.w, uni.s, gs.b
+      FROM (SELECT DISTINCT w FROM binned WHERE NOT is_ref) wn
+      CROSS JOIN uni CROSS JOIN (SELECT unnest(range(10)) AS b) gs
+    ),
+    per AS (
+      SELECT c.w, c.s,
+             CAST(coalesce(max(curt.ct), 0) AS BIGINT) AS n_cur,
+             sum((greatest(coalesce(curc.cn / curt.ct, 0), 0.0001)
+                  - greatest(coalesce(refc.rn / reft.rt, 0), 0.0001))
+                 * ln(greatest(coalesce(curc.cn / curt.ct, 0), 0.0001)
+                      / greatest(coalesce(refc.rn / reft.rt, 0), 0.0001))) AS psi_raw
+      FROM cells c
+      LEFT JOIN refc ON refc.s = c.s AND refc.b = c.b
+      LEFT JOIN reft ON reft.s = c.s
+      LEFT JOIN curc ON curc.w = c.w AND curc.s = c.s AND curc.b = c.b
+      LEFT JOIN curt ON curt.w = c.w AND curt.s = c.s
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT w, s AS slice, n_cur,
+             CASE WHEN n_cur > 0 THEN round(psi_raw, 6) END AS psi
+      FROM per
+    )
+    SELECT w, slice, n_cur, psi,
+           CAST(row_number() OVER (PARTITION BY w ORDER BY psi DESC NULLS LAST, slice)
+                AS INT) AS rank,
+           CASE WHEN n_cur = 0 THEN 'no_data'
+                WHEN psi > 0.2 THEN 'fail' ELSE 'pass' END AS verdict
+    FROM r
+    """,
+    "Per-slice drift drill-down (functions/slices.py — SURVEY.md §2.7 W8 "
+    "x §2.4 A14; per-cohort-baseline discipline of gan.py's per-orbit "
+    "scoring): PSI per (slice, window) vs the SLICE'S OWN reference "
+    "distribution over a ref-derived fixed bin grid, deterministic slice "
+    "universe (ref top-5 + '(other)' — the categorical_drift rule; the "
+    "empty catch-all exercises the no_data verdict), planted +120 shift on "
+    "the 'click' slice in windows >= 5 that the drill-down must "
+    "attribute: click rank 1 / fail, every other slice pass. FULL oracle "
+    "value-checking counts, psi, rank and verdict (rank/verdict "
+    "re-derived from 6dp-rounded psi on both engines)",
+)
+def q_sliced_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+    from al_drift_detection_spark.functions.slices import sliced_psi_drift
+
+    ev = (
+        _t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.floor(F.col("event_id") / 1000).cast("long").alias("w"),
+            "event_type",
+            (
+                F.col("value")
+                + F.when(
+                    (F.col("event_type") == "click") & (F.col("event_id") >= 5000),
+                    120.0,
+                ).otherwise(0.0)
+            ).alias("v"),
+        )
+    )
+    out = sliced_psi_drift(
+        ev, "v", "event_type", "w", ref_filter=F.col("w") < 5,
+        bins=10, max_slices=5, threshold=0.2,
+    )
+    psi6 = F.round("psi", 6)
+    rk = W.partitionBy("w").orderBy(psi6.desc_nulls_last(), "slice")
+    return out.select(
+        "w", "slice", "n_cur", psi6.alias("psi"),
+        F.row_number().over(rk).alias("rank"),
+        F.when(F.col("n_cur") == 0, "no_data")
+        .when(psi6 > 0.2, "fail")
+        .otherwise("pass")
+        .alias("verdict"),
+    )

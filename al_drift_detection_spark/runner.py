@@ -119,6 +119,15 @@ def main(argv: list[str] | None = None) -> int:
         "check per-column kernels can't see; writes the assoc_drift/ table",
     )
     ap.add_argument(
+        "--slice-drift", action="append", default=None, metavar="SLICE:VALUE",
+        help="per-SLICE drift drill-down: PSI of VALUE's distribution per "
+        "(SLICE value × window) vs the slice's OWN reference-window "
+        "distribution (deterministic ref-top-20 + '(other)' universe; "
+        "repeatable, e.g. fmt:w) — answers WHICH slice moved when the "
+        "window-level drift fires; writes the slice_drift/ table "
+        "(functions/slices.sliced_psi_drift)",
+    )
+    ap.add_argument(
         "--image-dedup", action="store_true",
         help="near-duplicate IMAGE detection: Hamming band-join over the "
         "phash column (distance ≤3) + duplicate-cluster resolution — writes "
@@ -802,6 +811,33 @@ def main(argv: list[str] | None = None) -> int:
             f"{args.out}/assoc_drift"
         )
         release(ad)
+
+    if args.slice_drift:
+        from al_drift_detection_spark.functions.slices import sliced_psi_drift
+
+        frames = []
+        for spec in args.slice_drift:
+            try:
+                slice_col, value_col = spec.split(":", 1)
+            except ValueError:
+                print(f"--slice-drift expects SLICE:VALUE, got {spec!r}",
+                      file=sys.stderr)
+                return 2
+            sd = sliced_psi_drift(
+                meta, value_col, slice_col, "window_id",
+                ref_filter=F.col("window_id") < args.ref_windows,
+            ).select(
+                F.lit(slice_col).alias("slice_col"),
+                F.lit(value_col).alias("value_col"),
+                "window_id", "slice", "n_cur", "psi", "rank", "verdict",
+            )
+            frames.append(sd)
+        out_sd = frames[0]
+        for fr in frames[1:]:
+            out_sd = out_sd.unionByName(fr)
+        out_sd.orderBy(
+            "slice_col", "value_col", "window_id", "rank"
+        ).write.mode("overwrite").parquet(f"{args.out}/slice_drift")
 
     if args.health:
         from al_drift_detection_spark.functions._persist import release

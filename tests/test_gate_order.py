@@ -102,6 +102,9 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # q_referential_drift exact family (lazy xxhash64-replica oracle;
     # round 7)
     "q_bloom_referential",
+    # per-slice drill-down of the in-window q_psi_fixed_bins drift family
+    # (round 7)
+    "q_sliced_drift",
     # winnowing (MOSS) fingerprints + containment pairs: the shingle/pair
     # families are in-window via q_ngram_jaccard_pairs / q_dedup_clusters;
     # these add the guarantee-bearing fingerprint scheme (round 7)

@@ -116,9 +116,11 @@ GATE_FRONT: list[str] = [
     "q_batch_inference",
     # ext: rollups, sketches, correlation, as-of, splits, skew, sequences
     # (q_time_bucket demoted r7: the F7 timestamp family's gate
-    # representative is q_group_extents)
+    # representative is q_group_extents; late-r7 rotation: q_pivot demoted —
+    # the rollup family's representative is q_grouping_sets — freeing the
+    # slot for q_sliced_drift, the round's per-slice drift drill-down)
     "q_grouping_sets",
-    "q_pivot",
+    "q_sliced_drift",
     "q_percentiles",
     "q_corr_covar",
     "q_asof_join",

@@ -40,6 +40,10 @@ DEMOTED_ORACLE_TWINS = {
     "q_zscore",
     "q_vector_magnitude",
     "q_time_bucket",
+    # late-r7 rotation: the rollup family held two slots (q_grouping_sets +
+    # q_pivot — the same grouping-sets/rollup shape); the freed slot went to
+    # q_sliced_drift, the round's per-slice drift drill-down family
+    "q_pivot",
 }
 
 # oracle-bearing EXTENSIONS beyond the SURVEY §2 inventory, plus explicit
@@ -102,9 +106,6 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # q_referential_drift exact family (lazy xxhash64-replica oracle;
     # round 7)
     "q_bloom_referential",
-    # per-slice drill-down of the in-window q_psi_fixed_bins drift family
-    # (round 7)
-    "q_sliced_drift",
     # winnowing (MOSS) fingerprints + containment pairs: the shingle/pair
     # families are in-window via q_ngram_jaccard_pairs / q_dedup_clusters;
     # these add the guarantee-bearing fingerprint scheme (round 7)

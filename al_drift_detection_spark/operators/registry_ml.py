@@ -3711,3 +3711,136 @@ def q_sliced_drift(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("pass")
         .alias("verdict"),
     )
+
+
+_KMV_PARAMS = {"k": 64, "win": 2000}
+
+
+def _kmv_oracle_sql() -> str:
+    """FULL DuckDB oracle for q_kmv_retention: each key's xxhash64 is
+    embedded as a literal (operators/xxh64_replica.xxhash64_long — the
+    single-column path), so DuckDB rebuilds the per-window KMV sketches,
+    the coordinated union sample, the Jaccard ESTIMATE itself and the exact
+    twin. Two literals per distinct user_id (base + churned key)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from al_drift_detection_spark.operators.xxh64_replica import xxhash64_long
+
+    P = _KMV_PARAMS
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf}/events.parquet", columns=["user_id"])
+    keys = np.unique(t.column("user_id").to_numpy())
+    hb = xxhash64_long(keys)
+    hs = xxhash64_long(keys + 1000)
+    vals = ", ".join(
+        f"({int(k)}, {int(b)}, {int(s)})" for k, b, s in zip(keys, hb, hs)
+    )
+    return f"""
+    WITH m(u, hb, hs) AS (VALUES {vals}),
+    e AS (
+      SELECT CAST(floor(event_id / {P["win"]}) AS BIGINT) AS w, user_id AS u
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    d AS (
+      SELECT DISTINCT w,
+             CASE WHEN u % 3 = 0 AND w >= 3 THEN hs ELSE hb END AS h,
+             CASE WHEN u % 3 = 0 AND w >= 3 THEN u + 1000 ELSE u END AS key
+      FROM e JOIN m USING (u)
+    ),
+    sk AS (
+      SELECT w, h FROM (
+        SELECT w, h, row_number() OVER (PARTITION BY w ORDER BY h) AS rn FROM d
+      ) WHERE rn <= {P["k"]}
+    ),
+    wins AS (SELECT DISTINCT w FROM sk),
+    pairs AS (SELECT a.w AS p FROM wins a JOIN wins b ON b.w = a.w + 1),
+    u2 AS (
+      SELECT p, h, max(ina) AS ina, max(inb) AS inb FROM (
+        SELECT pairs.p, h, 1 AS ina, 0 AS inb FROM sk JOIN pairs ON pairs.p = sk.w
+        UNION ALL
+        SELECT pairs.p, h, 0, 1 FROM sk JOIN pairs ON pairs.p = sk.w - 1
+      ) GROUP BY 1, 2
+    ),
+    samp AS (
+      SELECT p, ina, inb FROM (
+        SELECT p, ina, inb, row_number() OVER (PARTITION BY p ORDER BY h) AS rn
+        FROM u2
+      ) WHERE rn <= {P["k"]}
+    ),
+    est AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS k_used,
+             CAST(sum(ina * inb) AS BIGINT) AS n_both
+      FROM samp GROUP BY 1
+    ),
+    ex AS (
+      SELECT p, CAST(sum(ina) AS BIGINT) AS n_a, CAST(sum(inb) AS BIGINT) AS n_b,
+             CAST(sum(ina * inb) AS BIGINT) AS n_overlap
+      FROM (
+        SELECT p, key, max(ina) AS ina, max(inb) AS inb FROM (
+          SELECT pairs.p, key, 1 AS ina, 0 AS inb
+          FROM d JOIN pairs ON pairs.p = d.w
+          UNION ALL
+          SELECT pairs.p, key, 0, 1 FROM d JOIN pairs ON pairs.p = d.w - 1
+        ) GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT est.p AS w, est.p + 1 AS w_next, k_used, n_both,
+           round(n_both / CAST(k_used AS DOUBLE), 6) AS jaccard_est,
+           n_a, n_b, n_overlap,
+           round(n_overlap / CAST(n_a + n_b - n_overlap AS DOUBLE), 6)
+             AS jaccard_exact
+    FROM est JOIN ex ON ex.p = est.p
+    """
+
+
+@register(
+    "q_kmv_retention",
+    _kmv_oracle_sql,
+    "KMV cross-window overlap / retention (functions/kmv.py — SURVEY.md "
+    "§2.4 A2's set-INTERSECTION form, the operation HLL unions cannot "
+    "answer; population-overlap analog of gan.py:385-420's "
+    "recurring-vs-new regime question): per consecutive window pair, "
+    "Jaccard estimated from the k=64 smallest xxhash64 values "
+    "(coordinated union sample) next to the exact twin. Planted churn — "
+    "every user_id % 3 == 0 changes identity from window 3 on — drops the "
+    "(2,3) pair's overlap to ~0.5 while the others stay ~1.0. FULL lazy "
+    "DuckDB oracle (key->hash literals via the single-column xxhash64 "
+    "replica) value-checks sketch ranks, the coordinated sample, and the "
+    "estimate itself; estimator properties in tests/test_kmv.py",
+)
+def q_kmv_retention(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.kmv import (
+        exact_pair_overlap,
+        kmv_pair_overlap,
+        kmv_sketches,
+    )
+
+    P = _KMV_PARAMS
+    ev = (
+        _t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.floor(F.col("event_id") / P["win"]).cast("long").alias("w"),
+            "user_id",
+        )
+        .select(
+            "w",
+            F.when(
+                (F.col("user_id") % 3 == 0) & (F.col("w") >= 3),
+                F.col("user_id") + 1000,
+            )
+            .otherwise(F.col("user_id"))
+            .alias("key"),
+        )
+    )
+    est = kmv_pair_overlap(kmv_sketches(ev, "key", "w", k=P["k"]), "w", k=P["k"])
+    ex = exact_pair_overlap(ev, "key", "w")
+    return est.join(ex.drop("w_next"), "w").select(
+        "w", "w_next", "k_used", "n_both",
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+        "n_a", "n_b", "n_overlap",
+        F.round("jaccard_exact", 6).alias("jaccard_exact"),
+    )

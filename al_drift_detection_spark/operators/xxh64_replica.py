@@ -57,6 +57,16 @@ def _hash_int(value: np.ndarray, seed: np.ndarray) -> np.ndarray:
     return _fmix(h)
 
 
+def xxhash64_long(longs: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Spark `xxhash64(long_col)` (single column, default seed 42): the
+    KMV overlap sketches order by this value (functions/kmv.py) and their
+    lazy DuckDB oracle embeds it. Parity pinned in tests/test_kmv.py."""
+    with np.errstate(over="ignore"):
+        v = np.asarray(longs, dtype=np.int64).view(np.uint64)
+        h = _hash_long(v, _U64(seed))
+    return h.view(np.int64)
+
+
 def xxhash64_long_int(longs: np.ndarray, int_lit: int, seed: int = 42) -> np.ndarray:
     """Spark `xxhash64(long_col, lit(int))` (seed chains column-wise from
     42, the expression default): returns signed int64 — the sort key of

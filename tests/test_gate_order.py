@@ -106,6 +106,10 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # q_referential_drift exact family (lazy xxhash64-replica oracle;
     # round 7)
     "q_bloom_referential",
+    # KMV cross-window overlap: set-intersection form of the in-window
+    # q_uniqueness_drift / q_distinct_keys family (lazy xxhash64-replica
+    # oracle; round 7)
+    "q_kmv_retention",
     # winnowing (MOSS) fingerprints + containment pairs: the shingle/pair
     # families are in-window via q_ngram_jaccard_pairs / q_dedup_clusters;
     # these add the guarantee-bearing fingerprint scheme (round 7)

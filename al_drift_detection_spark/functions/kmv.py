@@ -40,18 +40,37 @@ def kmv_sketches(
     """One KMV sketch per window as ROWS: (window_col, h) with at most k
     rows per window — the k smallest xxhash64 values over the window's
     DISTINCT non-null keys (signed-long order is uniform, so rank order is
-    all that matters; no normalization needed for overlap). Two shuffles on
-    the same window key (distinct, rank), output bounded by windows x k."""
+    all that matters; no normalization needed for overlap).
+
+    Scale shape — TWO-STAGE ranked filter, because a plain
+    row_number().over(partitionBy(window)) would sort a window's ENTIRE
+    distinct-key set in one task (few windows x billions of keys is
+    exactly this operator's deployment case; the CLAUDE.md
+    single-hot-task rule). Stage 1 ranks within (window, salt) — SALT
+    buckets derived from the hash itself, so parallelism is window x
+    {salt} — and keeps k per bucket; the k smallest of the window are
+    necessarily among them (every survivor of the true top-k beats >= the
+    discarded rows of its own bucket). Stage 2 re-ranks the <= salt x k
+    survivors per window — bounded input regardless of data size. Output
+    bounded by windows x k."""
     if k < 16:
         raise ValueError(f"k must be >= 16, got {k}")
+    n_salt = 32
     d = (
         df.filter(F.col(key_col).isNotNull())
         .select(window_col, F.xxhash64(key_col).alias("h"))
         .distinct()
     )
-    rn = Window.partitionBy(window_col).orderBy("h")
+    s1 = Window.partitionBy(window_col, "_salt").orderBy("h")
+    pre = (
+        d.withColumn("_salt", F.pmod(F.col("h"), F.lit(n_salt)))
+        .withColumn("_rn", F.row_number().over(s1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    s2 = Window.partitionBy(window_col).orderBy("h")
     return (
-        d.withColumn("_rn", F.row_number().over(rn))
+        pre.withColumn("_rn", F.row_number().over(s2))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )

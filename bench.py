@@ -86,6 +86,12 @@ HEADLINE = [
     "q_salted_agg_auto",
     "q_frequent_items",
     "q_mg_frequent_items",
+    # late round-7 additions (additive keys, excluded from the summed total)
+    "q_seasonal_anomaly",
+    "q_cms_point_estimates",
+    "q_bloom_referential",
+    "q_sliced_drift",
+    "q_kmv_retention",
 ]
 
 # reported per-query but EXCLUDED from the summed `value` metric, which keeps
@@ -122,6 +128,11 @@ TOTAL_EXCLUDED = {
     "q_salted_agg_auto",
     "q_frequent_items",
     "q_mg_frequent_items",
+    "q_seasonal_anomaly",
+    "q_cms_point_estimates",
+    "q_bloom_referential",
+    "q_sliced_drift",
+    "q_kmv_retention",
     "validation_pass_decode",  # reported in queries but never summed either
     "stream_pass",  # round-6 streaming leg, additive
     "stream_pass_combined",  # round-7 single-scan streaming leg, additive

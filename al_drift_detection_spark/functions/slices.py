@@ -38,6 +38,67 @@ from pyspark.sql.window import Window
 OTHER = "(other)"
 
 
+def build_sliced_reference(
+    ref_df: DataFrame,
+    value_col: str,
+    slice_col: str,
+    bins: int = 10,
+    max_slices: int = 20,
+) -> dict:
+    """Driver-side reference CONFIG for the streaming twin
+    (streaming/closed.sliced_drift_spec): the same deterministic universe
+    and bin grid sliced_psi_drift derives internally, folded to a plain
+    picklable dict — O(slices x bins) floats. Built ONCE from the reference
+    windows; every later window (batch or stream) scores against it, so the
+    two modes cannot diverge on universes or grids."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    sl = F.coalesce(F.col(slice_col).cast("string"), F.lit("(null)"))
+    base = ref_df.select(
+        sl.alias("_s"), F.col(value_col).cast("double").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    rng = base.agg(F.min("_v").alias("lo"), F.max("_v").alias("hi")).first()
+    lo = float(rng["lo"]) if rng["lo"] is not None else 0.0
+    hi = float(rng["hi"]) if rng["hi"] is not None else lo
+    top = [
+        r["_s"]
+        for r in base.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), "_s")
+        .limit(max_slices)
+        .collect()
+    ]
+    width = (hi - lo) / bins
+    b = (
+        F.least(F.greatest(F.floor((F.col("_v") - lo) / width), F.lit(0)),
+                F.lit(bins - 1))
+        if width > 0
+        else F.lit(0)
+    )
+    counts = (
+        base.select(
+            F.when(F.col("_s").isin(top), F.col("_s")).otherwise(OTHER).alias("_s"),
+            b.cast("long").alias("_b"),
+        )
+        .groupBy("_s", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    pr: dict[str, list[float]] = {s: [0.0] * bins for s in [*top, OTHER]}
+    tot: dict[str, int] = {}
+    for r in counts:
+        tot[r["_s"]] = tot.get(r["_s"], 0) + int(r["_n"])
+    for r in counts:
+        pr[r["_s"]][int(r["_b"])] = int(r["_n"]) / tot[r["_s"]]
+    return {
+        "lo": lo,
+        "hi": hi,
+        "bins": int(bins),
+        "universe": [*top, OTHER],
+        "pr": pr,
+    }
+
+
 def sliced_psi_drift(
     df: DataFrame,
     value_col: str,
@@ -48,6 +109,7 @@ def sliced_psi_drift(
     max_slices: int = 20,
     eps: float = 1e-4,
     threshold: float = 0.2,
+    min_rows: int = 50,
 ) -> DataFrame:
     """PSI drill-down of `value_col` per (slice, window): rows matching
     `ref_filter` form the per-slice reference; every other window is scored
@@ -56,10 +118,14 @@ def sliced_psi_drift(
     mover (ties by slice name) and verdict fail iff psi > threshold. A
     slice with NO current rows in a window emits psi NULL / 'no_data' (an
     empty distribution is a volume problem — health.volume owns it — not
-    distributional drift). "(other)" absorbs both the reference's tail
-    slices and brand-new current slices; a genuinely new slice therefore
-    scores against the tail's reference (or all-eps when the tail is
-    empty) and spikes."""
+    distributional drift), and one with FEWER than `min_rows` emits psi
+    NULL / 'insufficient' — eps-clipped PSI over a handful of samples is
+    pure noise (4 rows in 10 bins score ~4 whatever the truth, observed as
+    persistent false alarms on tiny fmt slices; the anomaly family's
+    fail-open small-sample posture). "(other)" absorbs both the reference's
+    tail slices and brand-new current slices; a genuinely new slice
+    therefore scores against the tail's reference (or all-eps when the
+    tail is empty) and spikes."""
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
     sl = F.coalesce(F.col(slice_col).cast("string"), F.lit("(null)"))
@@ -140,7 +206,8 @@ def sliced_psi_drift(
             F.sum((pc - pr) * F.log(pc / pr)).alias("_psi_raw"),
         )
         .withColumn(
-            "psi", F.when(F.col("n_cur") > 0, F.col("_psi_raw"))
+            "psi",
+            F.when(F.col("n_cur") >= min_rows, F.col("_psi_raw")),
         )
     )
     rk = Window.partitionBy("_w").orderBy(F.col("psi").desc_nulls_last(), "_s")
@@ -151,6 +218,7 @@ def sliced_psi_drift(
         "psi",
         F.row_number().over(rk).alias("rank"),
         F.when(F.col("n_cur") == 0, "no_data")
+        .when(F.col("n_cur") < min_rows, "insufficient")
         .when(F.col("psi") > threshold, "fail")
         .otherwise("pass")
         .alias("verdict"),

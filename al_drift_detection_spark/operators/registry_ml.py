@@ -3664,6 +3664,7 @@ def q_bloom_referential(spark: SparkSession, sf: str) -> DataFrame:
            CAST(row_number() OVER (PARTITION BY w ORDER BY psi DESC NULLS LAST, slice)
                 AS INT) AS rank,
            CASE WHEN n_cur = 0 THEN 'no_data'
+                WHEN n_cur < 50 THEN 'insufficient'
                 WHEN psi > 0.2 THEN 'fail' ELSE 'pass' END AS verdict
     FROM r
     """,
@@ -3707,6 +3708,7 @@ def q_sliced_drift(spark: SparkSession, sf: str) -> DataFrame:
         "w", "slice", "n_cur", psi6.alias("psi"),
         F.row_number().over(rk).alias("rank"),
         F.when(F.col("n_cur") == 0, "no_data")
+        .when(F.col("n_cur") < 50, "insufficient")
         .when(psi6 > 0.2, "fail")
         .otherwise("pass")
         .alias("verdict"),

@@ -125,7 +125,10 @@ def main(argv: list[str] | None = None) -> int:
         "distribution (deterministic ref-top-20 + '(other)' universe; "
         "repeatable, e.g. fmt:w) — answers WHICH slice moved when the "
         "window-level drift fires; writes the slice_drift/ table "
-        "(functions/slices.sliced_psi_drift)",
+        "(functions/slices.sliced_psi_drift). With --stream it instead "
+        "rides the closed-window family as stream_slice_drift_<slice>_"
+        "<value>/ (streaming/closed.sliced_drift_spec — same universe, "
+        "grid and shares via build_sliced_reference, batch-parity pinned)",
     )
     ap.add_argument(
         "--image-dedup", action="store_true",
@@ -450,11 +453,22 @@ def main(argv: list[str] | None = None) -> int:
         from al_drift_detection_spark.streaming import driver as stream_driver
 
         cat_cols = args.cat_drift or []
+        slice_pairs = []
+        for spec in args.slice_drift or []:
+            try:
+                slice_col, value_col = spec.split(":", 1)
+            except ValueError:
+                print(f"--slice-drift expects SLICE:VALUE, got {spec!r}",
+                      file=sys.stderr)
+                return 2
+            slice_pairs.append((slice_col, value_col))
         n_windows = stream_driver.stage_bounded_stream(
             meta_full, f"{args.out}/_stream_input",
             args.stream_window, args.stream_watermark,
         )
-        refs = stream_driver.build_references(meta_full, args.ref_windows, cat_cols)
+        refs = stream_driver.build_references(
+            meta_full, args.ref_windows, cat_cols, slice_pairs=slice_pairs
+        )
         run_streams = (
             stream_driver.run_closed_streams_combined
             if args.stream_combined

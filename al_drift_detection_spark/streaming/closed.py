@@ -1236,3 +1236,140 @@ def closed_frequent_items(
     """Per-query builder for frequent_items_spec (docstring there)."""
     spec = frequent_items_spec(col, k=k, top=top)
     return _run_spec(stream_df, ts_col, spec, window, watermark, slide)
+
+
+SLICED_OUT_SCHEMA = (
+    "window_start timestamp, window_end timestamp, slice string, "
+    "n_cur long, psi double, rank int, verdict string"
+)
+_SL_SEP = "\x1f"  # unit separator — cannot occur in a coalesced slice name
+
+
+def sliced_drift_spec(
+    value_col: str,
+    slice_col: str,
+    ref: dict,
+    eps: float = 1e-4,
+    threshold: float = 0.2,
+    min_rows: int = 50,
+    name: str = "sliced",
+) -> ClosedSpec:
+    """Closed-window PER-SLICE drift drill-down — the streaming twin of
+    functions/slices.sliced_psi_drift (docstring there; `ref` is
+    functions/slices.build_sliced_reference's config dict, built ONCE from
+    the reference windows, so batch and stream score against the same
+    universe, grid and shares). Each chunk reduces to sparse
+    (slice, bin) -> count partials (bounded by universe x bins by
+    construction — the mapped slice set is the deterministic universe);
+    the fold sums them; the close computes per-slice PSI with the batch's
+    exact eps-clipping, ranking (psi desc nulls last, slice asc) and
+    verdicts incl. no_data. Emits one row per universe slice per window —
+    the batch's deterministic row-set contract. Row-for-row value parity
+    with the batch operator is pinned in tests/test_closed_windows.py."""
+    lo, hi, bins = float(ref["lo"]), float(ref["hi"]), int(ref["bins"])
+    universe = list(ref["universe"])
+    pr_map = {s: [float(x) for x in ref["pr"][s]] for s in universe}
+    named = [s for s in universe if s != "(other)"]
+    width = (hi - lo) / bins
+
+    sl = F.coalesce(F.col(slice_col).cast("string"), F.lit("(null)"))
+    v = F.col(value_col).cast("double")
+    b = (
+        F.least(F.greatest(F.floor((v - lo) / width), F.lit(0)), F.lit(bins - 1))
+        if width > 0
+        else F.when(v.isNotNull(), F.lit(0))
+    )
+
+    def reduce(g):
+        d = g.dropna(subset=["_b"])
+        if not len(d):
+            return (0, [], None, None, [])
+        vc = d.groupby(["_s", "_b"], sort=False).size()
+        return (
+            int(len(d)),
+            [int(c) for c in vc.values],
+            None,
+            None,
+            [f"{s}{_SL_SEP}{int(bb)}" for s, bb in vc.index],
+        )
+
+    def fold(st, pdf):
+        n = int(st[0]) + int(pdf["_n"].sum())
+        counts = dict(zip(st[4], (int(x) for x in st[1])))
+        for longs, strs in zip(pdf["_longs"].to_numpy(), pdf["_strs"].to_numpy()):
+            for key, c in zip(strs, longs):
+                counts[key] = counts.get(key, 0) + int(c)
+        keys = sorted(counts)  # deterministic state layout
+        return (n, [counts[k] for k in keys], [], [], keys)
+
+    def close(st, w_start, w_end):
+        import math
+
+        counts: dict[str, dict[int, int]] = {s: {} for s in universe}
+        for key, c in zip(st[4], st[1]):
+            s, bb = key.rsplit(_SL_SEP, 1)
+            counts[s][int(bb)] = int(c)
+        scored = []
+        for s in universe:
+            tot = sum(counts[s].values())
+            if tot < min_rows:  # incl. 0 — the batch twin's noise gate
+                scored.append((s, tot, None))
+                continue
+            psi = 0.0
+            for i in range(bins):
+                pc = max(counts[s].get(i, 0) / tot, eps)
+                p0 = max(pr_map[s][i], eps)
+                psi += (pc - p0) * math.log(pc / p0)
+            scored.append((s, tot, psi))
+        scored.sort(key=lambda t: (t[2] is None, -(t[2] or 0.0), t[0]))
+        return [
+            (
+                w_start, w_end, s, n_cur, psi, r + 1,
+                "no_data" if n_cur == 0
+                else "insufficient" if n_cur < min_rows
+                else ("fail" if psi > threshold else "pass"),
+            )
+            for r, (s, n_cur, psi) in enumerate(scored)
+        ]
+
+    return ClosedSpec(
+        name=name,
+        cols={
+            "_s": F.when(sl.isin(named), sl).otherwise(F.lit("(other)")),
+            "_b": b.cast("double"),
+        },
+        reduce=reduce,
+        init=lambda: (0, [], [], [], []),
+        fold=fold,
+        close=close,
+        out_schema=SLICED_OUT_SCHEMA,
+        out_columns=["window_start", "window_end", "slice", "n_cur", "psi",
+                     "rank", "verdict"],
+        to_generic=lambda r: (r[2], None, int(r[3]), int(r[5]),
+                              None if r[4] is None else float(r[4]),
+                              None, None, None, r[6]),
+        split_fields=[("s1", "slice", None), ("l1", "n_cur", "long"),
+                      ("d1", "psi", None), ("l2", "rank", "int"),
+                      ("verdict", "verdict", None)],
+    )
+
+
+def closed_sliced_drift(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    slice_col: str,
+    ref: dict,
+    eps: float = 1e-4,
+    threshold: float = 0.2,
+    min_rows: int = 50,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Per-query builder for sliced_drift_spec (docstring there)."""
+    spec = sliced_drift_spec(
+        value_col, slice_col, ref, eps=eps, threshold=threshold,
+        min_rows=min_rows,
+    )
+    return _run_spec(stream_df, ts_col, spec, window, watermark, slide)

@@ -122,7 +122,12 @@ def stage_bounded_stream(
     return n_windows
 
 
-def build_references(meta: DataFrame, ref_windows: int, cat_cols: list[str]) -> dict:
+def build_references(
+    meta: DataFrame,
+    ref_windows: int,
+    cat_cols: list[str],
+    slice_pairs: list[tuple[str, str]] | None = None,
+) -> dict:
     """The deterministic references the batch pass uses (window_id <
     ref_windows), in the forms the closed-window builders take: quantile-grid
     samples for KS/PSI/MMD (drift.build_reference_sample — bounded,
@@ -192,6 +197,20 @@ def build_references(meta: DataFrame, ref_windows: int, cat_cols: list[str]) -> 
         .collect()
     )
     rt = sum(r["nab"] for r in joint)
+    # per-slice drift drill-down references (slice_col, value_col) — the
+    # batch twin's deterministic universe + grid + shares, folded by
+    # functions/slices.build_sliced_reference (O(slices x bins) floats)
+    refs["sliced"] = {}
+    if slice_pairs:
+        from al_drift_detection_spark.functions.slices import (
+            build_sliced_reference,
+        )
+
+        for slice_col, value_col in slice_pairs:
+            refs["sliced"][(slice_col, value_col)] = build_sliced_reference(
+                ref, value_col, slice_col
+            )
+
     rna: dict = {}
     rnb: dict = {}
     for r in joint:
@@ -266,6 +285,13 @@ def stream_specs(refs: dict, cat_cols: list[str]) -> list:
         specs.append(
             C.cat_drift_spec(
                 col, refs["cat_props"][col], name=f"stream_cat_drift_{col}"
+            )
+        )
+    for (slice_col, value_col), cfg in refs.get("sliced", {}).items():
+        specs.append(
+            C.sliced_drift_spec(
+                value_col, slice_col, cfg,
+                name=f"stream_slice_drift_{slice_col}_{value_col}",
             )
         )
     return specs

@@ -53,7 +53,9 @@ def staged(spark, tmp_path_factory):
     stage = str(root / "stage")
     meta = _meta(spark)
     stage_bounded_stream(meta, stage, 300, 60)
-    refs = build_references(meta, ref_windows=2, cat_cols=["fmt"])
+    refs = build_references(
+        meta, ref_windows=2, cat_cols=["fmt"], slice_pairs=[("fmt", "w")]
+    )
     return stage, refs
 
 

@@ -860,3 +860,86 @@ def test_closed_frequent_items_invariants_across_batches(spark, tmp_path_factory
         assert r["est"] <= true
         assert true - r["est"] <= 1200 / (K + 1)
     assert got.sort_values("rank").iloc[0]["item"] == "hot"
+
+
+def test_closed_sliced_drift_split_window_parity(spark, tmp_path_factory):
+    """Per-slice drill-down twin (streaming/closed.sliced_drift_spec):
+    window W1 is split across two micro-batches with slice 'b' shifted,
+    slice 'z' brand-new (-> '(other)'), and slice 'c' absent (-> no_data);
+    the single close-time row set equals functions/slices.sliced_psi_drift
+    over W1's full rows scored against the same reference windows —
+    slice-for-slice (n_cur, psi at 1e-9, rank, verdict)."""
+    from al_drift_detection_spark.functions.slices import (
+        build_sliced_reference,
+        sliced_psi_drift,
+    )
+    from al_drift_detection_spark.streaming.closed import closed_sliced_drift
+
+    inp = str(tmp_path_factory.mktemp("csd") / "in")
+    rng = np.random.default_rng(31)
+
+    def rows(slices, n_each, shift=None, offset_s=0):
+        out = []
+        for s in slices:
+            v = rng.uniform(0, 100, n_each) + (shift or {}).get(s, 0.0)
+            out.append(pd.DataFrame({
+                "ts": [BASE + pd.Timedelta(seconds=int(offset_s + x))
+                       for x in rng.integers(0, 120, n_each)],
+                "s": s,
+                "v": v,
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    ref_pdf = rows(["a", "b", "c"], 600)
+    fa = rows(["a", "z"], 250, offset_s=0)
+    fb = rows(["b"], 250, shift={"b": 55.0}, offset_s=120)
+    sentinel = pd.DataFrame(
+        {"ts": [BASE + pd.Timedelta(hours=1)], "s": ["a"], "v": [1.0]}
+    )
+
+    ref_df = spark.createDataFrame(ref_pdf)
+    cfg = build_sliced_reference(ref_df, "v", "s", bins=10, max_slices=3)
+    assert cfg["universe"] == ["a", "b", "c", "(other)"]
+
+    # batch twin over the same rows: ref as window 0, W1's fragments as 1
+    cur_pdf = pd.concat([fa, fb], ignore_index=True)
+    batch_df = spark.createDataFrame(
+        pd.concat(
+            [ref_pdf.assign(w=0), cur_pdf.assign(w=1)], ignore_index=True
+        )[["w", "s", "v"]]
+    )
+    want = {
+        r["slice"]: r
+        for r in sliced_psi_drift(
+            batch_df, "v", "s", "w", ref_filter=F.col("w") < 1,
+            bins=10, max_slices=3,
+        ).collect()
+    }
+
+    _write_batches(spark, inp, [fa, fb, sentinel])
+    stream = (
+        spark.readStream.schema("ts timestamp, s string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = closed_sliced_drift(
+        stream, "ts", "v", "s", cfg, window="5 minutes", watermark="1 minute"
+    )
+    _run_stream(out, "csd_out")
+    got = spark.sql(
+        "SELECT * FROM csd_out WHERE window_start = timestamp'2026-01-01 00:00:00'"
+    ).toPandas()
+    assert len(got) == 4  # one row per universe slice, exactly once
+    for _, r in got.iterrows():
+        w = want[r["slice"]]
+        assert r["n_cur"] == w["n_cur"], r["slice"]
+        assert r["rank"] == w["rank"], (r["slice"], r["rank"], w["rank"])
+        assert r["verdict"] == w["verdict"], r["slice"]
+        if w["psi"] is None:
+            assert pd.isna(r["psi"])
+        else:
+            assert abs(r["psi"] - w["psi"]) < 1e-9, (r["slice"], r["psi"], w["psi"])
+    byslice = {r["slice"]: r for _, r in got.iterrows()}
+    assert byslice["b"]["verdict"] == "fail"
+    assert byslice["(other)"]["verdict"] == "fail"  # new slice z
+    assert byslice["c"]["verdict"] == "no_data"

@@ -123,11 +123,32 @@ def test_bad_bins_rejected(spark):
         sliced_psi_drift(_frame(spark), "v", "s", "w", F.col("w") < 3, bins=1)
 
 
+def test_small_slice_gate(spark):
+    """A slice with fewer than min_rows current rows reads 'insufficient'
+    (psi NULL, ranked past the scored slices): 4 rows in 10 bins score ~4
+    whatever the truth — the observed tiny-fmt-slice false-alarm class."""
+    df = _frame(spark)
+    tiny = spark.range(12).select(
+        (F.col("id") % 6).alias("w"), F.lit("t").alias("s"),
+        (F.col("id") * 7.0).alias("v"),
+    )
+    out = sliced_psi_drift(
+        df.unionByName(tiny), "v", "s", "w", ref_filter=F.col("w") < 3
+    )
+    v = _verdicts(out)
+    for w in (3, 4, 5):
+        assert v[(w, "t")][0] == "insufficient", v
+        assert v[(w, "t")][1] > 3  # ranked past every scored slice
+    rows = {(r["w"], r["slice"]): r for r in out.collect()}
+    assert all(rows[(w, "t")]["psi"] is None for w in (3, 4, 5))
+
+
 def test_runner_slice_drift_surface(spark, tmp_path):
     """`runner --slice-drift fmt:w` writes slice_drift/: the planted w
-    drift is GLOBAL, so every named fmt slice fails in the drift windows
-    (4, 5) — the drill-down's "not slice-specific" signature — and the
-    empty '(other)' reads no_data."""
+    drift is GLOBAL, so every fmt slice with enough rows fails in the
+    drift windows (4, 5) — the drill-down's "not slice-specific" signature
+    — tiny fmt slices read insufficient (the noise gate), and the empty
+    '(other)' reads no_data."""
     from al_drift_detection_spark import runner
 
     out = tmp_path / "o"
@@ -137,8 +158,10 @@ def test_runner_slice_drift_surface(spark, tmp_path):
     ]) == 0
     rows = spark.read.parquet(f"{out}/slice_drift").collect()
     assert {r["window_id"] for r in rows} == {4, 5}
-    named = [r for r in rows if r["slice"] != "(other)"]
-    assert len(named) == 8 and all(r["verdict"] == "fail" for r in named)
+    scored = [r for r in rows if r["n_cur"] >= 50]
+    assert len(scored) >= 4 and all(r["verdict"] == "fail" for r in scored)
+    small = [r for r in rows if 0 < r["n_cur"] < 50]
+    assert small and all(r["verdict"] == "insufficient" for r in small)
     assert all(
         r["verdict"] == "no_data" for r in rows if r["slice"] == "(other)"
     )

@@ -85,7 +85,16 @@ def kmv_pair_overlap(
     appear in both. Output: (window_col = the pair's LEFT window, w_next,
     k_used, n_both, jaccard_est). Estimate error ~ 1/sqrt(k); when the
     union's distinct hashes fit inside k the estimate is EXACT (pinned in
-    tests/test_kmv.py). Every frame is O(windows x k)."""
+    tests/test_kmv.py). Every frame is O(windows x k).
+
+    The sketch frame is consumed THREE times (A side, B side, window list)
+    and its child is the expensive distinct + two-stage rank over raw data
+    — persisted here with the release obligation on the returned frame
+    (the CLAUDE.md shared-child rule; without it the whole sketch pipeline
+    executes three times)."""
+    from al_drift_detection_spark.functions._persist import attach_persisted
+
+    sketches = sketches.persist()
     a = sketches.select(F.col(window_col).alias("_p"), "h", F.lit(1).alias("_a"))
     b = sketches.select(
         (F.col(window_col) - 1).alias("_p"), "h", F.lit(1).alias("_b")
@@ -101,7 +110,7 @@ def kmv_pair_overlap(
         .agg(F.max("_a").alias("_ina"), F.max("_b").alias("_inb"))
     )
     rn = Window.partitionBy("_p").orderBy("h")
-    return (
+    out = (
         u.withColumn("_rn", F.row_number().over(rn))
         .filter(F.col("_rn") <= k)
         .groupBy("_p")
@@ -119,6 +128,7 @@ def kmv_pair_overlap(
             (F.col("n_both") / F.col("k_used")).alias("jaccard_est"),
         )
     )
+    return attach_persisted(out, sketches)
 
 
 def exact_pair_overlap(

@@ -3838,11 +3838,14 @@ def q_kmv_retention(spark: SparkSession, sf: str) -> DataFrame:
             .alias("key"),
         )
     )
+    from al_drift_detection_spark.functions._persist import propagate_persisted
+
     est = kmv_pair_overlap(kmv_sketches(ev, "key", "w", k=P["k"]), "w", k=P["k"])
     ex = exact_pair_overlap(ev, "key", "w")
-    return est.join(ex.drop("w_next"), "w").select(
+    out = est.join(ex.drop("w_next"), "w").select(
         "w", "w_next", "k_used", "n_both",
         F.round("jaccard_est", 6).alias("jaccard_est"),
         "n_a", "n_b", "n_overlap",
         F.round("jaccard_exact", 6).alias("jaccard_exact"),
     )
+    return propagate_persisted(out, est)

@@ -38,7 +38,13 @@ def test_stdout_line_fits_driver_tail_and_parses():
     # driver-contract keys survive slimming
     for key in ("metric", "value", "unit", "queries", "sf"):
         assert key in parsed, key
-    assert set(parsed["queries"]) == set(_fake_result()["queries"])
+    # `queries` always covers at least the summed-headline set `value`
+    # is built from; the additive keys may be shed (tier 4) but then the
+    # line says so and the full map lives in the committed file
+    summed = {q for q in _fake_result()["queries"] if q not in bench.TOTAL_EXCLUDED}
+    assert summed <= set(parsed["queries"])
+    if not set(parsed["queries"]) >= set(_fake_result()["queries"]):
+        assert parsed["queries_omitted_additive"] is True
     # the full record is pointed at when the warm series was dropped
     if "queries_warm" not in parsed:
         assert parsed["full_results_file"] == "BENCH_SELF.json"

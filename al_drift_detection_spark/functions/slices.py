@@ -21,10 +21,14 @@ CLAUDE.md category-universe constraint):
   [min, max] (clamped outside) — fixed by the reference alone, identical
   for every slice and window.
 
-Scale shape: two partial+final aggregate passes over the raw rows (ref
-counts, cur counts); everything downstream — shares, eps-clipping, the PSI
-fold, ranking — runs on the O(slices x bins) and O(slices x bins x windows)
-aggregated frames with broadcast joins. Pure JVM end to end (the PSI is the
+Scale shape: exactly TWO raw scans — one over the reference rows building a
+persisted per-slice (count, min, max) frame (whose folds give both the bin
+range and the top-slice universe), and one over the full table into a
+persisted (is_ref, window, slice, bin) counts frame; ref counts, current
+counts, and the window list all fold from the latter. Everything downstream
+— shares, eps-clipping, the PSI fold, ranking — runs on the O(slices x
+bins) and O(slices x bins x windows) aggregated frames with broadcast
+joins. Pure JVM end to end (the PSI is the
 closed relational form of q_psi_fixed_bins, per slice), so the whole
 operator sits under a FULL DuckDB oracle (q_sliced_drift).
 """
@@ -136,13 +140,27 @@ def sliced_psi_drift(
         ref_filter.alias("_is_ref"),
     ).filter(F.col("_v").isNotNull())
 
-    ref = base.filter("_is_ref")
-    # reference-derived constants: bin range + slice universe (both tiny)
-    rng = ref.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    from al_drift_detection_spark.functions._persist import attach_persisted
+
+    # reference-derived constants: bin range + slice universe. ONE ref scan
+    # builds both — per-slice (count, min, max) is a tiny persisted frame
+    # whose folds give the global range AND the top-slice universe; the
+    # naive shape (ref.agg(min,max) + ref.groupBy.limit) scans the raw
+    # reference twice (the CLAUDE.md shared-child rule — at this
+    # operator's deployment scale the ref windows are billions of rows).
+    stats = (
+        base.filter("_is_ref")
+        .groupBy("_s")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min("_v").alias("_slo"),
+            F.max("_v").alias("_shi"),
+        )
+        .persist()
+    )
+    rng = stats.agg(F.min("_slo").alias("_lo"), F.max("_shi").alias("_hi"))
     top = (
-        ref.groupBy("_s")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .orderBy(F.col("_n").desc(), "_s")
+        stats.orderBy(F.col("_n").desc(), "_s")
         .limit(max_slices)
         .select("_s")
     )
@@ -169,14 +187,23 @@ def sliced_psi_drift(
         )
     )
 
-    refc = binned.filter("_is_ref").groupBy("_s", "_b").agg(
-        F.count(F.lit(1)).cast("double").alias("_rn")
+    # ONE scan of the full table into a persisted O(windows x slices x
+    # bins) counts frame; ref counts, current counts, AND the window list
+    # all fold from it (unpersisted, each consumer would re-scan the raw
+    # table through the binning joins — three scans instead of one)
+    counts = (
+        binned.groupBy("_is_ref", "_w", "_s", "_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .persist()
+    )
+    refc = (
+        counts.filter("_is_ref")
+        .groupBy("_s", "_b")
+        .agg(F.sum("_n").alias("_rn"))
     )
     reft = refc.groupBy("_s").agg(F.sum("_rn").alias("_rt"))
-    curc = (
-        binned.filter(~F.col("_is_ref"))
-        .groupBy("_w", "_s", "_b")
-        .agg(F.count(F.lit(1)).cast("double").alias("_cn"))
+    curc = counts.filter(~F.col("_is_ref")).select(
+        "_w", "_s", "_b", F.col("_n").alias("_cn")
     )
     curt = curc.groupBy("_w", "_s").agg(F.sum("_cn").alias("_ct"))
 
@@ -184,7 +211,7 @@ def sliced_psi_drift(
     universe = top.unionByName(
         top.sparkSession.createDataFrame([(OTHER,)], "_s string")
     )
-    wins = binned.filter(~F.col("_is_ref")).select("_w").distinct()
+    wins = counts.filter(~F.col("_is_ref")).select("_w").distinct()
     cells = (
         wins.crossJoin(F.broadcast(universe))
         .crossJoin(F.broadcast(top.sparkSession.range(bins).select(F.col("id").alias("_b"))))
@@ -211,7 +238,7 @@ def sliced_psi_drift(
         )
     )
     rk = Window.partitionBy("_w").orderBy(F.col("psi").desc_nulls_last(), "_s")
-    return per.select(
+    out = per.select(
         F.col("_w").alias(window_col),
         F.col("_s").alias("slice"),
         "n_cur",
@@ -223,3 +250,4 @@ def sliced_psi_drift(
         .otherwise("pass")
         .alias("verdict"),
     )
+    return attach_persisted(out, stats, counts)

@@ -211,6 +211,120 @@ def completeness_drift(
     )
 
 
+def conditional_completeness_drift(
+    df: DataFrame,
+    cond_col: str,
+    target_col: str,
+    window_col: str = "window_id",
+    ref_filter=None,
+    threshold: float = 0.05,
+    max_categories: int = 20,
+    min_rows: int = 50,
+) -> DataFrame:
+    """Per-(category, window) NULL-RATIO drift of `target_col` conditioned
+    on `cond_col` vs the CATEGORY'S OWN reference ratio — the drill-down
+    completeness_drift cannot answer: "n_chars went 4% null overall" is
+    below every global threshold when one upstream source went 80% null
+    (Deequ's `completeness(...).where(...)` conditional analyzer, public
+    design; SURVEY.md §2.2 P1 completeness family × §2.4 A14 grouping —
+    the per-cohort-baseline discipline of the reference's per-orbit
+    scoring, /root/reference/gan.py:723-757).
+
+    Determinism (the categorical_drift / sliced_psi_drift universe rule):
+    categories are the reference's top `max_categories` by count (ties by
+    name) plus one "(other)" catch-all, so a corrupted high-cardinality
+    cond column bounds the output and a window's verdict never depends on
+    other windows' contents. "(other)"'s reference ratio is the ref tail's
+    pooled ratio (0.0 when the tail is empty — a brand-new category that
+    arrives with nulls scores against a fully-complete baseline and
+    flags).
+
+    Scale shape: exactly TWO raw scans — reference rows into a persisted
+    per-category (n, n_null) frame (whose folds give the universe AND
+    every reference ratio), current rows into a persisted per-(window,
+    universe-category) frame; the deterministic windows × universe grid is
+    broadcast-joined to both. Output one row per (window × universe
+    category): (window_id, category, n_cur, null_ratio, ref_ratio, delta,
+    verdict) — fail iff null_ratio − ref_ratio > threshold (one-sided:
+    BECOMING null); n_cur == 0 → 'no_data' (volume_anomaly owns empties),
+    0 < n_cur < min_rows → 'insufficient' (a handful of rows makes the
+    ratio pure noise — the anomaly family's small-sample posture).
+    """
+    if ref_filter is None:
+        raise ValueError("conditional_completeness_drift requires ref_filter")
+    OTHER = "(other)"
+    cat = F.coalesce(F.col(cond_col).cast("string"), F.lit("(null)"))
+    base = df.select(
+        F.col(window_col).alias("_w"),
+        cat.alias("_s"),
+        F.isnull(F.col(target_col)).cast("double").alias("_in"),
+        ref_filter.alias("_is_ref"),
+    )
+    stats = (
+        base.filter("_is_ref")
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_in").alias("_nn"))
+        .persist()
+    )
+    if stats.limit(1).count() == 0:
+        stats.unpersist()
+        raise ValueError(
+            "conditional_completeness_drift: the reference selects no rows "
+            "— every verdict would score against an empty baseline; check "
+            "ref_filter / the input's window values"
+        )
+    top = (
+        stats.orderBy(F.col("_n").desc(), "_s").limit(max_categories).select("_s")
+    )
+    ref_known = stats.join(F.broadcast(top), "_s").select(
+        "_s", (F.col("_nn") / F.col("_n")).alias("_rr")
+    )
+    ref_other = (
+        stats.join(F.broadcast(top), "_s", "left_anti")
+        .agg(
+            F.coalesce(F.sum("_nn") / F.sum("_n"), F.lit(0.0)).alias("_rr")
+        )
+        .select(F.lit(OTHER).alias("_s"), "_rr")
+    )
+    refs = ref_known.unionByName(ref_other)
+    curc = (
+        base.filter(~F.col("_is_ref"))
+        .join(F.broadcast(top.withColumn("_known", F.lit(True))), "_s", "left")
+        .select(
+            "_w",
+            F.when(F.col("_known"), F.col("_s")).otherwise(F.lit(OTHER)).alias("_s"),
+            "_in",
+        )
+        .groupBy("_w", "_s")
+        .agg(F.count(F.lit(1)).alias("_nc"), F.sum("_in").alias("_cn"))
+        .persist()
+    )
+    universe = top.unionByName(
+        top.sparkSession.createDataFrame([(OTHER,)], "_s string")
+    )
+    grid = curc.select("_w").distinct().crossJoin(F.broadcast(universe))
+    ratio = F.col("_cn") / F.col("_nc")
+    delta = ratio - F.col("_rr")
+    out = (
+        grid.join(curc, ["_w", "_s"], "left")
+        .join(F.broadcast(refs), "_s", "left")
+        .select(
+            F.col("_w").alias(window_col),
+            F.col("_s").alias("category"),
+            F.coalesce("_nc", F.lit(0)).alias("n_cur"),
+            F.round(ratio, 6).alias("null_ratio"),
+            F.round("_rr", 6).alias("ref_ratio"),
+            F.round(delta, 6).alias("delta"),
+            F.when(F.coalesce("_nc", F.lit(0)) == 0, "no_data")
+            .when(F.col("_nc") < min_rows, "insufficient")
+            .when(delta > threshold, "fail")
+            .otherwise("pass")
+            .alias("verdict"),
+        )
+    )
+    return attach_persisted(out, stats, curc)
+
+
 def uniqueness_drift(
     df: DataFrame,
     col: str,

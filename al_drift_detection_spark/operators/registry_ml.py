@@ -3849,3 +3849,88 @@ def q_kmv_retention(spark: SparkSession, sf: str) -> DataFrame:
         F.round("jaccard_exact", 6).alias("jaccard_exact"),
     )
     return propagate_persisted(out, est)
+
+
+@register(
+    "q_conditional_completeness",
+    """
+    WITH src AS (
+      SELECT doc_id % 6 AS w, coalesce(lang, '(null)') AS s,
+             CASE WHEN doc_id % 11 = 0
+                   OR (doc_id % 6 >= 4 AND lang = 'en' AND doc_id % 5 < 3)
+                  THEN 1.0 ELSE 0.0 END AS isn
+      FROM documents
+    ),
+    stats AS (
+      SELECT s, count(*) AS n, sum(isn) AS nn FROM src WHERE w < 3 GROUP BY 1
+    ),
+    top AS (SELECT s FROM stats ORDER BY n DESC, s LIMIT 3),
+    refs AS (
+      SELECT s, nn / n AS rr FROM stats WHERE s IN (SELECT s FROM top)
+      UNION ALL
+      SELECT '(other)', coalesce(sum(nn) / sum(n), 0.0)
+      FROM stats WHERE s NOT IN (SELECT s FROM top)
+    ),
+    cur AS (
+      SELECT w,
+             CASE WHEN s IN (SELECT s FROM top) THEN s ELSE '(other)' END AS s,
+             count(*) AS nc, sum(isn) AS cn
+      FROM src WHERE w >= 3 GROUP BY 1, 2
+    ),
+    uni AS (SELECT s FROM top UNION ALL SELECT '(other)'),
+    cells AS (
+      SELECT g.w, u.s FROM (SELECT DISTINCT w FROM cur) g CROSS JOIN uni u
+    )
+    SELECT c.w, c.s AS category,
+           CAST(coalesce(cur.nc, 0) AS BIGINT) AS n_cur,
+           round(cur.cn / cur.nc, 6) AS null_ratio,
+           round(refs.rr, 6) AS ref_ratio,
+           round(cur.cn / cur.nc - refs.rr, 6) AS delta,
+           CASE WHEN coalesce(cur.nc, 0) = 0 THEN 'no_data'
+                WHEN cur.nc < 5 THEN 'insufficient'
+                WHEN cur.cn / cur.nc - refs.rr > 0.2 THEN 'fail'
+                ELSE 'pass' END AS verdict
+    FROM cells c
+    LEFT JOIN cur ON cur.w = c.w AND cur.s = c.s
+    LEFT JOIN refs ON refs.s = c.s
+    """,
+    "Conditional completeness drill-down (functions/health."
+    "conditional_completeness_drift — SURVEY.md §2.2 P1 completeness "
+    "family x §2.4 A14 grouping; Deequ's completeness().where() "
+    "conditional analyzer; per-cohort baseline discipline of "
+    "gan.py:723-757): null-ratio of a value column per (lang category x "
+    "window) vs the CATEGORY'S OWN reference ratio, deterministic "
+    "ref-top-3 + '(other)' universe. Planted: baseline nulls everywhere "
+    "(doc_id % 11), plus 'en' going ~58% null in windows >= 4 (modulus "
+    "coprime to the window modulus — % 2 would alias with % 6 and plant "
+    "all-or-nothing windows) — 'en' fails exactly in windows 4-5 while "
+    "the global ratio moves ~25%pt only inside one category. FULL oracle "
+    "value-checking counts, ratios, deltas and verdicts",
+)
+def q_conditional_completeness(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.health import (
+        conditional_completeness_drift,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select(
+        (d % 6).alias("w"),
+        "lang",
+        F.when(
+            (d % 11 == 0)
+            | ((d % 6 >= 4) & (F.col("lang") == "en") & (d % 5 < 3)),
+            None,
+        )
+        .otherwise(F.col("n_chars"))
+        .alias("v"),
+    )
+    return conditional_completeness_drift(
+        docs,
+        "lang",
+        "v",
+        "w",
+        ref_filter=F.col("w") < 3,
+        threshold=0.2,
+        max_categories=3,
+        min_rows=5,
+    )

@@ -92,6 +92,7 @@ HEADLINE = [
     "q_bloom_referential",
     "q_sliced_drift",
     "q_kmv_retention",
+    "q_conditional_completeness",
 ]
 
 # reported per-query but EXCLUDED from the summed `value` metric, which keeps
@@ -133,6 +134,7 @@ TOTAL_EXCLUDED = {
     "q_bloom_referential",
     "q_sliced_drift",
     "q_kmv_retention",
+    "q_conditional_completeness",
     "validation_pass_decode",  # reported in queries but never summed either
     "stream_pass",  # round-6 streaming leg, additive
     "stream_pass_combined",  # round-7 single-scan streaming leg, additive

@@ -580,3 +580,74 @@ def test_referential_drift_planted_orphan_surge(spark):
 
     with pytest.raises(ValueError, match="selects no windows"):
         referential_drift(df, "fk", dim, "k", ref_filter=F.col("window_id") > 99)
+
+
+def test_conditional_completeness_planted(spark):
+    """One category's null burst fails ONLY that (category, window); the
+    global ratio barely moves (the drill-down's reason to exist). Edge
+    verdicts: a brand-new current-only category lands in '(other)' and
+    scores vs the ref tail; a category absent from a window is 'no_data';
+    a thin slice is 'insufficient'."""
+    from al_drift_detection_spark.functions.health import (
+        conditional_completeness_drift,
+    )
+
+    rows = []
+    # ref windows 0-1: cats a(60/w), b(30/w), c(10/w); ~10% nulls in a only
+    for w in (0, 1):
+        rows += [(w, "a", None if i % 10 == 0 else 1.0) for i in range(60)]
+        rows += [(w, "b", 1.0)] * 30
+        rows += [(w, "c", 1.0)] * 10
+    # window 2 (clean): same shape
+    rows += [(2, "a", None if i % 10 == 0 else 1.0) for i in range(60)]
+    rows += [(2, "b", 1.0)] * 30
+    rows += [(2, "c", 1.0)] * 10
+    # window 3: b goes 80% null; a stays clean; c MISSING (no_data);
+    # brand-new cat z arrives all-null (flows to '(other)' with ref tail=c)
+    rows += [(3, "a", None if i % 10 == 0 else 1.0) for i in range(60)]
+    rows += [(3, "b", None if i % 5 != 4 else 1.0) for i in range(30)]
+    rows += [(3, "z", None)] * 20
+    # window 4: only 3 'a' rows -> insufficient
+    rows += [(4, "a", 1.0)] * 3
+    df = spark.createDataFrame(rows, "w int, cat string, v double")
+    got = (
+        conditional_completeness_drift(
+            df, "cat", "v", "w",
+            ref_filter=F.col("w") < 2,
+            threshold=0.2, max_categories=2, min_rows=5,
+        )
+        .toPandas()
+        .set_index(["w", "category"])
+        .sort_index()
+    )
+    # universe = ref top-2 {a, b} + (other); c folds into the tail
+    assert set(got.index.get_level_values("category")) == {"a", "b", "(other)"}
+    assert got.loc[(2, "a"), "verdict"] == "pass"
+    assert got.loc[(2, "b"), "verdict"] == "pass"
+    assert got.loc[(3, "a"), "verdict"] == "pass"          # clean cat untouched
+    assert got.loc[(3, "b"), "verdict"] == "fail"          # the planted burst
+    assert got.loc[(3, "b"), "null_ratio"] == 0.8
+    assert got.loc[(3, "b"), "ref_ratio"] == 0.0
+    # new cat z (all-null) scored in (other) vs the ref tail (c: 0 nulls)
+    assert got.loc[(3, "(other)"), "verdict"] == "fail"
+    assert got.loc[(3, "(other)"), "ref_ratio"] == 0.0
+    # c absent from window 2's (other)? c IS present in w2 -> pass there
+    assert got.loc[(2, "(other)"), "verdict"] == "pass"
+    # window 4: b and (other) have no rows at all; a is thin
+    assert got.loc[(4, "a"), "verdict"] == "insufficient"
+    assert got.loc[(4, "b"), "verdict"] == "no_data"
+    assert got.loc[(4, "(other)"), "verdict"] == "no_data"
+    import pandas as pd
+    assert pd.isna(got.loc[(4, "b"), "null_ratio"])
+
+
+def test_conditional_completeness_empty_reference_raises(spark):
+    from al_drift_detection_spark.functions.health import (
+        conditional_completeness_drift,
+    )
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "w int, cat string, v double")
+    with pytest.raises(ValueError, match="reference selects no rows"):
+        conditional_completeness_drift(
+            df, "cat", "v", "w", ref_filter=F.col("w") < 0
+        )

@@ -110,6 +110,9 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # q_uniqueness_drift / q_distinct_keys family (lazy xxhash64-replica
     # oracle; round 7)
     "q_kmv_retention",
+    # conditional (per-category) completeness: drill-down form of the
+    # in-window q_completeness_drift family (round 7)
+    "q_conditional_completeness",
     # winnowing (MOSS) fingerprints + containment pairs: the shingle/pair
     # families are in-window via q_ngram_jaccard_pairs / q_dedup_clusters;
     # these add the guarantee-bearing fingerprint scheme (round 7)

@@ -3934,3 +3934,107 @@ def q_conditional_completeness(spark: SparkSession, sf: str) -> DataFrame:
         max_categories=3,
         min_rows=5,
     )
+
+
+@register(
+    "q_trend",
+    """
+    WITH hist AS (
+      SELECT 0 AS part, event_type AS "column", 'mean' AS metric,
+             avg(value
+                 + CASE WHEN event_type = 'click' THEN event_id / 400.0 ELSE 0.0 END
+                 - CASE WHEN event_type = 'error' THEN event_id / 400.0 ELSE 0.0 END
+             ) AS value,
+             CAST(floor(event_id / 500) AS BIGINT) AS run_ts
+      FROM events
+      GROUP BY event_type, floor(event_id / 500)
+    ),
+    pairs AS (
+      SELECT a.part, a."column", a.metric,
+             CASE WHEN b.value > a.value THEN 1
+                  WHEN b.value < a.value THEN -1 ELSE 0 END AS sgn,
+             (b.value - a.value) / (b.run_ts - a.run_ts) AS slope
+      FROM hist a
+      JOIN hist b ON a.part = b.part AND a."column" = b."column"
+                 AND a.metric = b.metric AND a.run_ts < b.run_ts
+    ),
+    pa AS (
+      SELECT part, "column", metric, CAST(sum(sgn) AS BIGINT) AS s_stat,
+             median(slope) AS sen_slope
+      FROM pairs GROUP BY 1, 2, 3
+    ),
+    nn AS (
+      SELECT part, "column", metric, count(*) AS n_runs FROM hist GROUP BY 1, 2, 3
+    ),
+    ties AS (
+      SELECT part, "column", metric,
+             coalesce(sum(t * (t - 1.0) * (2.0 * t + 5.0)), 0.0) AS corr
+      FROM (SELECT part, "column", metric, value, count(*)::DOUBLE AS t
+            FROM hist GROUP BY 1, 2, 3, 4)
+      GROUP BY 1, 2, 3
+    ),
+    j AS (
+      SELECT nn.part, nn."column", nn.metric, nn.n_runs, pa.s_stat,
+             (nn.n_runs * (nn.n_runs - 1.0) * (2.0 * nn.n_runs + 5.0)
+              - ties.corr) / 18.0 AS var_s,
+             CASE WHEN (nn.n_runs * (nn.n_runs - 1.0) * (2.0 * nn.n_runs + 5.0)
+                        - ties.corr) / 18.0 <= 0.0 THEN 0.0
+                  WHEN pa.s_stat > 0 THEN (pa.s_stat - 1.0)
+                       / sqrt((nn.n_runs * (nn.n_runs - 1.0) * (2.0 * nn.n_runs + 5.0)
+                               - ties.corr) / 18.0)
+                  WHEN pa.s_stat < 0 THEN (pa.s_stat + 1.0)
+                       / sqrt((nn.n_runs * (nn.n_runs - 1.0) * (2.0 * nn.n_runs + 5.0)
+                               - ties.corr) / 18.0)
+                  ELSE 0.0 END AS z,
+             pa.sen_slope
+      FROM nn
+      JOIN ties ON ties.part = nn.part AND ties."column" = nn."column"
+               AND ties.metric = nn.metric
+      LEFT JOIN pa ON pa.part = nn.part AND pa."column" = nn."column"
+               AND pa.metric = nn.metric
+    )
+    SELECT part, "column", metric, n_runs, s_stat,
+           round(var_s, 6) AS var_s, round(z, 6) AS z,
+           round(sen_slope, 6) AS sen_slope,
+           CASE WHEN n_runs < 8 THEN 'insufficient'
+                WHEN z > 1.96 THEN 'increasing'
+                WHEN z < -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS verdict
+    FROM j
+    """,
+    "Mann-Kendall trend + Sen's slope per metric series across the run "
+    "history (functions/anomaly.trend_verdicts — the slow-degradation "
+    "detector: a metric creeping 1%/run for twenty runs trips neither the "
+    "trailing-band zscore nor the Page-Hinkley level-shift test; Mann "
+    "1945 / Kendall 1975 / Sen 1968, public statistics; SURVEY.md §2.4 "
+    "A13 / S8 metrics-sink family; reference analog: the retrospective "
+    "read-back of the fsync'd metric log, util.py:8-23). Planted: +1.25/"
+    "run drift on 'click', -1.25/run on 'error' -> increasing/decreasing "
+    "(|z| ~ 3.7); untouched series no_trend. FULL oracle value-checking "
+    "S, Var(S) with tie correction, z with continuity correction, and "
+    "the exact pairwise-median slope",
+)
+def q_trend(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.anomaly import trend_verdicts
+
+    w = F.floor(F.col("event_id") / 500).cast("long")
+    drift = F.col("event_id") / 400.0
+    hist = (
+        _t(spark, sf, "events")
+        .groupBy(F.col("event_type"), w.alias("run_ts"))
+        .agg(
+            F.avg(
+                F.col("value")
+                + F.when(F.col("event_type") == "click", drift).otherwise(0.0)
+                - F.when(F.col("event_type") == "error", drift).otherwise(0.0)
+            ).alias("value")
+        )
+        .select(
+            F.lit(0).alias("part"),
+            F.col("event_type").alias("column"),
+            F.lit("mean").alias("metric"),
+            "value",
+            "run_ts",
+        )
+    )
+    return trend_verdicts(hist, min_runs=8, z_crit=1.96)

@@ -189,6 +189,14 @@ def main(argv: list[str] | None = None) -> int:
         "(functions.anomaly.seasonal_anomaly)",
     )
     ap.add_argument(
+        "--trend", action="store_true",
+        help="with --metrics-store: Mann-Kendall trend test + Sen's slope "
+        "per metric series over the run history (this run included) — the "
+        "slow-degradation detector neither the trailing band nor the "
+        "changepoint level test catches; writes metric_trend/ "
+        "(functions.anomaly.trend_verdicts)",
+    )
+    ap.add_argument(
         "--changepoint", action="store_true",
         help="sequential change detectors over the per-window metric series: "
         "two-sided Page-Hinkley on each drift column's per-window mean "
@@ -646,6 +654,20 @@ def main(argv: list[str] | None = None) -> int:
                 "overwrite"
             ).parquet(f"{args.out}/metric_changepoint")
             release(cp)
+        if args.trend:
+            # retrospective trend view of the repository: Mann-Kendall +
+            # Sen's slope per metric series over ALL runs (this one
+            # included) — catches monotone creep the band and the
+            # level-shift test both miss
+            from al_drift_detection_spark.functions.anomaly import (
+                trend_verdicts,
+            )
+
+            tr = trend_verdicts(mstore.history(spark))
+            tr.orderBy("part", "column", "metric").write.mode(
+                "overwrite"
+            ).parquet(f"{args.out}/metric_trend")
+            release(tr)
 
     if args.image_dedup:
         from al_drift_detection_spark.functions.dedup import (

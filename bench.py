@@ -93,6 +93,7 @@ HEADLINE = [
     "q_sliced_drift",
     "q_kmv_retention",
     "q_conditional_completeness",
+    "q_trend",
 ]
 
 # reported per-query but EXCLUDED from the summed `value` metric, which keeps
@@ -135,6 +136,7 @@ TOTAL_EXCLUDED = {
     "q_sliced_drift",
     "q_kmv_retention",
     "q_conditional_completeness",
+    "q_trend",
     "validation_pass_decode",  # reported in queries but never summed either
     "stream_pass",  # round-6 streaming leg, additive
     "stream_pass_combined",  # round-7 single-scan streaming leg, additive

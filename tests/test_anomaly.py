@@ -317,3 +317,69 @@ def test_seasonal_store_and_cli(spark, tmp_path):
     seas = v1[v1.strategy == "seasonal"]
     assert len(seas) > 0 and (seas["verdict"] == "insufficient").all()
     assert set(v1.strategy) == {"zscore", "rel_change", "seasonal"}
+
+
+def test_trend_verdicts_planted(spark):
+    """Monotone creep -> increasing/decreasing; noisy-but-flat ->
+    no_trend; constant series (Var(S)=0 after the tie correction) ->
+    no_trend with z=0; short series -> insufficient. A single outlier run
+    neither fakes a trend on the flat series nor hides the real one, and
+    Sen's slope stays near the true per-run rate (the rank-robustness
+    reason MK beats least squares on monitoring series)."""
+    from al_drift_detection_spark.functions.anomaly import trend_verdicts
+
+    rows = []
+    n = 20
+    # deterministic zig-zag noise, zero mean, no accidental monotonicity
+    noise = [(-1) ** i * (0.5 + (i % 3) * 0.25) for i in range(n)]
+    for i in range(n):
+        rows.append((0, "a", "up", 10.0 + 0.3 * i + 0.1 * noise[i], i))
+        rows.append((0, "a", "down", 10.0 - 0.3 * i + 0.1 * noise[i], i))
+        rows.append((0, "a", "flat", 10.0 + noise[i], i))
+        rows.append((0, "a", "const", 7.0, i))
+        # flat series with one huge outlier run
+        rows.append((0, "a", "flat_outlier", (1000.0 if i == 10 else 10.0 + noise[i]), i))
+        # real trend with one huge opposing outlier
+        rows.append((0, "a", "up_outlier", (-1000.0 if i == 10 else 10.0 + 0.3 * i), i))
+    for i in range(5):
+        rows.append((0, "a", "short", 10.0 + i, i))
+    hist = spark.createDataFrame(rows, HIST_SCHEMA)
+    got = (
+        trend_verdicts(hist, min_runs=8)
+        .toPandas()
+        .set_index("metric")
+    )
+    assert got.loc["up", "verdict"] == "increasing"
+    assert got.loc["down", "verdict"] == "decreasing"
+    assert got.loc["flat", "verdict"] == "no_trend"
+    assert got.loc["const", "verdict"] == "no_trend"
+    assert got.loc["const", "z"] == 0.0 and got.loc["const", "var_s"] == 0.0
+    assert got.loc["flat_outlier", "verdict"] == "no_trend"
+    assert got.loc["up_outlier", "verdict"] == "increasing"
+    assert got.loc["short", "verdict"] == "insufficient"
+    assert abs(got.loc["up", "sen_slope"] - 0.3) < 0.02
+    assert abs(got.loc["down", "sen_slope"] + 0.3) < 0.02
+    # hand-checked S and Var(S) on the strictly monotone series:
+    # S = n(n-1)/2 = 190, Var = n(n-1)(2n+5)/18 (no ties)
+    assert got.loc["up", "s_stat"] == 190
+    assert abs(got.loc["up", "var_s"] - 20.0 * 19.0 * 45.0 / 18.0) < 1e-9
+
+
+def test_trend_cli_surface(spark, tmp_path):
+    """--metrics-store + --trend writes metric_trend/ (with a single run
+    every series has n_runs=1 -> insufficient, never a crash)."""
+    from al_drift_detection_spark import runner
+
+    store = str(tmp_path / "mstore")
+    rc = runner.main([
+        "--images", "synthetic:3000", "--master", "local[8]",
+        "--out", str(tmp_path / "o1"), "--run-id", "r1",
+        "--metrics-store", store, "--trend",
+    ])
+    assert rc == 0
+    tr = spark.read.parquet(f"{tmp_path}/o1/metric_trend")
+    pdf = tr.toPandas()
+    assert len(pdf) > 0
+    assert (pdf["verdict"] == "insufficient").all()
+    assert {"part", "column", "metric", "n_runs", "s_stat", "z",
+            "sen_slope", "verdict"} <= set(tr.columns)

@@ -113,6 +113,9 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # conditional (per-category) completeness: drill-down form of the
     # in-window q_completeness_drift family (round 7)
     "q_conditional_completeness",
+    # Mann-Kendall trend over the metrics repository: trend form of the
+    # in-window q_metric_anomaly / metrics-repository family (round 7)
+    "q_trend",
     # winnowing (MOSS) fingerprints + containment pairs: the shingle/pair
     # families are in-window via q_ngram_jaccard_pairs / q_dedup_clusters;
     # these add the guarantee-bearing fingerprint scheme (round 7)

@@ -425,3 +425,125 @@ def ivf_index_topk(
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
     )
+
+
+def embedding_outlier_scores(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-row OUT-OF-DISTRIBUTION score against the trained IVF manifold:
+    1 − max cosine to any centroid (0 = on a cell center, →2 = anti-
+    aligned). The row-level triage view of the outlier family — a
+    TakeOrdered over it answers "show me the 50 weirdest documents of
+    today's ingest". Pure codegen projection over broadcast centroid
+    literals (the ivf_assign shape): no shuffle, no UDF, scales as a map.
+    Scores are rounded to 6dp so the DuckDB oracle and the Spark plan
+    agree bit-for-bit on every downstream comparison (the q_ivf_topk
+    rounding discipline). SURVEY.md §2.9 F2 (vector scalar family) —
+    reference analog: the GAN discriminator's per-sample anomaly score,
+    gan.py:700-735, re-expressed as distance to trained cluster structure.
+    """
+    cents = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    sims = F.array(
+        *[_dot(F.col(vec_col), c) / (_norm(F.col(vec_col)) * _norm(c)) for c in cents]
+    )
+    return df.withColumn(
+        "ood_score", F.round(1.0 - F.array_max(sims), 6)
+    )
+
+
+def embedding_outlier_rates(
+    df: DataFrame,
+    centroids: list[list[float]],
+    window_col: str,
+    ref_filter,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tail: float = 0.05,
+    rate_factor: float = 3.0,
+    min_rows: int = 20,
+) -> DataFrame:
+    """Per-window embedding OUTLIER-RATE verdicts: the share of rows whose
+    ood_score exceeds the reference's (1 − tail) quantile, vs the tail
+    mass itself — by construction the reference windows run at ≈ `tail`,
+    so a window where the rate jumps past rate_factor × tail is shipping
+    out-of-distribution embeddings (new domain, upstream encoder bug,
+    garbage rows) that value-level checks cannot see. The population-level
+    sibling of embedding_drift's MMD/energy tests: those detect a mean/
+    shape SHIFT of the whole window, this counts individually-far rows
+    even when the bulk stays put.
+
+    Deterministic and fully relational (no driver collect): the threshold
+    is the exact interpolated percentile of the 6dp-rounded reference
+    scores (Spark `percentile` ≡ DuckDB `quantile_cont`, the q_percentiles
+    parity), shipped as a broadcast one-row frame. Exactly TWO raw scans
+    — the threshold fold over reference rows and the per-window rollup —
+    both single partial+final aggregates over the no-shuffle score
+    projection; nothing row-level is persisted or shuffled. Output:
+    (window_col, n, n_outliers, rate, threshold, expected_rate, verdict)
+    with verdict fail iff rate > rate_factor × tail, 'insufficient' under
+    min_rows (the anomaly family's small-sample posture).
+    """
+    if not 0.0 < tail < 1.0:
+        raise ValueError(f"tail must be in (0, 1), got {tail}")
+    scored = embedding_outlier_scores(df, centroids, vec_col, id_col).select(
+        F.col(window_col).alias("_w"), "ood_score", ref_filter.alias("_is_ref")
+    )
+    thr = (
+        scored.filter("_is_ref")
+        .agg(
+            F.percentile(F.col("ood_score"), 1.0 - float(tail)).alias("_thr")
+        )
+    )
+    out = (
+        scored.filter(~F.col("_is_ref"))
+        .crossJoin(F.broadcast(thr))
+        .groupBy("_w")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("ood_score") > F.col("_thr")).cast("long")).alias(
+                "n_outliers"
+            ),
+            F.first("_thr").alias("_t"),
+        )
+    )
+    rate = F.col("n_outliers") / F.col("n")
+    return out.select(
+        F.col("_w").alias(window_col),
+        "n",
+        "n_outliers",
+        F.round(rate, 6).alias("rate"),
+        F.round("_t", 6).alias("threshold"),
+        F.round(F.lit(float(tail)), 6).alias("expected_rate"),
+        F.when(F.col("n") < int(min_rows), "insufficient")
+        .when(rate > float(rate_factor) * float(tail), "fail")
+        .otherwise("pass")
+        .alias("verdict"),
+    )
+
+
+def orthogonal_direction(centroids: list[list[float]], dim: int) -> list[float]:
+    """Deterministic unit vector EXACTLY orthogonal to the trained centroid
+    span (Gram-Schmidt of the all-ones start against an orthonormalized
+    centroid basis) — the test/oracle helper for planting out-of-
+    distribution rows whose max-cosine to every centroid is 0 by
+    construction (score exactly 1.0), shared numpy-side by the Spark
+    entry and the DuckDB oracle builder so both embed the same literals."""
+    C = np.asarray(centroids, dtype=np.float64)
+    v = np.ones(dim, dtype=np.float64)
+    basis: list[np.ndarray] = []
+    for c in C:
+        u = c.copy()
+        for b in basis:
+            u = u - (u @ b) * b
+        n = np.linalg.norm(u)
+        if n > 1e-12:
+            basis.append(u / n)
+    for b in basis:
+        v = v - (v @ b) * b
+    n = np.linalg.norm(v)
+    if n <= 1e-12:
+        raise ValueError("all-ones start lies in the centroid span")
+    return [float(x) for x in v / n]

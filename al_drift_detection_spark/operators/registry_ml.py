@@ -4038,3 +4038,128 @@ def q_trend(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return trend_verdicts(hist, min_runs=8, z_crit=1.96)
+
+
+_EMB_OUT_PARAMS = {
+    "k": 8, "sample_n": 256, "seed": 42, "iters": 10,
+    "tail": 0.05, "factor": 2.0, "min_rows": 20,
+}
+
+
+def _emb_outlier_oracle_sql() -> str:
+    """FULL lazy DuckDB oracle for q_embedding_outliers — the q_ivf_topk
+    technique: the trainer is deterministic end-to-end (xxhash64 sample
+    pick replicated by operators.xxh64_replica, then the shared numpy
+    _spherical_kmeans), so the trained centroids embed as SQL literals
+    and DuckDB re-derives scores (6dp-rounded, the parity discipline),
+    the exact interpolated reference threshold (quantile_cont ≡ Spark
+    percentile, the q_percentiles parity) and every verdict."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from al_drift_detection_spark.functions.similarity import (
+        _spherical_kmeans,
+        orthogonal_direction,
+    )
+    from al_drift_detection_spark.operators.xxh64_replica import xxhash64_long_int
+
+    P = _EMB_OUT_PARAMS
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    flat = t.column("embedding").combine_chunks().flatten().to_numpy()
+    X = flat.reshape(len(ids), len(flat) // len(ids)).astype(np.float64)
+    order = np.argsort(xxhash64_long_int(ids, P["seed"]), kind="stable")[: P["sample_n"]]
+    cents = _spherical_kmeans(X[order], P["k"], P["seed"], P["iters"])
+    ood = orthogonal_direction(cents, X.shape[1])
+    ood_lit = f"[{', '.join(repr(float(x)) for x in ood)}]"
+    lits = [f"[{', '.join(repr(float(x)) for x in c)}]" for c in cents]
+    sims = ", ".join(f"list_cosine_similarity(e, {c})" for c in lits)
+    return f"""
+    WITH src AS (
+      SELECT vec_id % 6 AS w,
+             CASE WHEN vec_id % 6 >= 4 AND vec_id % 7 = 0
+                  THEN CAST({ood_lit} AS DOUBLE[])
+                  ELSE CAST(embedding AS DOUBLE[]) END AS e
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT w, round(1.0 - list_aggregate([{sims}], 'max'), 6) AS s FROM src
+    ),
+    thr AS (SELECT quantile_cont(s, {1.0 - P["tail"]!r}) AS t FROM scored WHERE w < 3),
+    agg AS (
+      SELECT w, count(*) AS n,
+             CAST(sum(CASE WHEN s > t THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             max(t) AS t
+      FROM scored, thr WHERE w >= 3 GROUP BY w
+    )
+    SELECT w, n, n_outliers,
+           round(n_outliers / (n * 1.0), 6) AS rate,
+           round(t, 6) AS threshold,
+           round({P["tail"]!r}, 6) AS expected_rate,
+           CASE WHEN n < {P["min_rows"]} THEN 'insufficient'
+                WHEN n_outliers / (n * 1.0) > {P["factor"]!r} * {P["tail"]!r} THEN 'fail'
+                ELSE 'pass' END AS verdict
+    FROM agg
+    """
+
+
+@register(
+    "q_embedding_outliers",
+    _emb_outlier_oracle_sql,
+    "Per-window embedding OUTLIER-RATE verdicts (functions/similarity."
+    "embedding_outlier_rates): share of rows whose 1 - max-cosine-to-"
+    "trained-IVF-centroid score exceeds the reference's exact p95, vs the "
+    "5% tail mass — the row-counting sibling of q_embedding_drift's "
+    "population tests (individually-far rows vs bulk shift; the GAN "
+    "discriminator's per-sample anomaly score, gan.py:700-735, as "
+    "distance to trained cluster structure). Planted: every 7th vector "
+    "in windows >= 4 replaced by a direction EXACTLY orthogonal to the "
+    "trained centroid span (score 1.0 by construction; ~14% OOD vs the "
+    "10% fail bar) — a random-direction or constant-shift plant does NOT "
+    "work here: the synthetic embeddings are already near-orthogonal to "
+    "the centroids, so p95 of the reference scores sits at ~0.91 and any "
+    "fixed direction lands INSIDE the bulk. Window 3 stays clean. FULL "
+    "lazy oracle (trained-centroid literals via the bit-exact xxhash64 "
+    "sample replica) value-checking scores, the interpolated threshold, "
+    "rates and verdicts",
+)
+def q_embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.similarity import (
+        embedding_outlier_rates,
+        train_ivf_centroids,
+    )
+
+    P = _EMB_OUT_PARAMS
+    from al_drift_detection_spark.functions.similarity import (
+        orthogonal_direction,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    cents = train_ivf_centroids(
+        emb, k=P["k"], sample_n=P["sample_n"], seed=P["seed"], iters=P["iters"]
+    )
+    dim = len(emb.select("embedding").first()["embedding"])
+    ood = orthogonal_direction(cents, dim)
+    v = F.col("vec_id")
+    shifted = emb.select(
+        (v % 6).alias("w"),
+        "vec_id",
+        F.when(
+            (v % 6 >= 4) & (v % 7 == 0),
+            F.array(*[F.lit(float(x)) for x in ood]),
+        )
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"),
+    )
+    return embedding_outlier_rates(
+        shifted,
+        cents,
+        "w",
+        ref_filter=F.col("w") < 3,
+        tail=P["tail"],
+        rate_factor=P["factor"],
+        min_rows=P["min_rows"],
+    )

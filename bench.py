@@ -94,6 +94,7 @@ HEADLINE = [
     "q_kmv_retention",
     "q_conditional_completeness",
     "q_trend",
+    "q_embedding_outliers",
 ]
 
 # reported per-query but EXCLUDED from the summed `value` metric, which keeps
@@ -137,6 +138,7 @@ TOTAL_EXCLUDED = {
     "q_kmv_retention",
     "q_conditional_completeness",
     "q_trend",
+    "q_embedding_outliers",
     "validation_pass_decode",  # reported in queries but never summed either
     "stream_pass",  # round-6 streaming leg, additive
     "stream_pass_combined",  # round-7 single-scan streaming leg, additive

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from al_drift_detection_spark.functions.similarity import (
     brute_force_topk,
@@ -117,3 +118,83 @@ def test_q_ivf_topk_self_verifying_recall_column(spark):
     expected = round(len(set(out["vec_id"]) & truth) / 10.0, 2)
     assert (out["recall_at_10"] == expected).all()
     assert expected >= 0.5  # sanity floor even without cluster structure
+
+
+def test_embedding_outlier_rates_planted(spark):
+    """Clustered corpus: in-cluster rows score low, rows planted EXACTLY
+    orthogonal to the trained centroid span score 1.0 and only their
+    windows fail; a thin window is 'insufficient'; clean non-ref windows
+    pass. Scores are scale-invariant (cosine), so magnitude garbage alone
+    never flags."""
+    import numpy as np
+
+    from al_drift_detection_spark.functions.similarity import (
+        embedding_outlier_rates,
+        embedding_outlier_scores,
+        orthogonal_direction,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, per_w = 16, 60
+    # 3 tight clusters; every row = cluster center + small noise
+    centers = rng.normal(size=(3, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for w in range(5):
+        for i in range(per_w):
+            c = centers[i % 3]
+            v = c + 0.05 * rng.normal(size=dim)
+            rows.append((vid, w, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, w int, embedding array<double>")
+    cents = train_ivf_centroids(df, k=3, sample_n=128, seed=1, iters=8)
+    ood = orthogonal_direction(cents, dim)
+    # window 4: replace 20% of rows with the orthogonal direction
+    planted = df.select(
+        "vec_id", "w",
+        F.when(
+            (F.col("w") == 4) & (F.col("vec_id") % 5 == 0),
+            F.array(*[F.lit(float(x)) for x in ood]),
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    got = (
+        embedding_outlier_rates(
+            planted, cents, "w", ref_filter=F.col("w") < 2,
+            tail=0.05, rate_factor=2.0, min_rows=20,
+        )
+        .toPandas().set_index("w").sort_index()
+    )
+    assert got.loc[2, "verdict"] == "pass"
+    assert got.loc[3, "verdict"] == "pass"
+    assert got.loc[4, "verdict"] == "fail"
+    assert got.loc[4, "rate"] >= 0.15
+    # planted rows score exactly 1.0 (orthogonal by construction)
+    s = embedding_outlier_scores(
+        planted.filter((F.col("w") == 4) & (F.col("vec_id") % 5 == 0)), cents
+    ).agg(F.min("ood_score"), F.max("ood_score")).first()
+    assert s[0] == 1.0 and s[1] == 1.0
+
+
+def test_embedding_outlier_insufficient_window(spark):
+    import numpy as np
+
+    from al_drift_detection_spark.functions.similarity import (
+        embedding_outlier_rates,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, 0 if i < 40 else 1, [float(x) for x in rng.normal(size=8)])
+        for i in range(45)  # window 1 has only 5 rows
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, w int, embedding array<double>")
+    cents = [[1.0] + [0.0] * 7, [0.0, 1.0] + [0.0] * 6]
+    got = (
+        embedding_outlier_rates(
+            df, cents, "w", ref_filter=F.col("w") == 0, min_rows=20
+        )
+        .toPandas().set_index("w")
+    )
+    assert got.loc[1, "verdict"] == "insufficient"

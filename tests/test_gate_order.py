@@ -116,6 +116,10 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # Mann-Kendall trend over the metrics repository: trend form of the
     # in-window q_metric_anomaly / metrics-repository family (round 7)
     "q_trend",
+    # per-row OOD rate vs trained centroids: row-counting sibling of the
+    # q_embedding_drift population family (lazy trained-centroid oracle;
+    # round 7)
+    "q_embedding_outliers",
     # winnowing (MOSS) fingerprints + containment pairs: the shingle/pair
     # families are in-window via q_ngram_jaccard_pairs / q_dedup_clusters;
     # these add the guarantee-bearing fingerprint scheme (round 7)

@@ -397,3 +397,109 @@ def tfidf_top_terms(
         .select(id_col, "term", "tfidf", "rk")
     )
     return attach_persisted(out, tf)
+
+
+def bigram_nll(
+    df: DataFrame,
+    ref_filter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 512,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document negative log-likelihood under a reference-trained
+    add-alpha bigram language model — the CCNet-style perplexity filter
+    (Wenzek et al. 2020, public method) a training-data pipeline runs to
+    rank documents by "does this read like the reference corpus":
+    boilerplate, gibberish and wrong-language text all score high while
+    quality_features' surface ratios stay clean. SURVEY.md §2.9 F8 (text
+    family) scored against a TRAINED reference — the same
+    reference-windows-then-score discipline as the drift kernels.
+
+    Determinism rules: the vocabulary is the reference's top `vocab_size`
+    tokens by count (ties by token) plus one "(unk)" catch-all — the
+    bounded-universe rule, so a corrupted corpus bounds the model at
+    (V+1)² cells instead of exploding it, and the smoothed probability
+    P(b|a) = (c(a,b) + alpha) / (c(a·) + alpha·(V+1)) is defined for every
+    pair including never-seen lefts (uniform 1/(V+1)).
+
+    Scale shape: three aggregate scans — reference unigrams (vocab),
+    reference bigrams (model counts; both frames bounded by the vocab
+    rule and broadcast), and the scoring pass (pairs via two slice()
+    projections + explode, two broadcast vocab joins, one broadcast
+    model join, one groupBy(doc)); the model is O(observed vocab pairs)
+    ≤ (V+1)² rows however large the reference. Documents with fewer than
+    2 tokens have no bigrams and are absent from the output (score only
+    what the model defines). Output: (id_col, n_bigrams, nll, ppl) with
+    nll = mean −ln P and ppl = exp(nll), both rounded 6dp/4dp.
+    """
+    UNK = "(unk)"
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r" ")
+    base = df.select(
+        F.col(id_col).alias("_id"), toks.alias("_t"), ref_filter.alias("_is_ref")
+    )
+    vocab = (
+        base.filter("_is_ref")
+        .select(F.explode("_t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), "tok")
+        .limit(int(vocab_size))
+        .select("tok")
+    )
+    n_vocab = F.lit(int(vocab_size) + 1)  # incl. (unk); fixed by construction
+
+    def _pairs(frame: DataFrame) -> DataFrame:
+        z = F.arrays_zip(
+            F.expr("slice(_t, 1, size(_t) - 1)"),
+            F.expr("slice(_t, 2, size(_t) - 1)"),
+        )
+        p = frame.select("_id", F.explode(z).alias("_p")).select(
+            "_id", F.col("_p.0").alias("_a"), F.col("_p.1").alias("_b")
+        )
+        va = vocab.select(F.col("tok").alias("_a"), F.lit(True).alias("_ka"))
+        vb = vocab.select(F.col("tok").alias("_b"), F.lit(True).alias("_kb"))
+        return (
+            p.join(F.broadcast(va), "_a", "left")
+            .join(F.broadcast(vb), "_b", "left")
+            .select(
+                "_id",
+                F.when(F.col("_ka"), F.col("_a")).otherwise(UNK).alias("a"),
+                F.when(F.col("_kb"), F.col("_b")).otherwise(UNK).alias("b"),
+            )
+        )
+
+    ref_pairs = _pairs(base.filter("_is_ref"))
+    cab = ref_pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("_cab"))
+    ca = cab.groupBy("a").agg(F.sum("_cab").alias("_ca"))
+    model = cab.join(ca, "a")
+    prob_seen = (F.col("_cab") + F.lit(float(alpha))) / (
+        F.col("_ca") + F.lit(float(alpha)) * n_vocab
+    )
+    prob = F.coalesce(
+        prob_seen,
+        # unseen (a, b): alpha / (c(a·) + alpha(V+1)); unseen left a:
+        # c(a·) = 0 → uniform 1/(V+1)
+        F.lit(float(alpha))
+        / (F.coalesce("_ca2", F.lit(0)) + F.lit(float(alpha)) * n_vocab),
+    )
+    scored = (
+        _pairs(base)
+        .join(F.broadcast(model), ["a", "b"], "left")
+        .join(
+            F.broadcast(ca.select(F.col("a"), F.col("_ca").alias("_ca2"))),
+            "a",
+            "left",
+        )
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(-F.log(prob)).alias("_nll"),
+        )
+    )
+    return scored.select(
+        F.col("_id").alias(id_col),
+        "n_bigrams",
+        F.round("_nll", 6).alias("nll"),
+        F.round(F.exp("_nll"), 4).alias("ppl"),
+    )

@@ -4163,3 +4163,70 @@ def q_embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
         rate_factor=P["factor"],
         min_rows=P["min_rows"],
     )
+
+
+@register(
+    "q_bigram_nll",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t,
+             (doc_id % 4 < 3) AS is_ref
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (SELECT unnest(t) AS tok FROM base WHERE is_ref)
+      GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 32
+    ),
+    idx AS (
+      SELECT doc_id, is_ref, t,
+             unnest(generate_series(1, len(t) - 1)) AS i
+      FROM base
+    ),
+    pairs AS (
+      SELECT doc_id, is_ref,
+             CASE WHEN t[i] IN (SELECT tok FROM vocab)
+                  THEN t[i] ELSE '(unk)' END AS a,
+             CASE WHEN t[i + 1] IN (SELECT tok FROM vocab)
+                  THEN t[i + 1] ELSE '(unk)' END AS b
+      FROM idx
+    ),
+    cab AS (
+      SELECT a, b, count(*) AS cab FROM pairs WHERE is_ref GROUP BY 1, 2
+    ),
+    ca AS (SELECT a, sum(cab) AS ca FROM cab GROUP BY 1),
+    model AS (SELECT cab.a, cab.b, cab.cab, ca.ca FROM cab JOIN ca USING (a)),
+    scored AS (
+      SELECT p.doc_id, count(*) AS n_bigrams,
+             avg(-ln(coalesce(
+               (m.cab + 0.5) / (m.ca + 0.5 * 33),
+               0.5 / (coalesce(c2.ca, 0) + 0.5 * 33)
+             ))) AS nll
+      FROM pairs p
+      LEFT JOIN model m ON m.a = p.a AND m.b = p.b
+      LEFT JOIN ca c2 ON c2.a = p.a
+      GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, round(nll, 6) AS nll,
+           round(exp(nll), 4) AS ppl
+    FROM scored
+    """,
+    "Reference-trained bigram language-model scoring (functions/text."
+    "bigram_nll — the CCNet perplexity filter, Wenzek et al. 2020, "
+    "public method; SURVEY.md §2.9 F8 text family under the reference-"
+    "then-score discipline of the drift kernels): per-document mean "
+    "-ln P(b|a) under add-0.5 smoothing over the reference's top-32 "
+    "vocabulary + '(unk)' (bounded-universe rule — the model is at most "
+    "(V+1)^2 cells however large or corrupted the corpus). Model counts "
+    "broadcast; scoring is slice+explode pairs, three broadcast joins, "
+    "one groupBy(doc). FULL oracle value-checking every document's "
+    "bigram count, nll and perplexity",
+)
+def q_bigram_nll(spark: SparkSession, sf: str) -> DataFrame:
+    from al_drift_detection_spark.functions.text import bigram_nll
+
+    return bigram_nll(
+        _t(spark, sf, "documents"),
+        ref_filter=F.col("doc_id") % 4 < 3,
+        vocab_size=32,
+        alpha=0.5,
+    )

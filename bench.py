@@ -95,6 +95,7 @@ HEADLINE = [
     "q_conditional_completeness",
     "q_trend",
     "q_embedding_outliers",
+    "q_bigram_nll",
 ]
 
 # reported per-query but EXCLUDED from the summed `value` metric, which keeps
@@ -139,6 +140,7 @@ TOTAL_EXCLUDED = {
     "q_conditional_completeness",
     "q_trend",
     "q_embedding_outliers",
+    "q_bigram_nll",
     "validation_pass_decode",  # reported in queries but never summed either
     "stream_pass",  # round-6 streaming leg, additive
     "stream_pass_combined",  # round-7 single-scan streaming leg, additive

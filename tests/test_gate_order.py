@@ -120,6 +120,10 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # q_embedding_drift population family (lazy trained-centroid oracle;
     # round 7)
     "q_embedding_outliers",
+    # reference-trained bigram-LM perplexity scoring: the CCNet filter,
+    # corpus-quality extension of the in-window q_quality_features family
+    # (round 7)
+    "q_bigram_nll",
     # winnowing (MOSS) fingerprints + containment pairs: the shingle/pair
     # families are in-window via q_ngram_jaccard_pairs / q_dedup_clusters;
     # these add the guarantee-bearing fingerprint scheme (round 7)

@@ -300,3 +300,51 @@ def test_uniqueness_metrics_planted(spark):
     # and the registry entry runs end-to-end on the fixture tables
     row = REGISTRY["q_uniqueness_metrics"].fn(spark, SF).collect()[0]
     assert row["n_rows"] >= row["n_distinct"] >= row["n_exactly_once"]
+
+
+def test_bigram_nll_planted(spark):
+    """A document reading like the reference scores LOW; all-unknown
+    gibberish scores the uniform 1/(V+1); shuffled-order text scores
+    HIGHEST of all — a strong left context assigns its wrong
+    continuations less mass (alpha vs c(a.)=80) than the unk fallback
+    assigns anything, which is exactly the LM-filter discrimination the
+    surface ratios can't do. A math golden pins the smoothing on a
+    deterministic bigram; sub-2-token docs are absent."""
+    import math
+
+    from al_drift_detection_spark.functions.text import bigram_nll
+
+    ref_text = "the cat sat on the mat " * 5  # strong bigram structure
+    rows = [(i, ref_text.strip(), True) for i in range(8)]
+    rows += [
+        (100, "the cat sat on the mat", False),        # in-distribution
+        (101, "mat the on sat cat the", False),        # same tokens, broken order
+        (102, "zq xv qqq zzz xv zq", False),           # all-unk gibberish
+        (103, "solo", False),                          # 1 token -> no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_ref boolean")
+    got = (
+        bigram_nll(df, ref_filter=F.col("is_ref"), vocab_size=8, alpha=0.5)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert 103 not in got.index
+    assert got.loc[100, "nll"] < got.loc[102, "nll"] < got.loc[101, "nll"]
+    # math golden: P(cat|the) = (c + 0.5) / (c(the·) + 0.5 * 9).
+    # ref = 5 reps x 8 docs: bigrams per doc: the→cat 5, cat→sat 5,
+    # sat→on 5, on→the 5, the→mat 5, mat→the 4 (29 bigrams/doc).
+    # c(the,cat)=40, c(the·)=40+40=80  ->  P = 40.5 / 84.5
+    p_the_cat = (40 + 0.5) / (80 + 0.5 * 9)
+    # doc 100's bigrams: the→cat, cat→sat, sat→on, on→the, the→mat
+    p_cat_sat = (40 + 0.5) / (40 + 0.5 * 9)
+    p_sat_on = p_cat_sat
+    p_on_the = p_cat_sat
+    p_the_mat = p_the_cat
+    expect = -(
+        math.log(p_the_cat) + math.log(p_cat_sat) + math.log(p_sat_on)
+        + math.log(p_on_the) + math.log(p_the_mat)
+    ) / 5.0
+    assert got.loc[100, "n_bigrams"] == 5
+    assert abs(got.loc[100, "nll"] - round(expect, 6)) < 1e-6
+    # all-unk doc: every left token unseen -> uniform 1/(V+1) per bigram
+    assert abs(got.loc[102, "ppl"] - 9.0) < 0.001

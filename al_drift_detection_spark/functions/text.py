@@ -428,7 +428,12 @@ def bigram_nll(
     rule and broadcast), and the scoring pass (pairs via two slice()
     projections + explode, two broadcast vocab joins, one broadcast
     model join, one groupBy(doc)); the model is O(observed vocab pairs)
-    ≤ (V+1)² rows however large the reference. Documents with fewer than
+    ≤ (V+1)² rows however large the reference. The vocab frame is
+    consumed FOUR times (left+right mapping joins in both the model and
+    scoring passes) and the ref bigram counts twice (model + left
+    totals) — both persisted with the release obligation on the returned
+    frame (the CLAUDE.md shared-child rule: unpersisted, the raw
+    explode+rank vocab pipeline would execute four times). Documents with fewer than
     2 tokens have no bigrams and are absent from the output (score only
     what the model defines). Output: (id_col, n_bigrams, nll, ppl) with
     nll = mean −ln P and ppl = exp(nll), both rounded 6dp/4dp.
@@ -438,6 +443,8 @@ def bigram_nll(
     base = df.select(
         F.col(id_col).alias("_id"), toks.alias("_t"), ref_filter.alias("_is_ref")
     )
+    from al_drift_detection_spark.functions._persist import attach_persisted
+
     vocab = (
         base.filter("_is_ref")
         .select(F.explode("_t").alias("tok"))
@@ -446,6 +453,7 @@ def bigram_nll(
         .orderBy(F.col("_n").desc(), "tok")
         .limit(int(vocab_size))
         .select("tok")
+        .persist()
     )
     n_vocab = F.lit(int(vocab_size) + 1)  # incl. (unk); fixed by construction
 
@@ -470,7 +478,11 @@ def bigram_nll(
         )
 
     ref_pairs = _pairs(base.filter("_is_ref"))
-    cab = ref_pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("_cab"))
+    cab = (
+        ref_pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_cab"))
+        .persist()
+    )
     ca = cab.groupBy("a").agg(F.sum("_cab").alias("_ca"))
     model = cab.join(ca, "a")
     prob_seen = (F.col("_cab") + F.lit(float(alpha))) / (
@@ -497,9 +509,13 @@ def bigram_nll(
             F.avg(-F.log(prob)).alias("_nll"),
         )
     )
-    return scored.select(
-        F.col("_id").alias(id_col),
-        "n_bigrams",
-        F.round("_nll", 6).alias("nll"),
-        F.round(F.exp("_nll"), 4).alias("ppl"),
+    return attach_persisted(
+        scored.select(
+            F.col("_id").alias(id_col),
+            "n_bigrams",
+            F.round("_nll", 6).alias("nll"),
+            F.round(F.exp("_nll"), 4).alias("ppl"),
+        ),
+        vocab,
+        cab,
     )

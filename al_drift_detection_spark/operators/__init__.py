@@ -126,7 +126,12 @@ GATE_FRONT: list[str] = [
     "q_asof_join",
     "q_split_assignment",
     "q_salted_agg",
-    "q_sequence_checksum",
+    # late-r7 rotation #2: q_sequence_checksum demoted — the windowed-offset
+    # family (lag/lead over the same Window spec) keeps q_lead_target as its
+    # gate representative and the lag composition stays locally oracle-
+    # checked; the slot goes to q_trend, the round's cross-run trend family
+    # (Mann-Kendall + Sen over the metrics repository, full oracle)
+    "q_trend",
     # ANN path (full literal-model oracles since r5/r6 — trained
     # centroids/hyperplanes as SQL literals; recall floors additionally
     # pinned in tests/test_ann_recall.py)

@@ -44,6 +44,11 @@ DEMOTED_ORACLE_TWINS = {
     # q_pivot — the same grouping-sets/rollup shape); the freed slot went to
     # q_sliced_drift, the round's per-slice drift drill-down family
     "q_pivot",
+    # late-r7 rotation #2: the windowed-offset family held two slots
+    # (q_lead_target J3 lead + q_sequence_checksum W2 lag — the same
+    # Window-offset shape); the freed slot went to q_trend, the round's
+    # cross-run Mann-Kendall trend family
+    "q_sequence_checksum",
 }
 
 # oracle-bearing EXTENSIONS beyond the SURVEY §2 inventory, plus explicit
@@ -113,9 +118,6 @@ ORACLE_EXTENSIONS_PAST_WINDOW = {
     # conditional (per-category) completeness: drill-down form of the
     # in-window q_completeness_drift family (round 7)
     "q_conditional_completeness",
-    # Mann-Kendall trend over the metrics repository: trend form of the
-    # in-window q_metric_anomaly / metrics-repository family (round 7)
-    "q_trend",
     # per-row OOD rate vs trained centroids: row-counting sibling of the
     # q_embedding_drift population family (lazy trained-centroid oracle;
     # round 7)

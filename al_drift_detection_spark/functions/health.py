@@ -211,6 +211,45 @@ def completeness_drift(
     )
 
 
+def build_conditional_completeness_reference(
+    ref_df: DataFrame,
+    cond_col: str,
+    target_col: str,
+    max_categories: int = 20,
+) -> dict:
+    """Driver-side reference CONFIG for the streaming twin
+    (streaming/closed.conditional_completeness_spec): the same
+    deterministic universe and per-category null-ratios
+    conditional_completeness_drift derives internally, folded to a plain
+    picklable dict — O(categories) floats. Built ONCE from the reference
+    windows; every later window (batch or stream) scores against it, so
+    the two modes cannot diverge on universes or baselines (the
+    build_sliced_reference pattern)."""
+    OTHER = "(other)"
+    cat = F.coalesce(F.col(cond_col).cast("string"), F.lit("(null)"))
+    stats = (
+        ref_df.select(
+            cat.alias("_s"),
+            F.isnull(F.col(target_col)).cast("double").alias("_in"),
+        )
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_in").alias("_nn"))
+        .collect()
+    )
+    if not stats:
+        raise ValueError(
+            "build_conditional_completeness_reference: the reference "
+            "selects no rows"
+        )
+    stats.sort(key=lambda r: (-r["_n"], r["_s"]))
+    top = stats[: int(max_categories)]
+    tail = stats[int(max_categories):]
+    tn = sum(int(r["_n"]) for r in tail)
+    ratios = {r["_s"]: float(r["_nn"]) / int(r["_n"]) for r in top}
+    ratios[OTHER] = (sum(float(r["_nn"]) for r in tail) / tn) if tn else 0.0
+    return {"universe": [*(r["_s"] for r in top), OTHER], "ratios": ratios}
+
+
 def conditional_completeness_drift(
     df: DataFrame,
     cond_col: str,

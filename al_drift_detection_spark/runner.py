@@ -131,6 +131,20 @@ def main(argv: list[str] | None = None) -> int:
         "grid and shares via build_sliced_reference, batch-parity pinned)",
     )
     ap.add_argument(
+        "--cond-completeness", action="append", default=None,
+        metavar="COND:TARGET",
+        help="CONDITIONAL completeness drill-down: null-ratio of TARGET per "
+        "(COND category × window) vs the category's OWN reference-window "
+        "ratio (deterministic ref-top-20 + '(other)' universe; repeatable, "
+        "e.g. fmt:caption) — catches one source going null while the "
+        "global ratio barely moves; writes the cond_completeness/ table "
+        "(functions/health.conditional_completeness_drift). With --stream "
+        "it instead rides the closed-window family as "
+        "stream_cond_completeness_<cond>_<target>/ (streaming/closed."
+        "conditional_completeness_spec — same universe and baselines via "
+        "build_conditional_completeness_reference, batch-parity pinned)",
+    )
+    ap.add_argument(
         "--image-dedup", action="store_true",
         help="near-duplicate IMAGE detection: Hamming band-join over the "
         "phash column (distance ≤3) + duplicate-cluster resolution — writes "
@@ -470,12 +484,22 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
                 return 2
             slice_pairs.append((slice_col, value_col))
+        cond_pairs = []
+        for spec in args.cond_completeness or []:
+            try:
+                cond_col, target_col = spec.split(":", 1)
+            except ValueError:
+                print(f"--cond-completeness expects COND:TARGET, got {spec!r}",
+                      file=sys.stderr)
+                return 2
+            cond_pairs.append((cond_col, target_col))
         n_windows = stream_driver.stage_bounded_stream(
             meta_full, f"{args.out}/_stream_input",
             args.stream_window, args.stream_watermark,
         )
         refs = stream_driver.build_references(
-            meta_full, args.ref_windows, cat_cols, slice_pairs=slice_pairs
+            meta_full, args.ref_windows, cat_cols, slice_pairs=slice_pairs,
+            cond_pairs=cond_pairs,
         )
         run_streams = (
             stream_driver.run_closed_streams_combined
@@ -874,6 +898,37 @@ def main(argv: list[str] | None = None) -> int:
         out_sd.orderBy(
             "slice_col", "value_col", "window_id", "rank"
         ).write.mode("overwrite").parquet(f"{args.out}/slice_drift")
+
+    if args.cond_completeness:
+        from al_drift_detection_spark.functions.health import (
+            conditional_completeness_drift,
+        )
+
+        frames = []
+        for spec in args.cond_completeness:
+            try:
+                cond_col, target_col = spec.split(":", 1)
+            except ValueError:
+                print(f"--cond-completeness expects COND:TARGET, got {spec!r}",
+                      file=sys.stderr)
+                return 2
+            cc = conditional_completeness_drift(
+                meta_full, cond_col, target_col, "window_id",
+                ref_filter=F.col("window_id") < args.ref_windows,
+                threshold=0.1, min_rows=50,
+            ).select(
+                F.lit(cond_col).alias("cond_col"),
+                F.lit(target_col).alias("target_col"),
+                "window_id", "category", "n_cur", "null_ratio",
+                "ref_ratio", "delta", "verdict",
+            )
+            frames.append(cc)
+        out_cc = frames[0]
+        for fr in frames[1:]:
+            out_cc = out_cc.unionByName(fr)
+        out_cc.orderBy(
+            "cond_col", "target_col", "window_id", "category"
+        ).write.mode("overwrite").parquet(f"{args.out}/cond_completeness")
 
     if args.health:
         from al_drift_detection_spark.functions._persist import release

@@ -1373,3 +1373,119 @@ def closed_sliced_drift(
         min_rows=min_rows,
     )
     return _run_spec(stream_df, ts_col, spec, window, watermark, slide)
+
+
+COND_COMPLETENESS_OUT_SCHEMA = (
+    "window_start timestamp, window_end timestamp, category string, "
+    "n_cur long, null_ratio double, ref_ratio double, delta double, "
+    "verdict string"
+)
+
+
+def conditional_completeness_spec(
+    cond_col: str,
+    target_col: str,
+    ref: dict,
+    threshold: float = 0.05,
+    min_rows: int = 50,
+    name: str = "cond_completeness",
+) -> ClosedSpec:
+    """Closed-window CONDITIONAL completeness — the streaming twin of
+    functions/health.conditional_completeness_drift (docstring there;
+    `ref` is build_conditional_completeness_reference's config dict, built
+    ONCE from the reference windows, so batch and stream score against the
+    same universe and baselines). Each chunk reduces to per-universe-
+    category (n, n_null) partials — two keyed longs per category, bounded
+    by the universe by construction; the fold sums them; the close emits
+    one row per universe category with the batch twin's exact ratio math,
+    verdict ladder (no_data / insufficient / fail / pass on the UNROUNDED
+    delta) and 6dp rounding. Row-for-row value parity with the batch
+    operator is pinned in tests/test_closed_windows.py."""
+    universe = list(ref["universe"])
+    ratios = {s: float(ref["ratios"][s]) for s in universe}
+    named = [s for s in universe if s != "(other)"]
+    sl = F.coalesce(F.col(cond_col).cast("string"), F.lit("(null)"))
+
+    def reduce(g):
+        if not len(g):
+            return (0, [], None, None, [])
+        grp = g.groupby("_s", sort=False)["_in"]
+        n, nn = grp.size(), grp.sum()
+        strs, longs = [], []
+        for s in n.index:
+            strs += [f"{s}{_SL_SEP}n", f"{s}{_SL_SEP}x"]
+            longs += [int(n[s]), int(nn[s])]
+        return (int(len(g)), longs, None, None, strs)
+
+    def fold(st, pdf):
+        n = int(st[0]) + int(pdf["_n"].sum())
+        counts = dict(zip(st[4], (int(x) for x in st[1])))
+        for longs, strs in zip(pdf["_longs"].to_numpy(), pdf["_strs"].to_numpy()):
+            for key, c in zip(strs, longs):
+                counts[key] = counts.get(key, 0) + int(c)
+        keys = sorted(counts)
+        return (n, [counts[k] for k in keys], [], [], keys)
+
+    def close(st, w_start, w_end):
+        counts = dict(zip(st[4], (int(x) for x in st[1])))
+        rows = []
+        for s in universe:
+            n = counts.get(f"{s}{_SL_SEP}n", 0)
+            x = counts.get(f"{s}{_SL_SEP}x", 0)
+            rr = ratios[s]
+            if n == 0:
+                rows.append((w_start, w_end, s, 0, None, round(rr, 6), None,
+                             "no_data"))
+                continue
+            ratio = x / n
+            delta = ratio - rr
+            verdict = (
+                "insufficient" if n < min_rows
+                else ("fail" if delta > threshold else "pass")
+            )
+            rows.append((w_start, w_end, s, n, round(ratio, 6),
+                         round(rr, 6), round(delta, 6), verdict))
+        return rows
+
+    return ClosedSpec(
+        name=name,
+        cols={
+            "_s": F.when(sl.isin(named), sl).otherwise(F.lit("(other)")),
+            "_in": F.isnull(F.col(target_col)).cast("double"),
+        },
+        reduce=reduce,
+        init=lambda: (0, [], [], [], []),
+        fold=fold,
+        close=close,
+        out_schema=COND_COMPLETENESS_OUT_SCHEMA,
+        out_columns=["window_start", "window_end", "category", "n_cur",
+                     "null_ratio", "ref_ratio", "delta", "verdict"],
+        to_generic=lambda r: (r[2], None, int(r[3]), None,
+                              None if r[4] is None else float(r[4]),
+                              float(r[5]),
+                              None if r[6] is None else float(r[6]),
+                              None, r[7]),
+        split_fields=[("s1", "category", None), ("l1", "n_cur", "long"),
+                      ("d1", "null_ratio", None), ("d2", "ref_ratio", None),
+                      ("d3", "delta", None), ("verdict", "verdict", None)],
+    )
+
+
+def closed_conditional_completeness(
+    stream_df: DataFrame,
+    ts_col: str,
+    cond_col: str,
+    target_col: str,
+    ref: dict,
+    threshold: float = 0.05,
+    min_rows: int = 50,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Per-query builder for conditional_completeness_spec (docstring
+    there)."""
+    spec = conditional_completeness_spec(
+        cond_col, target_col, ref, threshold=threshold, min_rows=min_rows
+    )
+    return _run_spec(stream_df, ts_col, spec, window, watermark, slide)

@@ -127,6 +127,7 @@ def build_references(
     ref_windows: int,
     cat_cols: list[str],
     slice_pairs: list[tuple[str, str]] | None = None,
+    cond_pairs: list[tuple[str, str]] | None = None,
 ) -> dict:
     """The deterministic references the batch pass uses (window_id <
     ref_windows), in the forms the closed-window builders take: quantile-grid
@@ -210,6 +211,21 @@ def build_references(
             refs["sliced"][(slice_col, value_col)] = build_sliced_reference(
                 ref, value_col, slice_col
             )
+    # conditional-completeness references (cond_col, target_col) — the batch
+    # twin's deterministic universe + per-category baselines, folded by
+    # functions/health.build_conditional_completeness_reference
+    refs["cond"] = {}
+    if cond_pairs:
+        from al_drift_detection_spark.functions.health import (
+            build_conditional_completeness_reference,
+        )
+
+        for cond_col, target_col in cond_pairs:
+            refs["cond"][(cond_col, target_col)] = (
+                build_conditional_completeness_reference(
+                    ref, cond_col, target_col
+                )
+            )
 
     rna: dict = {}
     rnb: dict = {}
@@ -292,6 +308,13 @@ def stream_specs(refs: dict, cat_cols: list[str]) -> list:
             C.sliced_drift_spec(
                 value_col, slice_col, cfg,
                 name=f"stream_slice_drift_{slice_col}_{value_col}",
+            )
+        )
+    for (cond_col, target_col), cfg in refs.get("cond", {}).items():
+        specs.append(
+            C.conditional_completeness_spec(
+                cond_col, target_col, cfg, threshold=0.1, min_rows=50,
+                name=f"stream_cond_completeness_{cond_col}_{target_col}",
             )
         )
     return specs

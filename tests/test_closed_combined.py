@@ -54,7 +54,8 @@ def staged(spark, tmp_path_factory):
     meta = _meta(spark)
     stage_bounded_stream(meta, stage, 300, 60)
     refs = build_references(
-        meta, ref_windows=2, cat_cols=["fmt"], slice_pairs=[("fmt", "w")]
+        meta, ref_windows=2, cat_cols=["fmt"], slice_pairs=[("fmt", "w")],
+        cond_pairs=[("fmt", "caption")],
     )
     return stage, refs
 
@@ -128,6 +129,19 @@ def test_combined_verdicts_see_planted_drift(spark, both_outputs):
     cat = spark.read.parquet(f"{out_comb}/stream_cat_drift_fmt").toPandas()
     cat["wid"] = wid(cat)
     assert cat.set_index("wid")["verdict"].loc[3] == "fail"
+
+    # caption nulls hit window 3's fmt categories: png (in the ref
+    # universe) and webp (brand-new -> '(other)' vs the empty-tail 0.0
+    # baseline) both fail; jpeg/bmp are absent from the drifted mix
+    cc = spark.read.parquet(
+        f"{out_comb}/stream_cond_completeness_fmt_caption"
+    ).toPandas()
+    cc["wid"] = wid(cc)
+    w3 = cc[cc["wid"] == 3].set_index("category")
+    assert w3.loc["png", "verdict"] == "fail"
+    assert w3.loc["(other)", "verdict"] == "fail"
+    assert w3.loc["jpeg", "verdict"] == "no_data"
+    assert (cc[cc["wid"] < 3].query("n_cur >= 50")["verdict"] == "pass").all()
 
 
 def test_combined_is_one_scan_one_stateful_op(spark, staged):

@@ -943,3 +943,92 @@ def test_closed_sliced_drift_split_window_parity(spark, tmp_path_factory):
     assert byslice["b"]["verdict"] == "fail"
     assert byslice["(other)"]["verdict"] == "fail"  # new slice z
     assert byslice["c"]["verdict"] == "no_data"
+
+
+def test_closed_conditional_completeness_split_window_parity(
+    spark, tmp_path_factory
+):
+    """Conditional-completeness twin (streaming/closed.
+    conditional_completeness_spec): window W1 split across two
+    micro-batches with category 'b' hit by a null burst, 'z' brand-new
+    (-> '(other)'), 'c' absent (-> no_data); the close-time row set equals
+    functions/health.conditional_completeness_drift over W1's full rows
+    against the same reference config — category-for-category (n_cur,
+    ratios at 1e-9, verdict)."""
+    from al_drift_detection_spark.functions.health import (
+        build_conditional_completeness_reference,
+        conditional_completeness_drift,
+    )
+    from al_drift_detection_spark.streaming.closed import (
+        closed_conditional_completeness,
+    )
+
+    inp = str(tmp_path_factory.mktemp("ccc") / "in")
+    rng = np.random.default_rng(17)
+
+    def rows(cats, n_each, null_rate, offset_s=0):
+        out = []
+        for c in cats:
+            nulls = rng.random(n_each) < null_rate.get(c, 0.05)
+            out.append(pd.DataFrame({
+                "ts": [BASE + pd.Timedelta(seconds=int(offset_s + x))
+                       for x in rng.integers(0, 120, n_each)],
+                "cat": c,
+                "v": [None if z else 1.0 for z in nulls],
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    ref_pdf = rows(["a", "b", "c"], 400, {})
+    fa = rows(["a", "z"], 150, {"z": 0.9}, offset_s=0)
+    fb = rows(["b"], 150, {"b": 0.8}, offset_s=120)
+    sentinel = pd.DataFrame(
+        {"ts": [BASE + pd.Timedelta(hours=1)], "cat": ["a"], "v": [1.0]}
+    )
+
+    ref_df = spark.createDataFrame(ref_pdf)
+    cfg = build_conditional_completeness_reference(
+        ref_df, "cat", "v", max_categories=3
+    )
+    assert cfg["universe"] == ["a", "b", "c", "(other)"]
+
+    cur_pdf = pd.concat([fa, fb], ignore_index=True)
+    batch_df = spark.createDataFrame(
+        pd.concat(
+            [ref_pdf.assign(w=0), cur_pdf.assign(w=1)], ignore_index=True
+        )[["w", "cat", "v"]]
+    )
+    want = {
+        r["category"]: r
+        for r in conditional_completeness_drift(
+            batch_df, "cat", "v", "w", ref_filter=F.col("w") < 1,
+            threshold=0.2, max_categories=3, min_rows=50,
+        ).collect()
+    }
+
+    _write_batches(spark, inp, [fa, fb, sentinel])
+    stream = (
+        spark.readStream.schema("ts timestamp, cat string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = closed_conditional_completeness(
+        stream, "ts", "cat", "v", cfg, threshold=0.2, min_rows=50,
+        window="5 minutes", watermark="1 minute",
+    )
+    _run_stream(out, "ccc_out")
+    got = spark.sql(
+        "SELECT * FROM ccc_out WHERE window_start = timestamp'2026-01-01 00:00:00'"
+    ).toPandas()
+    assert len(got) == 4  # one row per universe category, exactly once
+    verdicts = dict(zip(got["category"], got["verdict"]))
+    assert verdicts["b"] == "fail" and verdicts["(other)"] == "fail"
+    assert verdicts["a"] == "pass" and verdicts["c"] == "no_data"
+    for _, r in got.iterrows():
+        w = want[r["category"]]
+        assert r["n_cur"] == w["n_cur"], r["category"]
+        assert r["verdict"] == w["verdict"], r["category"]
+        for col in ("null_ratio", "ref_ratio", "delta"):
+            if w[col] is None:
+                assert pd.isna(r[col]), (r["category"], col)
+            else:
+                assert abs(r[col] - w[col]) < 1e-9, (r["category"], col)

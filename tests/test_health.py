@@ -651,3 +651,54 @@ def test_conditional_completeness_empty_reference_raises(spark):
         conditional_completeness_drift(
             df, "cat", "v", "w", ref_filter=F.col("w") < 0
         )
+
+
+def test_runner_cond_completeness_surface(spark, tmp_path):
+    """`runner --cond-completeness fmt:caption` writes cond_completeness/:
+    caption nulls in the synthetic corpus are uniform across fmt, so every
+    scored (category, window) passes — the no-false-positive check (the
+    planted-burst behavior is pinned in
+    test_conditional_completeness_planted and the streaming parity test).
+    A bad spec fails loudly."""
+    from al_drift_detection_spark import runner
+
+    out = tmp_path / "o"
+    assert runner.main([
+        "--images", "synthetic:12000", "--out", str(out),
+        "--master", "local[8]", "--cond-completeness", "fmt:caption",
+    ]) == 0
+    rows = spark.read.parquet(f"{out}/cond_completeness").collect()
+    assert {r["window_id"] for r in rows} == {4, 5}
+    assert {r["cond_col"] for r in rows} == {"fmt"}
+    scored = [r for r in rows if r["n_cur"] >= 50]
+    assert scored and all(r["verdict"] == "pass" for r in scored)
+    assert all(
+        r["verdict"] in ("no_data", "insufficient")
+        for r in rows
+        if r["n_cur"] < 50
+    )
+    assert runner.main([
+        "--images", "synthetic:3000", "--out", str(tmp_path / "o2"),
+        "--master", "local[8]", "--cond-completeness", "nocolon",
+    ]) == 2
+
+
+def test_stream_cond_completeness_surface(spark, tmp_path):
+    """`--stream --cond-completeness fmt:caption` rides the closed-window
+    family: stream_cond_completeness_fmt_caption/ has one row per
+    (window × universe category), all scored categories pass (uniform
+    caption nulls — the batch surface's no-false-positive twin)."""
+    from al_drift_detection_spark import runner
+
+    out = tmp_path / "so"
+    assert runner.main([
+        "--images", "synthetic:12000", "--out", str(out),
+        "--master", "local[8]", "--stream",
+        "--cond-completeness", "fmt:caption",
+    ]) == 0
+    rows = spark.read.parquet(
+        f"{out}/stream_cond_completeness_fmt_caption"
+    ).collect()
+    assert len({r["window_start"] for r in rows}) == 6
+    scored = [r for r in rows if r["n_cur"] >= 50]
+    assert scored and all(r["verdict"] == "pass" for r in scored)

@@ -484,7 +484,9 @@ def bigram_nll(
         .persist()
     )
     ca = cab.groupBy("a").agg(F.sum("_cab").alias("_ca"))
-    model = cab.join(ca, "a")
+    # both sides are vocab-bounded, but the cached cab carries no size
+    # stats — without the hint Spark sort-merge-joins two tiny frames
+    model = cab.join(F.broadcast(ca), "a")
     prob_seen = (F.col("_cab") + F.lit(float(alpha))) / (
         F.col("_ca") + F.lit(float(alpha)) * n_vocab
     )

@@ -431,3 +431,39 @@ def test_zscore_broadcasts_scalars(spark):
     p = plan_of(REGISTRY["q_zscore"].fn(spark, SF))
     assert "Window" not in p  # agg + broadcast crossJoin, not a global window
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_bigram_nll_joins_all_broadcast(spark):
+    """The bigram LM's vocab-mapping and model joins must all reach the
+    pair stream as broadcasts — the (V+1)²-bounded model never drags the
+    corpus through a SortMergeJoin shuffle — and the scoring hot path
+    stays JVM-side (no Python eval)."""
+    from al_drift_detection_spark.operators import REGISTRY
+
+    p = plan_of(REGISTRY["q_bigram_nll"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_embedding_outliers_threshold_is_broadcast(spark):
+    """The outlier rollup's only join is the broadcast one-row threshold
+    frame (BroadcastNestedLoopJoin of a 1-row aggregate): no shuffle join
+    anywhere, scores stay in codegen (no Python eval)."""
+    from al_drift_detection_spark.operators import REGISTRY
+
+    p = plan_of(REGISTRY["q_embedding_outliers"].fn(spark, SF))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_conditional_completeness_broadcast_grid(spark):
+    """The conditional-completeness output grid joins only broadcast
+    frames (universe, reference ratios) onto the tiny persisted counts —
+    no SortMergeJoin of raw data survives the plan."""
+    from al_drift_detection_spark.operators import REGISTRY
+
+    p = plan_of(REGISTRY["q_conditional_completeness"].fn(spark, SF))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p

@@ -532,14 +532,17 @@ def q_except_keys(spark: SparkSession, sf: str) -> DataFrame:
     "(ref equalize_classes gan.py:437-465; seeded, unlike the reference)",
 )
 def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # two-stage salted rank (operators/windows.ranked_head): a plain
+    # partitionBy(label) rank funnels each label's whole row set through
+    # ONE task — at corpus scale a label is billions of rows (the
+    # CLAUDE.md single-hot-task rule); identical kept set by construction
+    from al_drift_detection_spark.operators.windows import ranked_head
+
     key = (F.col("vec_id") * 2654435761) % 1000003
-    w = Window.partitionBy("label").orderBy(key, "vec_id")
-    return (
-        _t(spark, sf, "embeddings")
-        .select("vec_id", "label", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= 20)
-        .select("vec_id", "label")
-    )
+    return ranked_head(
+        _t(spark, sf, "embeddings").select("vec_id", "label"),
+        ["label"], [key, F.col("vec_id")], 20,
+    ).select("vec_id", "label")
 
 
 @register(

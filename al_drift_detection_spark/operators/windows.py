@@ -178,3 +178,46 @@ def sequence_features(
         feats.alias("features"),
         F.lead(F.col(value_col)).over(w).cast("double").alias("target"),
     )
+
+
+def ranked_head(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list,
+    n: int,
+    n_salt: int = 32,
+    salt_col=None,
+) -> DataFrame:
+    """Top-n rows per group by a deterministic order WITHOUT a whole-group
+    single-task rank — the two-stage trick kmv_sketches uses, factored for
+    the sampling family: a plain row_number().over(partitionBy(group))
+    funnels each group's ENTIRE row set through one task (SURVEY.md §2.8
+    M1, gan.py:437-465 equalize_classes — at corpus scale one label can be
+    billions of rows; the CLAUDE.md single-hot-task rule). Stage 1 ranks
+    within (group, salt) and keeps n per bucket — every member of the true
+    per-group top-n survives, because each bucket keeps its OWN n smallest
+    and the true top-n can occupy at most n slots of any bucket. Stage 2
+    re-ranks the ≤ n_salt × n survivors per group: bounded input whatever
+    the group sizes.
+
+    `salt_col` must be a DETERMINISTIC expression over the row (defaults
+    to xxhash64 of the order columns) — a random salt would change the
+    kept set across retries. Output: the input rows (original columns)
+    of each group's top n, plus `rk` (1-based final rank)."""
+    salt = (
+        F.pmod(F.xxhash64(*order_cols), F.lit(n_salt))
+        if salt_col is None
+        else salt_col
+    )
+    s1 = Window.partitionBy(*part_cols, "_salt").orderBy(*order_cols)
+    pre = (
+        df.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(s1))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn", "_salt")
+    )
+    s2 = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return (
+        pre.withColumn("rk", F.row_number().over(s2))
+        .filter(F.col("rk") <= n)
+    )

@@ -130,16 +130,18 @@ def test_combined_verdicts_see_planted_drift(spark, both_outputs):
     cat["wid"] = wid(cat)
     assert cat.set_index("wid")["verdict"].loc[3] == "fail"
 
-    # caption nulls hit window 3's fmt categories: png (in the ref
-    # universe) and webp (brand-new -> '(other)' vs the empty-tail 0.0
-    # baseline) both fail; jpeg/bmp are absent from the drifted mix
+    # caption nulls hit window 3's png slice only: webp rows sit on odd i
+    # (i % 2 == 1) so the i % 4 == 0 null plant never touches them —
+    # brand-new webp lands in '(other)' with ZERO nulls and passes against
+    # the empty-tail 0.0 baseline; jpeg/bmp are absent from the drifted mix
     cc = spark.read.parquet(
         f"{out_comb}/stream_cond_completeness_fmt_caption"
     ).toPandas()
     cc["wid"] = wid(cc)
     w3 = cc[cc["wid"] == 3].set_index("category")
     assert w3.loc["png", "verdict"] == "fail"
-    assert w3.loc["(other)", "verdict"] == "fail"
+    assert w3.loc["(other)", "verdict"] == "pass"
+    assert w3.loc["(other)", "null_ratio"] == 0.0
     assert w3.loc["jpeg", "verdict"] == "no_data"
     assert (cc[cc["wid"] < 3].query("n_cur >= 50")["verdict"] == "pass").all()
 

@@ -348,3 +348,42 @@ def test_bigram_nll_planted(spark):
     assert abs(got.loc[100, "nll"] - round(expect, 6)) < 1e-6
     # all-unk doc: every left token unseen -> uniform 1/(V+1) per bigram
     assert abs(got.loc[102, "ppl"] - 9.0) < 0.001
+
+
+def test_ranked_head_matches_single_stage(spark):
+    """The two-stage salted rank keeps EXACTLY the single-stage top-n per
+    group (every member of the true top-n survives its salt bucket's
+    per-bucket cut), on a skewed frame where one group holds most rows;
+    ranks agree, and the kept set is deterministic across runs."""
+    from pyspark.sql.window import Window as W
+
+    from al_drift_detection_spark.operators.windows import ranked_head
+
+    rows = [(i, "big" if i % 10 else "small", float((i * 7919) % 1000))
+            for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    order = [F.col("v"), F.col("id")]
+    got = (
+        ranked_head(df, ["g"], order, 25)
+        .select("g", "id", "rk")
+        .toPandas()
+        .sort_values(["g", "rk"])
+        .reset_index(drop=True)
+    )
+    w = W.partitionBy("g").orderBy(*order)
+    want = (
+        df.select("g", "id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 25)
+        .toPandas()
+        .sort_values(["g", "rk"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    again = (
+        ranked_head(df, ["g"], order, 25)
+        .select("g", "id", "rk")
+        .toPandas()
+        .sort_values(["g", "rk"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)

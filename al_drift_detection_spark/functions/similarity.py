@@ -296,16 +296,25 @@ def topk_per_query(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
 ) -> DataFrame:
-    """Batch top-k: broadcast the (small) query set, score all pairs, window
-    top-k per query. The corpus side never shuffles pre-ranking."""
+    """Batch top-k: broadcast the (small) query set, score all pairs, rank
+    top-k per query. The corpus side never shuffles pre-ranking, and the
+    rank itself is the TWO-STAGE salted form (operators/windows.
+    ranked_head): a plain partitionBy(q_id) would funnel each query's
+    group — the ENTIRE scored corpus — through one task (the CLAUDE.md
+    single-hot-task rule; the per-query group is corpus-sized by
+    construction here, unlike the bounded per-customer/per-doc ranks)."""
+    from al_drift_detection_spark.operators.windows import ranked_head
+
     crossed = df.crossJoin(F.broadcast(queries))
     scored = crossed.select(
         F.col(q_id_col),
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 4).alias("cos"),
     )
-    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return ranked_head(
+        scored, [q_id_col], [F.desc("cos"), F.asc(id_col)], k,
+        salt_col=F.pmod(F.xxhash64(F.col(id_col)), F.lit(32)),
+    )
 
 
 # =====================================================================

@@ -208,7 +208,10 @@ def main(argv: list[str] | None = None) -> int:
         "per metric series over the run history (this run included) — the "
         "slow-degradation detector neither the trailing band nor the "
         "changepoint level test catches; writes metric_trend/ "
-        "(functions.anomaly.trend_verdicts)",
+        "(functions.anomaly.trend_verdicts). With --stream it instead "
+        "runs over the STREAMING verdict series (volume + per-column KS "
+        "statistic, the --changepoint stream-mode pattern) and writes "
+        "stream_trend/",
     )
     ap.add_argument(
         "--changepoint", action="store_true",
@@ -561,6 +564,52 @@ def main(argv: list[str] | None = None) -> int:
             cp.orderBy("signal", "window_id").write.mode("overwrite").parquet(
                 f"{args.out}/stream_changepoint"
             )
+        if args.trend:
+            # retrospective Mann-Kendall over the STREAMING verdict series
+            # (the --changepoint stream-mode pattern): per-window volume and
+            # each drift column's KS statistic, keyed into the repository's
+            # (part, column, metric) series shape so trend_verdicts applies
+            # unchanged — catches a slow creep across windows that neither
+            # the per-window verdicts nor the level-shift detector alarm on
+            from al_drift_detection_spark.functions.anomaly import (
+                trend_verdicts,
+            )
+
+            wid = (
+                (F.unix_timestamp("window_start")
+                 - F.unix_timestamp(F.lit(stream_driver.BASE_TS)))
+                / args.stream_window
+            ).cast("long").alias("run_ts")
+            frames = [
+                spark.read.parquet(f"{args.out}/stream_health")
+                .select(wid, F.col("n_rows").cast("double").alias("value"))
+                .distinct()
+                .select(
+                    F.lit(0).alias("part"), F.lit("volume").alias("column"),
+                    F.lit("n_rows").alias("metric"), "value", "run_ts",
+                )
+            ]
+            drift_tbl = spark.read.parquet(f"{args.out}/stream_drift").filter(
+                F.col("kernel") == "ks"
+            )
+            for col in ("w", "h"):
+                frames.append(
+                    drift_tbl.filter(F.col("column") == col).select(
+                        F.lit(0).alias("part"), F.lit(col).alias("column"),
+                        F.lit("ks_stat").alias("metric"),
+                        F.col("statistic").alias("value"), wid,
+                    )
+                )
+            ser = frames[0]
+            for f in frames[1:]:
+                ser = ser.unionByName(f)
+            tr = trend_verdicts(ser, min_runs=5)
+            tr.orderBy("column", "metric").write.mode("overwrite").parquet(
+                f"{args.out}/stream_trend"
+            )
+            from al_drift_detection_spark.functions._persist import release
+
+            release(tr)
         print(json.dumps({
             "mode": "stream", "windows": n_windows, "tables": counts,
             "wall_sec": round(time.perf_counter() - t0, 2), "out": args.out,

@@ -383,3 +383,25 @@ def test_trend_cli_surface(spark, tmp_path):
     assert (pdf["verdict"] == "insufficient").all()
     assert {"part", "column", "metric", "n_runs", "s_stat", "z",
             "sen_slope", "verdict"} <= set(tr.columns)
+
+
+def test_stream_trend_surface(spark, tmp_path):
+    """--stream --trend writes stream_trend/: the planted w drift in
+    windows 4-5 is a LEVEL SHIFT late in a 6-window series — with min_runs
+    =5 the ks:w series carries a positive Sen slope (monotone-ish rise
+    into the drift era), and every series has n_runs=6 rows scored."""
+    from al_drift_detection_spark import runner
+
+    out = tmp_path / "st"
+    rc = runner.main([
+        "--images", "synthetic:12000", "--out", str(out),
+        "--master", "local[8]", "--stream", "--trend",
+    ])
+    assert rc == 0
+    tr = spark.read.parquet(f"{out}/stream_trend").toPandas()
+    assert set(tr["column"]) == {"volume", "w", "h"}
+    assert (tr["n_runs"] == 6).all()
+    w_row = tr[tr["column"] == "w"].iloc[0]
+    assert w_row["sen_slope"] > 0
+    vol = tr[tr["column"] == "volume"].iloc[0]
+    assert vol["verdict"] == "no_trend"

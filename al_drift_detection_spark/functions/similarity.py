@@ -526,7 +526,13 @@ def embedding_outlier_rates(
         F.round(rate, 6).alias("rate"),
         F.round("_t", 6).alias("threshold"),
         F.round(F.lit(float(tail)), 6).alias("expected_rate"),
-        F.when(F.col("n") < int(min_rows), "insufficient")
+        # threshold NULL = the reference selected no rows; without this
+        # branch every comparison below is NULL and falls through to
+        # 'pass' — the silent-all-pass trap health.py raises on (kept
+        # relational here to preserve the no-collect contract, so the
+        # failure is loud in the OUTPUT instead)
+        F.when(F.col("_t").isNull(), "no_reference")
+        .when(F.col("n") < int(min_rows), "insufficient")
         .when(rate > float(rate_factor) * float(tail), "fail")
         .otherwise("pass")
         .alias("verdict"),

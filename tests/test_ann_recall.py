@@ -198,3 +198,23 @@ def test_embedding_outlier_insufficient_window(spark):
         .toPandas().set_index("w")
     )
     assert got.loc[1, "verdict"] == "insufficient"
+
+
+def test_embedding_outlier_empty_reference_is_loud(spark):
+    """A ref_filter selecting no rows yields a NULL threshold — every
+    window must read 'no_reference', never a silent fall-through 'pass'
+    (the health-family silent-all-pass trap, kept relational here)."""
+    import numpy as np
+
+    from al_drift_detection_spark.functions.similarity import (
+        embedding_outlier_rates,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, 1, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, w int, embedding array<double>")
+    cents = [[1.0] + [0.0] * 7]
+    got = embedding_outlier_rates(
+        df, cents, "w", ref_filter=F.col("w") == 0, min_rows=20
+    ).toPandas()
+    assert (got["verdict"] == "no_reference").all()

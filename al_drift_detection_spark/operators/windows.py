@@ -200,10 +200,17 @@ def ranked_head(
     re-ranks the ≤ n_salt × n survivors per group: bounded input whatever
     the group sizes.
 
+    Contract: `order_cols` must be a TOTAL order within each group
+    (include a unique id as the last key) — under ties, stage 1's
+    per-bucket cut and a single-stage rank may keep different arbitrary
+    tie subsets, so parity and determinism both need tie-free order.
     `salt_col` must be a DETERMINISTIC expression over the row (defaults
-    to xxhash64 of the order columns) — a random salt would change the
-    kept set across retries. Output: the input rows (original columns)
-    of each group's top n, plus `rk` (1-based final rank)."""
+    to xxhash64 of the order columns — pass plain Columns for the
+    default; F.desc()/F.asc() SortOrders are fine for ranking but cannot
+    be hashed, so supply salt_col explicitly when using them) — a random
+    salt would change the kept set across retries. Output: the input
+    rows (original columns) of each group's top n, plus `rk` (1-based
+    final rank)."""
     salt = (
         F.pmod(F.xxhash64(*order_cols), F.lit(n_salt))
         if salt_col is None

@@ -437,9 +437,12 @@ def render_stdout_line(result: dict, limit: int = 1900) -> str:
          BENCH_SELF.json, pointed at);
       3. round per-query seconds to 2dp (cross-round comparisons happen
          at >= 0.1 s granularity; full precision stays in the file);
-      4. drop the ADDITIVE keys (TOTAL_EXCLUDED) from the map, keeping
+      4. drop the auxiliary stream scalars (stream_wall_split,
+         stream_rows_per_sec — derivable from the queries map + the
+         file) before touching any per-query key;
+      5. drop the ADDITIVE keys (TOTAL_EXCLUDED) from the map, keeping
          the summed-headline set that `value` is built from;
-      5. last resort (far-future growth of the summed set itself): drop
+      6. last resort (far-future growth of the summed set itself): drop
          per-query maps, keep the headline metrics.
     Pinned by tests/test_bench_contract.py against the real HEADLINE
     list — tier 5 must be unreachable for the real suite."""
@@ -453,6 +456,11 @@ def render_stdout_line(result: dict, limit: int = 1900) -> str:
         return line
     if isinstance(slim.get("queries"), dict):
         slim["queries"] = {k: round(v, 2) for k, v in slim["queries"].items()}
+        line = json.dumps(slim, separators=(",", ":"))
+        if len(line) <= limit:
+            return line
+        for aux in ("stream_wall_split", "stream_rows_per_sec"):
+            slim.pop(aux, None)
         line = json.dumps(slim, separators=(",", ":"))
         if len(line) <= limit:
             return line

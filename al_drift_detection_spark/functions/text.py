@@ -458,12 +458,19 @@ def bigram_nll(
     n_vocab = F.lit(int(vocab_size) + 1)  # incl. (unk); fixed by construction
 
     def _pairs(frame: DataFrame) -> DataFrame:
-        z = F.arrays_zip(
-            F.expr("slice(_t, 1, size(_t) - 1)"),
-            F.expr("slice(_t, 2, size(_t) - 1)"),
-        )
-        p = frame.select("_id", F.explode(z).alias("_p")).select(
-            "_id", F.col("_p.0").alias("_a"), F.col("_p.1").alias("_b")
+        # name the slice columns BEFORE zipping — arrays_zip derives its
+        # struct field names from the inputs, and unnamed expressions get
+        # positional "0"/"1" names (version-fragile to rely on)
+        p = (
+            frame.select(
+                "_id",
+                F.expr("slice(_t, 1, size(_t) - 1)").alias("_l"),
+                F.expr("slice(_t, 2, size(_t) - 1)").alias("_r"),
+            )
+            .select("_id", F.explode(F.arrays_zip("_l", "_r")).alias("_p"))
+            .select(
+                "_id", F.col("_p._l").alias("_a"), F.col("_p._r").alias("_b")
+            )
         )
         va = vocab.select(F.col("tok").alias("_a"), F.lit(True).alias("_ka"))
         vb = vocab.select(F.col("tok").alias("_b"), F.lit(True).alias("_kb"))

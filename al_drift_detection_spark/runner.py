@@ -184,6 +184,15 @@ def main(argv: list[str] | None = None) -> int:
         "confirmation of unique candidates)",
     )
     ap.add_argument(
+        "--caption-lm", type=int, default=None, metavar="N",
+        help="LM-based caption triage: train an add-alpha bigram model on "
+        "the reference windows' captions (bounded top-512 + '(unk)' "
+        "vocabulary) and write caption_lm/ — the N highest-perplexity "
+        "captions of the NON-reference windows (gibberish, wrong-language "
+        "and boilerplate-broken captions rank first; the CCNet filter, "
+        "functions/text.bigram_nll)",
+    )
+    ap.add_argument(
         "--metrics-store", default=None, metavar="PATH",
         help="metric-HISTORY anomaly validation (Deequ metrics-repository "
         "pattern): append this run's per-partition stat rows to a "
@@ -947,6 +956,37 @@ def main(argv: list[str] | None = None) -> int:
         out_sd.orderBy(
             "slice_col", "value_col", "window_id", "rank"
         ).write.mode("overwrite").parquet(f"{args.out}/slice_drift")
+
+    if args.caption_lm:
+        from al_drift_detection_spark.functions._persist import (
+            propagate_persisted,
+            release,
+        )
+        from al_drift_detection_spark.functions.text import bigram_nll
+
+        docs = meta_full.filter(F.col("caption").isNotNull()).select(
+            "image_id", "caption", "window_id"
+        )
+        scored = bigram_nll(
+            docs, ref_filter=F.col("window_id") < args.ref_windows,
+            text_col="caption", id_col="image_id",
+        )
+        # rank only the non-reference windows (the triage question is
+        # about THIS ingest); TakeOrdered keeps it a top-k heap per
+        # partition, never a global sort
+        lm = propagate_persisted(
+            scored.join(
+                docs.filter(F.col("window_id") >= args.ref_windows).select(
+                    "image_id", "window_id", "caption"
+                ),
+                "image_id",
+            )
+            .orderBy(F.desc("nll"), F.asc("image_id"))
+            .limit(args.caption_lm),
+            scored,
+        )
+        lm.write.mode("overwrite").parquet(f"{args.out}/caption_lm")
+        release(lm)
 
     if args.cond_completeness:
         from al_drift_detection_spark.functions.health import (

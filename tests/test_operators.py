@@ -387,3 +387,26 @@ def test_ranked_head_matches_single_stage(spark):
         .reset_index(drop=True)
     )
     assert got.equals(again)
+
+
+def test_runner_caption_lm_surface(spark, tmp_path):
+    """`runner --caption-lm 25` writes caption_lm/: exactly 25 rows, all
+    from NON-reference windows, ranked by descending nll (ties by id),
+    null captions excluded by construction."""
+    from al_drift_detection_spark import runner
+
+    out = tmp_path / "o"
+    assert runner.main([
+        "--images", "synthetic:12000", "--out", str(out),
+        "--master", "local[8]", "--caption-lm", "25",
+    ]) == 0
+    pdf = (
+        spark.read.parquet(f"{out}/caption_lm")
+        .toPandas()
+        .sort_values(["nll", "image_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    assert len(pdf) == 25
+    assert (pdf["window_id"] >= 4).all()
+    assert pdf["caption"].notna().all()
+    assert (pdf["nll"].values[:-1] >= pdf["nll"].values[1:]).all()

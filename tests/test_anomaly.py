@@ -405,3 +405,55 @@ def test_stream_trend_surface(spark, tmp_path):
     assert w_row["sen_slope"] > 0
     vol = tr[tr["column"] == "volume"].iloc[0]
     assert vol["verdict"] == "no_trend"
+
+
+def test_trend_rank_invariance(spark):
+    """Mann-Kendall is a RANK test: any strictly increasing transform of a
+    series (affine 3x+7, exp(x/20)) leaves S, Var(S), z and the verdict
+    identical — only Sen's slope changes (exactly 3x under the affine
+    map). This is the property that makes it robust on contaminated
+    monitoring series and distinguishes it from a least-squares slope."""
+    import math
+
+    from al_drift_detection_spark.functions.anomaly import trend_verdicts
+
+    base = [10.0 + 0.4 * i + ((-1) ** i) * 0.7 for i in range(16)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((0, "a", "raw", v, i))
+        rows.append((0, "a", "affine", 3.0 * v + 7.0, i))
+        rows.append((0, "a", "exp", math.exp(v / 20.0), i))
+    hist = spark.createDataFrame(rows, HIST_SCHEMA)
+    got = trend_verdicts(hist, min_runs=8).toPandas().set_index("metric")
+    for m in ("affine", "exp"):
+        assert got.loc[m, "s_stat"] == got.loc["raw", "s_stat"], m
+        assert got.loc[m, "var_s"] == got.loc["raw", "var_s"], m
+        assert got.loc[m, "z"] == got.loc["raw", "z"], m
+        assert got.loc[m, "verdict"] == got.loc["raw", "verdict"], m
+    assert abs(got.loc["affine", "sen_slope"] - 3.0 * got.loc["raw", "sen_slope"]) < 1e-6
+
+
+def test_bigram_scoring_is_per_doc_isolated(spark):
+    """Given a FIXED reference, a document's score does not depend on what
+    other documents are scored alongside it (the model trains only on
+    ref_filter rows): scoring a subset reproduces the full run's rows."""
+    from al_drift_detection_spark.functions.text import bigram_nll
+
+    ref = [(i, "the cat sat on the mat", True) for i in range(6)]
+    cur = [
+        (100, "the cat sat", False),
+        (101, "mat on sat", False),
+        (102, "zq xv zq xv", False),
+    ]
+    schema = "doc_id long, text string, is_ref boolean"
+    full = (
+        bigram_nll(spark.createDataFrame(ref + cur, schema),
+                   ref_filter=F.col("is_ref"), vocab_size=8)
+        .toPandas().set_index("doc_id")
+    )
+    sub = (
+        bigram_nll(spark.createDataFrame(ref + cur[:1], schema),
+                   ref_filter=F.col("is_ref"), vocab_size=8)
+        .toPandas().set_index("doc_id")
+    )
+    assert sub.loc[100].equals(full.loc[100])

@@ -562,3 +562,29 @@ def orthogonal_direction(centroids: list[list[float]], dim: int) -> list[float]:
     if n <= 1e-12:
         raise ValueError("all-ones start lies in the centroid span")
     return [float(x) for x in v / n]
+
+
+def embedding_outlier_threshold(
+    ref_df: DataFrame,
+    centroids: list[list[float]],
+    tail: float = 0.05,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> float:
+    """Driver-side reference CONFIG for the streaming twin
+    (streaming/closed.embedding_outliers_spec): the exact interpolated
+    (1 − tail) quantile of the reference rows' ood_scores, folded to one
+    float — built ONCE from the reference windows so batch and stream
+    score against the same threshold (the build_sliced_reference
+    pattern). Raises loudly on an empty reference (the config-builder
+    counterpart of the relational path's 'no_reference' verdict)."""
+    row = (
+        embedding_outlier_scores(ref_df, centroids, vec_col, id_col)
+        .agg(F.percentile(F.col("ood_score"), 1.0 - float(tail)).alias("t"))
+        .first()
+    )
+    if row["t"] is None:
+        raise ValueError(
+            "embedding_outlier_threshold: the reference selects no rows"
+        )
+    return float(row["t"])

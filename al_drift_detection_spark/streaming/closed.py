@@ -1489,3 +1489,103 @@ def closed_conditional_completeness(
         cond_col, target_col, ref, threshold=threshold, min_rows=min_rows
     )
     return _run_spec(stream_df, ts_col, spec, window, watermark, slide)
+
+
+EMB_OUT_OUT_SCHEMA = (
+    "window_start timestamp, window_end timestamp, n long, "
+    "n_outliers long, rate double, threshold double, "
+    "expected_rate double, verdict string"
+)
+
+
+def embedding_outliers_spec(
+    vec_col: str,
+    centroids: list,
+    threshold: float,
+    tail: float = 0.05,
+    rate_factor: float = 3.0,
+    min_rows: int = 20,
+    name: str = "embedding_outliers",
+) -> ClosedSpec:
+    """Closed-window embedding OUTLIER-RATE — the streaming twin of
+    functions/similarity.embedding_outlier_rates (docstring there;
+    `threshold` is embedding_outlier_threshold's config float, built ONCE
+    from the reference windows so batch and stream score against the same
+    exact reference quantile). The score projection is the batch twin's
+    pure-JVM expression over broadcast centroid literals (6dp-rounded —
+    the parity discipline), so each chunk reduces to two longs (n,
+    n_outliers); the fold sums them; the close emits the batch's exact
+    rate math and verdict ladder. Row-for-row value parity with the batch
+    operator is pinned in tests/test_closed_windows.py."""
+    from al_drift_detection_spark.functions.similarity import _dot, _norm
+
+    cents = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    sims = F.array(
+        *[_dot(F.col(vec_col), c) / (_norm(F.col(vec_col)) * _norm(c)) for c in cents]
+    )
+    score = F.round(1.0 - F.array_max(sims), 6)
+    thr = float(threshold)
+
+    def reduce(g):
+        return (int(len(g)), [int((g["_o"] > thr).sum())], None, None)
+
+    def fold(st, pdf):
+        n = int(st[0]) + int(pdf["_n"].sum())
+        x = int(st[1][0]) if st[1] else 0
+        for longs in pdf["_longs"].to_numpy():
+            x += int(longs[0])
+        return (n, [x], [], [], [])
+
+    def close(st, w_start, w_end):
+        n, x = int(st[0]), (int(st[1][0]) if st[1] else 0)
+        rate = (x / n) if n else None
+        verdict = (
+            "no_data" if n == 0
+            else "insufficient" if n < min_rows
+            else ("fail" if rate > float(rate_factor) * float(tail) else "pass")
+        )
+        return [(
+            w_start, w_end, n, x,
+            None if rate is None else round(rate, 6),
+            round(thr, 6), round(float(tail), 6), verdict,
+        )]
+
+    return ClosedSpec(
+        name=name,
+        cols={"_o": score},
+        reduce=reduce,
+        init=lambda: (0, [], [], [], []),
+        fold=fold,
+        close=close,
+        out_schema=EMB_OUT_OUT_SCHEMA,
+        out_columns=["window_start", "window_end", "n", "n_outliers",
+                     "rate", "threshold", "expected_rate", "verdict"],
+        to_generic=lambda r: (None, None, int(r[2]), int(r[3]),
+                              None if r[4] is None else float(r[4]),
+                              float(r[5]), float(r[6]), None, r[7]),
+        split_fields=[("l1", "n", "long"), ("l2", "n_outliers", "long"),
+                      ("d1", "rate", None), ("d2", "threshold", None),
+                      ("d3", "expected_rate", None),
+                      ("verdict", "verdict", None)],
+    )
+
+
+def closed_embedding_outliers(
+    stream_df: DataFrame,
+    ts_col: str,
+    vec_col: str,
+    centroids: list,
+    threshold: float,
+    tail: float = 0.05,
+    rate_factor: float = 3.0,
+    min_rows: int = 20,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Per-query builder for embedding_outliers_spec (docstring there)."""
+    spec = embedding_outliers_spec(
+        vec_col, centroids, threshold, tail=tail, rate_factor=rate_factor,
+        min_rows=min_rows,
+    )
+    return _run_spec(stream_df, ts_col, spec, window, watermark, slide)

@@ -1032,3 +1032,89 @@ def test_closed_conditional_completeness_split_window_parity(
                 assert pd.isna(r[col]), (r["category"], col)
             else:
                 assert abs(r[col] - w[col]) < 1e-9, (r["category"], col)
+
+
+def test_closed_embedding_outliers_split_window_parity(
+    spark, tmp_path_factory
+):
+    """Embedding outlier twin (streaming/closed.embedding_outliers_spec):
+    window W1 split across two micro-batches with 20% of its rows planted
+    EXACTLY orthogonal to the trained centroid span; the close-time row
+    equals functions/similarity.embedding_outlier_rates over W1's full
+    rows against the same config threshold — counts exact, rate at 1e-9,
+    verdict fail only in the planted window."""
+    from al_drift_detection_spark.functions.similarity import (
+        embedding_outlier_rates,
+        embedding_outlier_threshold,
+        orthogonal_direction,
+        train_ivf_centroids,
+    )
+    from al_drift_detection_spark.streaming.closed import (
+        closed_embedding_outliers,
+    )
+
+    inp = str(tmp_path_factory.mktemp("ceo") / "in")
+    rng = np.random.default_rng(23)
+    dim = 12
+    centers = rng.normal(size=(3, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def rows(n, offset_s, vid0):
+        out = []
+        for i in range(n):
+            v = centers[i % 3] + 0.05 * rng.normal(size=dim)
+            out.append({
+                "ts": BASE + pd.Timedelta(seconds=int(offset_s + rng.integers(0, 120))),
+                "vec_id": vid0 + i,
+                "embedding": [float(x) for x in v],
+            })
+        return pd.DataFrame(out)
+
+    ref_pdf = rows(300, 0, 0)  # used as reference only (not streamed)
+    ref_df = spark.createDataFrame(ref_pdf)
+    cents = train_ivf_centroids(ref_df, k=3, sample_n=128, seed=9, iters=8)
+    thr = embedding_outlier_threshold(ref_df, cents, tail=0.05)
+    ood = orthogonal_direction(cents, dim)
+
+    fa = rows(60, 0, 1000)
+    fb = rows(60, 120, 2000)
+    # plant: every 5th row of fragment B replaced by the orthogonal dir
+    fb.loc[fb.index % 5 == 0, "embedding"] = pd.Series(
+        [[float(x) for x in ood]] * len(fb), index=fb.index
+    )[fb.index % 5 == 0]
+    sentinel = rows(1, 3600, 9000)
+
+    # batch twin over the same rows (ref as window 0, W1 fragments as 1)
+    cur = pd.concat([fa, fb], ignore_index=True)
+    batch = spark.createDataFrame(
+        pd.concat([ref_pdf.assign(w=0), cur.assign(w=1)], ignore_index=True)
+        [["w", "vec_id", "embedding"]]
+    )
+    want = (
+        embedding_outlier_rates(
+            batch, cents, "w", ref_filter=F.col("w") < 1,
+            tail=0.05, rate_factor=2.0, min_rows=20,
+        ).collect()[0]
+    )
+
+    _write_batches(spark, inp, [fa, fb, sentinel])
+    stream = (
+        spark.readStream.schema("ts timestamp, vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    out = closed_embedding_outliers(
+        stream, "ts", "embedding", cents, thr, tail=0.05, rate_factor=2.0,
+        min_rows=20, window="5 minutes", watermark="1 minute",
+    )
+    _run_stream(out, "ceo_out")
+    got = spark.sql(
+        "SELECT * FROM ceo_out WHERE window_start = timestamp'2026-01-01 00:00:00'"
+    ).collect()
+    assert len(got) == 1  # exactly one verdict row per closed window
+    g = got[0]
+    assert g["n"] == want["n"] == 120
+    assert g["n_outliers"] == want["n_outliers"] >= 12
+    assert abs(g["rate"] - want["rate"]) < 1e-9
+    assert abs(g["threshold"] - want["threshold"]) < 1e-9
+    assert g["verdict"] == want["verdict"] == "fail"

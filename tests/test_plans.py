@@ -313,8 +313,11 @@ def test_streaming_closed_plans_are_pre_reduced(spark):
     from al_drift_detection_spark.streaming.closed import (
         closed_association_drift,
         closed_cat_drift,
+        closed_conditional_completeness,
+        closed_embedding_outliers,
         closed_referential_drift,
         closed_drift_scores,
+        closed_sliced_drift,
         closed_window_health,
         closed_window_quantiles,
         closed_window_uniqueness,
@@ -341,6 +344,22 @@ def test_streaming_closed_plans_are_pre_reduced(spark):
         "closed_referential_drift": closed_referential_drift(
             s, "ts", "image_id",
             spark.createDataFrame([("0",)], "k string"), ref_rate=0.0,
+        ),
+        "closed_sliced_drift": closed_sliced_drift(
+            s, "ts", "v", "fmt",
+            {"lo": 0.0, "hi": 100.0, "bins": 4,
+             "universe": ["a", "b", "(other)"],
+             "pr": {"a": [0.25] * 4, "b": [0.25] * 4,
+                    "(other)": [0.25] * 4}},
+        ),
+        "closed_conditional_completeness": closed_conditional_completeness(
+            s, "ts", "fmt", "caption",
+            {"universe": ["a", "b", "(other)"],
+             "ratios": {"a": 0.3, "b": 0.3, "(other)": 0.0}},
+        ),
+        "closed_embedding_outliers": closed_embedding_outliers(
+            s.selectExpr("ts", "array(v, v + 1.0) AS embedding"),
+            "ts", "embedding", [[1.0, 0.0], [0.0, 1.0]], threshold=0.9,
         ),
     }
     for name, df in builds.items():

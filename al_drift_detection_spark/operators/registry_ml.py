@@ -3509,13 +3509,16 @@ def q_cms_point_estimates(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("w", "user_id")
         .agg(F.count(F.lit(1)).alias("_nx"))
     )
-    return est.join(exact, ["w", "user_id"], "left").select(
+    from al_drift_detection_spark.functions._persist import propagate_persisted
+
+    out = est.join(exact, ["w", "user_id"], "left").select(
         "w",
         "user_id",
         "est",
         F.coalesce("_nx", F.lit(0)).cast("long").alias("n_exact"),
         (F.col("est") - F.coalesce("_nx", F.lit(0))).cast("long").alias("overcount"),
     )
+    return propagate_persisted(out, est)
 
 
 _BLOOM_PARAMS = {"n_bits": 16384, "n_hashes": 5, "win": 4000}

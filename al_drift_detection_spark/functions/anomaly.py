@@ -566,7 +566,11 @@ def trend_verdicts(
     from al_drift_detection_spark.functions._persist import attach_persisted
 
     klist = list(keys)
-    h = history.select(
+    # NULL metric values carry no trend signal but would count as runs:
+    # null comparisons fall through sgn's otherwise(0) and null values form
+    # a tie group, inflating n_runs and Var(S) while contributing nothing
+    # to S — biasing z toward no_trend (ADVICE r7). Excluded up front.
+    h = history.filter(F.col(value_col).isNotNull()).select(
         *klist,
         F.col(value_col).cast("double").alias("_v"),
         F.col(order_col).alias("_o"),

@@ -51,8 +51,17 @@ def ngram_jaccard_pairs(
     BEFORE the self-join (standard document-frequency cap — hot shingles are
     boilerplate and carry no near-dup signal; Jaccard is then computed over
     the surviving shingle universe). Default None keeps exact semantics.
+
+    The shingle frame feeds FOUR consumers (sizes + both self-join sides,
+    and the df-cap when set) and `sizes` joins back twice (na / nb) — both
+    are PERSISTED per the shared-expensive-child rule: unpersisted, the
+    tokenize→explode→window→distinct pipeline executed once per consumer
+    (the exact pathology minhash_lsh_pairs' persist fixed; measured r8:
+    ~2x end-to-end on q_dedup_clusters). Attached to the output for the
+    caller to release (functions._persist contract).
     """
-    sh = shingle_rows(df, text_col, id_col, n)
+    sh = shingle_rows(df, text_col, id_col, n).persist()
+    kids = [sh]
     if max_doc_freq is not None:
         rare = (
             sh.groupBy("g")
@@ -60,8 +69,11 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") <= max_doc_freq)
             .select("g")
         )
-        sh = sh.join(rare, "g")  # sizes + intersections over the capped universe
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        # sizes + intersections over the capped universe
+        sh = sh.join(rare, "g").persist()
+        kids.append(sh)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh")).persist()
+    kids.append(sizes)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -69,7 +81,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return (
+    out = (
         inter.join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
         .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
         .select(
@@ -81,6 +93,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return attach_persisted(out, *kids)
 
 
 def minhash_signatures(
@@ -1008,4 +1021,5 @@ def near_dup_rate_exact(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    release(pairs)  # the persisted shingle/sizes children (r8)
     return _windowed_dup_counts(df, dup_ids, window_col, id_col)

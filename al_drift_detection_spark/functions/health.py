@@ -227,26 +227,42 @@ def build_conditional_completeness_reference(
     build_sliced_reference pattern)."""
     OTHER = "(other)"
     cat = F.coalesce(F.col(cond_col).cast("string"), F.lit("(null)"))
-    stats = (
+    # top-N and the pooled tail are computed IN SPARK and only the bounded
+    # results collected (ADVICE r7: collecting ALL distinct categories
+    # before truncating is unbounded driver memory on a corrupted
+    # high-cardinality cond column — the bounded-universe discipline). The
+    # per-category agg is persisted: the top-N pick and the tail fold are
+    # two consumers of the same shuffle.
+    agg = (
         ref_df.select(
             cat.alias("_s"),
             F.isnull(F.col(target_col)).cast("double").alias("_in"),
         )
         .groupBy("_s")
         .agg(F.count(F.lit(1)).alias("_n"), F.sum("_in").alias("_nn"))
-        .collect()
+        .persist()
     )
-    if not stats:
-        raise ValueError(
-            "build_conditional_completeness_reference: the reference "
-            "selects no rows"
+    try:
+        top = (
+            agg.orderBy(F.col("_n").desc(), "_s")
+            .limit(int(max_categories))
+            .collect()
         )
-    stats.sort(key=lambda r: (-r["_n"], r["_s"]))
-    top = stats[: int(max_categories)]
-    tail = stats[int(max_categories):]
-    tn = sum(int(r["_n"]) for r in tail)
+        if not top:
+            raise ValueError(
+                "build_conditional_completeness_reference: the reference "
+                "selects no rows"
+            )
+        tail = (
+            agg.filter(~F.col("_s").isin([r["_s"] for r in top]))
+            .agg(F.sum("_n").alias("_n"), F.sum("_nn").alias("_nn"))
+            .first()
+        )
+    finally:
+        agg.unpersist()
+    tn = int(tail["_n"] or 0)
     ratios = {r["_s"]: float(r["_nn"]) / int(r["_n"]) for r in top}
-    ratios[OTHER] = (sum(float(r["_nn"]) for r in tail) / tn) if tn else 0.0
+    ratios[OTHER] = (float(tail["_nn"]) / tn) if tn else 0.0
     return {"universe": [*(r["_s"] for r in top), OTHER], "ratios": ratios}
 
 

@@ -931,6 +931,10 @@ def main(argv: list[str] | None = None) -> int:
         release(ad)
 
     if args.slice_drift:
+        from al_drift_detection_spark.functions._persist import (
+            propagate_persisted,
+            release,
+        )
         from al_drift_detection_spark.functions.slices import sliced_psi_drift
 
         frames = []
@@ -944,18 +948,28 @@ def main(argv: list[str] | None = None) -> int:
             sd = sliced_psi_drift(
                 meta, value_col, slice_col, "window_id",
                 ref_filter=F.col("window_id") < args.ref_windows,
-            ).select(
-                F.lit(slice_col).alias("slice_col"),
-                F.lit(value_col).alias("value_col"),
-                "window_id", "slice", "n_cur", "psi", "rank", "verdict",
             )
-            frames.append(sd)
+            frames.append(
+                propagate_persisted(
+                    sd.select(
+                        F.lit(slice_col).alias("slice_col"),
+                        F.lit(value_col).alias("value_col"),
+                        "window_id", "slice", "n_cur", "psi", "rank", "verdict",
+                    ),
+                    sd,
+                )
+            )
         out_sd = frames[0]
         for fr in frames[1:]:
             out_sd = out_sd.unionByName(fr)
+        out_sd = propagate_persisted(out_sd, *frames)
         out_sd.orderBy(
             "slice_col", "value_col", "window_id", "rank"
         ).write.mode("overwrite").parquet(f"{args.out}/slice_drift")
+        # release the persisted children sliced_psi_drift attached — the
+        # .select() wrapper used to drop them, leaking executor storage for
+        # the session lifetime (ADVICE r7; the caption_lm block's contract)
+        release(out_sd)
 
     if args.caption_lm:
         from al_drift_detection_spark.functions._persist import (
@@ -989,6 +1003,10 @@ def main(argv: list[str] | None = None) -> int:
         release(lm)
 
     if args.cond_completeness:
+        from al_drift_detection_spark.functions._persist import (
+            propagate_persisted,
+            release,
+        )
         from al_drift_detection_spark.functions.health import (
             conditional_completeness_drift,
         )
@@ -1005,19 +1023,28 @@ def main(argv: list[str] | None = None) -> int:
                 meta_full, cond_col, target_col, "window_id",
                 ref_filter=F.col("window_id") < args.ref_windows,
                 threshold=0.1, min_rows=50,
-            ).select(
-                F.lit(cond_col).alias("cond_col"),
-                F.lit(target_col).alias("target_col"),
-                "window_id", "category", "n_cur", "null_ratio",
-                "ref_ratio", "delta", "verdict",
             )
-            frames.append(cc)
+            frames.append(
+                propagate_persisted(
+                    cc.select(
+                        F.lit(cond_col).alias("cond_col"),
+                        F.lit(target_col).alias("target_col"),
+                        "window_id", "category", "n_cur", "null_ratio",
+                        "ref_ratio", "delta", "verdict",
+                    ),
+                    cc,
+                )
+            )
         out_cc = frames[0]
         for fr in frames[1:]:
             out_cc = out_cc.unionByName(fr)
+        out_cc = propagate_persisted(out_cc, *frames)
         out_cc.orderBy(
             "cond_col", "target_col", "window_id", "category"
         ).write.mode("overwrite").parquet(f"{args.out}/cond_completeness")
+        # release the persisted children (ADVICE r7 — the .select() wrapper
+        # dropped them; same contract as the caption_lm block)
+        release(out_cc)
 
     if args.health:
         from al_drift_detection_spark.functions._persist import release

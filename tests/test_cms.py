@@ -120,3 +120,32 @@ def test_store_incremental_replay_compaction(spark, tmp_path):
     # compaction: answers identical, live snapshots folded away
     assert compact_cms_store(spark, store, "w", keep_last=0) == 1
     assert answers() == base
+
+
+def test_point_estimates_single_execution(spark):
+    """The cells pipeline feeding cms_point_estimates executes ONCE per
+    call (VERDICT r7 "What's wrong" #1: the window-list grid used to fold
+    from the raw `cells` argument, re-running the whole raw scan +
+    posexplode + aggregate a second time). Pinned with an accumulator on
+    the source: rows seen == n exactly, not 2n."""
+    import pandas as pd
+
+    from al_drift_detection_spark.functions._persist import release
+
+    n = 4_000
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pd.DataFrame({"w": pdf["id"] % 4, "k": pdf["id"] % 150})
+
+    src = spark.range(n).mapInPandas(counted, "w long, k long")
+    cells = cms_cells(src, "k", "w", depth=D, width=W)
+    keys = spark.createDataFrame([(3,), (17,)], "k long")
+    est = cms_point_estimates(cells, keys, "k", "w", depth=D, width=W)
+    assert est.count() == 4 * 2  # windows x probe keys
+    assert acc.value == n, (
+        f"cells pipeline ran {acc.value / n:.1f}x — must execute exactly once"
+    )
+    release(est)

@@ -260,3 +260,55 @@ def test_regime_segments_golden(spark, planted):
         [1, 6, 7, 2],
         [2, 8, 9, 2],
     ]
+
+
+def test_window_sketches_matches_jvm_percentile(spark):
+    """The r8 numpy-fold window_sketches must replicate Spark Percentile's
+    exact linear-interpolation arithmetic BIT-FOR-BIT — same grid literals,
+    same (higher−pos)·lo + (pos−lower)·hi formula, NaN-greatest order,
+    NULL-excluded counts, all-NULL → NULL sketch — so every regime golden
+    (and the driver's hash of q_drift_regimes-family outputs) is unchanged."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from al_drift_detection_spark.regimes import window_sketches
+
+    q = 128
+    df = (
+        spark.range(40_000)
+        .select(
+            (F.col("id") % 3).cast("int").alias("part"),
+            (F.col("id") % 7).cast("int").alias("window_id"),
+            # ties (quantized), NULLs, one all-NULL window, a NaN value
+            F.when(F.col("id") % 11 == 0, None)
+            .when(F.col("id") % 7 == 5, None)  # window 5: v all NULL
+            .when(F.col("id") % 9999 == 17, float("nan"))
+            .otherwise(F.round(F.rand(7) * 50, 1))
+            .alias("v"),
+            (F.rand(13) * 10).alias("u"),
+        )
+    )
+    ps = (np.arange(q) / (q - 1)).tolist()
+    ref = {
+        (r["part"], r["window_id"]): (r["pv"], r["pu"])
+        for r in df.groupBy("part", "window_id")
+        .agg(
+            F.percentile("v", F.lit(ps)).alias("pv"),
+            F.percentile("u", F.lit(ps)).alias("pu"),
+        )
+        .collect()
+    }
+    got = {
+        (r["part"], r["window_id"]): (r["v"], r["u"])
+        for r in window_sketches(df, ["v", "u"], "part", "window_id", q).collect()
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        for want, have in zip(ref[k], got[k]):
+            if want is None or have is None:
+                assert want == have, (k, want, have)
+                continue
+            # bit-exact: compare raw float64 bit patterns, NaN included
+            wb = np.asarray(want, dtype=np.float64).view(np.int64)
+            hb = np.asarray(have, dtype=np.float64).view(np.int64)
+            assert (wb == hb).all(), (k, want[:5], have[:5])

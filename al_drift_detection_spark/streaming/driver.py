@@ -138,7 +138,14 @@ def build_references(
     reach the driver."""
     from al_drift_detection_spark.drift import build_reference_sample
 
-    ref = meta.filter(F.col("window_id") < ref_windows)
+    # persisted: five bounded folds consume the reference projection (the
+    # quantile grids, the volume/null/uniqueness agg, the per-category
+    # counts, the w range, the fmt x w-bucket joint counts — plus the
+    # optional sliced/cond builders) and each would otherwise re-scan the
+    # full table for the reference windows' rows (r8; the
+    # shared-expensive-child rule). All folds consume eagerly in this
+    # function, so the persist is released before return.
+    ref = meta.filter(F.col("window_id") < ref_windows).persist()
     samples = build_reference_sample(ref, ["w", "h"])
 
     agg = ref.agg(
@@ -243,6 +250,7 @@ def build_references(
             if r["nab"] > 0
         ),
     }
+    ref.unpersist()
     return refs
 
 
@@ -326,6 +334,61 @@ def _with_bucket(df: DataFrame, refs: dict) -> DataFrame:
     )
 
 
+def _stream_state_partitions(
+    spark: SparkSession, n_concurrent: int
+) -> int | None:
+    """Shuffle/state partition count for the closed-window verdict streams
+    (guide §2.2: size partitions by data, not task count). The stateful
+    stage's per-trigger input is O(specs × windows-per-trigger) KB-sized
+    PARTIAL rows — thousands of bytes where one partition wants 100 MB+ —
+    so per-partition fixed costs dominate: every trigger pays one task
+    launch, one fresh Python worker (spark.python.worker.reuse=false, a
+    measured hard constraint for the batch pandas-UDF jobs), and one
+    state-store commit PER PARTITION PER QUERY. Measured at 1M rows /
+    500 windows / 7 share-nothing queries on local[32]: 59.7 s at 32
+    state partitions → 25.9 s at 4 — identical verdict rows.
+
+    Scale-adaptive rule, not a local constant: N concurrently-running
+    queries divide the session's shuffle-partition budget, floor 4 (the
+    fold stays parallel; a deployment with orders of magnitude more
+    in-flight windows per trigger raises the session's
+    spark.sql.shuffle.partitions — or sets
+    SPARK_GRAFT_STREAM_STATE_PARTITIONS — and this scales with it).
+    Returns None when the budget is unparseable (leave the conf alone).
+    """
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    try:
+        budget = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return None
+    return max(4, budget // max(1, n_concurrent))
+
+
+class _state_partition_conf:
+    """Temporarily pin spark.sql.shuffle.partitions while the closed-window
+    streaming queries plan their first micro-batch (the state partition
+    count is read from the conf at first-batch planning and then pinned in
+    the checkpoint for the query's lifetime); restored on exit so batch
+    queries in the same session are untouched."""
+
+    def __init__(self, spark: SparkSession, n_concurrent: int):
+        self.spark = spark
+        self.parts = _stream_state_partitions(spark, n_concurrent)
+
+    def __enter__(self):
+        if self.parts is not None:
+            self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.parts))
+        return self
+
+    def __exit__(self, *exc):
+        if self.parts is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+        return False
+
+
 def run_closed_streams(
     spark: SparkSession,
     stage_dir: str,
@@ -357,23 +420,29 @@ def run_closed_streams(
             refs,
         )
 
+    specs = stream_specs(refs, cat_cols)
     outs = {
         spec.name: _run_spec(src(), "ts", spec, window, watermark, slide)
-        for spec in stream_specs(refs, cat_cols)
+        for spec in specs
     }
 
-    queries = []
-    for name, df in outs.items():
-        queries.append(
-            df.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", f"{out_dir}/{name}")
-            .option("checkpointLocation", f"{out_dir}/stream_ckpt/{name}")
-            .trigger(availableNow=True)
-            .start()
-        )
-    for q in queries:
-        q.awaitTermination()
+    # N concurrent queries share the shuffle-partition budget — see
+    # _stream_state_partitions (the conf is read at first-batch planning,
+    # so it wraps the starts AND the awaits; availableNow queries terminate
+    # inside the block)
+    with _state_partition_conf(spark, len(specs)):
+        queries = []
+        for name, df in outs.items():
+            queries.append(
+                df.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", f"{out_dir}/{name}")
+                .option("checkpointLocation", f"{out_dir}/stream_ckpt/{name}")
+                .trigger(availableNow=True)
+                .start()
+            )
+        for q in queries:
+            q.awaitTermination()
 
     return {
         name: spark.read.parquet(f"{out_dir}/{name}").count() for name in outs
@@ -419,15 +488,19 @@ def run_closed_streams_combined(
         window=f"{window_seconds} seconds", watermark=watermark,
         slide=f"{slide_seconds} seconds" if slide_seconds else None,
     )
-    q = (
-        generic.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", f"{out_dir}/stream_combined")
-        .option("checkpointLocation", f"{out_dir}/stream_ckpt/stream_combined")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # ONE query → it keeps the whole shuffle-partition budget (the
+    # _stream_state_partitions formula with n_concurrent=1); the context
+    # still honors the SPARK_GRAFT_STREAM_STATE_PARTITIONS override
+    with _state_partition_conf(spark, 1):
+        q = (
+            generic.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{out_dir}/stream_combined")
+            .option("checkpointLocation", f"{out_dir}/stream_ckpt/stream_combined")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     gen = spark.read.parquet(f"{out_dir}/stream_combined")
     counts = {}

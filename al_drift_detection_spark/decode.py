@@ -51,43 +51,141 @@ def decode_checks(images: DataFrame, ref: DataFrame) -> DataFrame:
         "image_id",
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows: list[tuple] = []
-            for t in pdf.itertuples(index=False):
-                part, rid = int(t.part), t.image_id
-                px = decode_blob(t.bytes)
-                if px is None:
-                    rows.append((part, rid, "decode_ok", "bytes", "corrupt", "decodable"))
-                    continue
-                dh, dw = px.shape
-                if dw != t.w or dh != t.h:
-                    rows.append(
-                        (part, rid, "dims_match", "w,h", f"({t.w},{t.h})", f"({dw},{dh})")
-                    )
-                ref_px = decode_blob(t.ref_bytes)
-                if ref_px is not None:
-                    p = psnr(ref_px, px)
-                    if p < PSNR_MIN_DB:
-                        rows.append(
-                            (part, rid, "psnr_ge_40", "bytes", f"{p:.2f}dB", f">={PSNR_MIN_DB}dB")
-                        )
-                got_hash = average_phash(px)
-                if got_hash != t.phash:
-                    rows.append(
-                        (part, rid, "phash_match", "phash", str(t.phash), str(got_hash))
-                    )
-                if t.caption != t.ref_caption:
-                    rows.append(
-                        (
-                            part, rid, "caption_match", "caption",
-                            "NULL" if t.caption is None else str(t.caption)[:64],
-                            str(t.ref_caption)[:64],
-                        )
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=["part", "row_id", "check_name", "column", "observed", "expected"],
-            ).astype({"part": np.int32})
+    return joined.mapInPandas(_decode_batches, VIOLATION_SCHEMA)
 
-    return joined.mapInPandas(run, VIOLATION_SCHEMA)
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield _decode_batch(pdf)
+
+
+def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One Arrow batch of decode checks, VECTORIZED by image shape
+    (guide §4.2 — the r7 row-at-a-time loop paid ~15 numpy-call overheads
+    per row; same violation ROWS, pinned row-for-row against a row-wise
+    reference implementation in tests/test_validation_e2e.py):
+
+    - blobs decode per row (header unpack + a zero-copy frombuffer view —
+      inherently per-row, cheap);
+    - dims compare as one array op;
+    - PSNR batches every equal-shape (ref, cur) pair group through a single
+      stacked mean((A−B)², axis=(1,2)) — each row's reduction runs over the
+      same contiguous block as the scalar form;
+    - phash batches every equal-shape group through one stacked block-mean
+      + bit-threshold + packbits(axis=1) (images smaller than the 8×8 hash
+      grid fall back to the per-row edge-padding path);
+    - caption equality is a per-row object compare (None semantics
+      preserved exactly).
+    """
+    n = len(pdf)
+    rows: list[tuple] = []
+    parts = pdf["part"].to_numpy()
+    rids = pdf["image_id"].to_numpy(dtype=object)
+    w_arr = pdf["w"].to_numpy()
+    h_arr = pdf["h"].to_numpy()
+    ph_arr = pdf["phash"].to_numpy()
+    caps = pdf["caption"].to_numpy(dtype=object)
+    ref_caps = pdf["ref_caption"].to_numpy(dtype=object)
+    px_list = [decode_blob(b) for b in pdf["bytes"]]
+    ref_list = [decode_blob(b) for b in pdf["ref_bytes"]]
+
+    for i in range(n):
+        if px_list[i] is None:
+            rows.append(
+                (int(parts[i]), rids[i], "decode_ok", "bytes", "corrupt", "decodable")
+            )
+    ok_idx = [i for i in range(n) if px_list[i] is not None]
+
+    # dims_match — vectorized compare of decoded vs stored dimensions
+    if ok_idx:
+        dh = np.fromiter((px_list[i].shape[0] for i in ok_idx), np.int64, len(ok_idx))
+        dw = np.fromiter((px_list[i].shape[1] for i in ok_idx), np.int64, len(ok_idx))
+        sw, sh = w_arr[ok_idx], h_arr[ok_idx]
+        for j in np.flatnonzero((dw != sw) | (dh != sh)):
+            i = ok_idx[int(j)]
+            rows.append(
+                (int(parts[i]), rids[i], "dims_match", "w,h",
+                 f"({w_arr[i]},{h_arr[i]})", f"({dw[j]},{dh[j]})")
+            )
+
+    # psnr_ge_40 — stack equal-shape (ref, cur) pairs; shape mismatch is
+    # psnr() = -inf, an unconditional violation (same '-infdB' rendering)
+    psnr_groups: dict[tuple, list[int]] = {}
+    for i in ok_idx:
+        if ref_list[i] is None:
+            continue
+        if ref_list[i].shape != px_list[i].shape:
+            rows.append(
+                (int(parts[i]), rids[i], "psnr_ge_40", "bytes",
+                 f"{float('-inf'):.2f}dB", f">={PSNR_MIN_DB}dB")
+            )
+            continue
+        psnr_groups.setdefault(px_list[i].shape, []).append(i)
+    for _shape, idxs in psnr_groups.items():
+        a = np.stack([ref_list[i] for i in idxs])
+        b = np.stack([px_list[i] for i in idxs])
+        # integer-exact MSE: uint8 diffs and their squares are exact in
+        # int32/int64, and float64 pairwise summation of exactly-
+        # representable integers is exact too — so int-sum / size is
+        # BIT-identical to mean((float64 a − b)², axis) while moving
+        # int16/int32 instead of float64 (4–8× less memory traffic)
+        d = a.astype(np.int16) - b
+        sq = d.astype(np.int32)
+        np.multiply(sq, sq, out=sq)
+        mse = sq.sum(axis=(1, 2), dtype=np.int64) / (a.shape[1] * a.shape[2])
+        with np.errstate(divide="ignore"):
+            p = np.where(mse == 0.0, np.inf, 10.0 * np.log10(255.0**2 / mse))
+        for j in np.flatnonzero(p < PSNR_MIN_DB):
+            i = idxs[int(j)]
+            rows.append(
+                (int(parts[i]), rids[i], "psnr_ge_40", "bytes",
+                 f"{p[j]:.2f}dB", f">={PSNR_MIN_DB}dB")
+            )
+
+    # phash_match — stack equal-shape groups through one block-mean +
+    # threshold + packbits; sub-8×8 images use the per-row padding path
+    hs = 8
+    hash_groups: dict[tuple, list[int]] = {}
+    for i in ok_idx:
+        h, w = px_list[i].shape
+        if (h // hs) == 0 or (w // hs) == 0:
+            got = average_phash(px_list[i])
+            if got != ph_arr[i]:
+                rows.append(
+                    (int(parts[i]), rids[i], "phash_match", "phash",
+                     str(ph_arr[i]), str(got))
+                )
+        else:
+            hash_groups.setdefault((h, w), []).append(i)
+    for (h, w), idxs in hash_groups.items():
+        th, tw = (h // hs) * hs, (w // hs) * hs
+        stack = np.stack([px_list[i][:th, :tw] for i in idxs])
+        # block means via exact integer sums (same bit-exactness argument
+        # as the MSE above: float64 summation of uint8 values is exact)
+        small = stack.reshape(len(idxs), hs, th // hs, hs, tw // hs).sum(
+            axis=(2, 4), dtype=np.int64
+        ) / ((th // hs) * (tw // hs))
+        bits = small > small.mean(axis=(1, 2))[:, None, None]
+        packed = np.packbits(bits.reshape(len(idxs), hs * hs), axis=1)
+        got_arr = (
+            np.ascontiguousarray(packed).view(">u8")[:, 0].astype(np.uint64).view(np.int64)
+        )
+        for j in np.flatnonzero(got_arr != ph_arr[idxs]):
+            i = idxs[int(j)]
+            rows.append(
+                (int(parts[i]), rids[i], "phash_match", "phash",
+                 str(ph_arr[i]), str(got_arr[j]))
+            )
+
+    # caption_match — per-row object compare (None != str, None == None)
+    for i in ok_idx:
+        if caps[i] != ref_caps[i]:
+            rows.append(
+                (int(parts[i]), rids[i], "caption_match", "caption",
+                 "NULL" if caps[i] is None else str(caps[i])[:64],
+                 str(ref_caps[i])[:64])
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["part", "row_id", "check_name", "column", "observed", "expected"],
+    ).astype({"part": np.int32})

@@ -34,6 +34,7 @@ from al_drift_detection_spark.kernels import (
     energy_distance,
     js_divergence,
     ks_2samp,
+    mmd_ref_state,
     mmd_rbf,
     psi,
     subsample,
@@ -208,6 +209,12 @@ def drift_scores(
               "cvm": cvm_threshold, "ad": ad_threshold}
     spark = SparkSession.getActiveSession()
     bc_ref = spark.sparkContext.broadcast(ref_samples)
+    # per-TASK memo of the MMD reference-side precomputation (subsampled
+    # sample + ref×ref squared-distance block — identical for every window
+    # of a column; it was the largest of the three per-window Gram inputs).
+    # The dict pickles empty into each task and fills on the task's first
+    # window — heavyweight init once per task, guide §4.5.
+    _mmd_ref: dict = {}
 
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         # NULL part/window keys form their own group — report them as NULL
@@ -220,9 +227,11 @@ def drift_scores(
             cur = pdf[c].dropna().to_numpy(dtype=np.float64)
             cur = subsample(cur, max_n)
             r = ref[c]
+            if c not in _mmd_ref:
+                _mmd_ref[c] = mmd_ref_state(r, max_n=mmd_max_n)
             d, p = ks_2samp(r, cur)
             psi_v = psi(r, cur)
-            mmd_v = mmd_rbf(r, cur, max_n=mmd_max_n)
+            mmd_v = mmd_rbf(None, cur, max_n=mmd_max_n, ref_state=_mmd_ref[c])
             flags = [p < ks_alpha, psi_v > psi_threshold, mmd_v > mmd_threshold]
             rows += [
                 (part, window, c, "ks", d, p, ks_alpha, "fail" if flags[0] else "pass"),
@@ -488,6 +497,7 @@ def embedding_drift(
     ref = subsample(ref, mmd_max_n)
     spark = SparkSession.getActiveSession()
     bc_ref = spark.sparkContext.broadcast(ref)
+    _mmd_ref: dict = {}  # per-task MMD reference-state memo (drift_scores')
     if sample_cap is None:
         sample_cap = 8 * mmd_max_n
     if sample_cap < 1:
@@ -509,7 +519,9 @@ def embedding_drift(
             )
         cur = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         if kernel == "mmd":
-            m = mmd_rbf(bc_ref.value, cur, max_n=mmd_max_n)
+            if "state" not in _mmd_ref:  # once per task (guide §4.5)
+                _mmd_ref["state"] = mmd_ref_state(bc_ref.value, max_n=mmd_max_n)
+            m = mmd_rbf(None, cur, max_n=mmd_max_n, ref_state=_mmd_ref["state"])
         else:
             m = energy_distance(bc_ref.value, subsample(cur, mmd_max_n))
         return pd.DataFrame(

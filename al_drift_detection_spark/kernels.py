@@ -102,30 +102,60 @@ def psi(ref: np.ndarray, cur: np.ndarray, bins: int = 10, eps: float = 1e-4) -> 
     return float(np.sum((p_cur - p_ref) * np.log(p_cur / p_ref)))
 
 
-def mmd_rbf(ref: np.ndarray, cur: np.ndarray, gamma: float | None = None, max_n: int = 1024) -> float:
+def _sqdists(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    aa = np.sum(A * A, axis=1)[:, None]
+    bb = np.sum(B * B, axis=1)[None, :]
+    return np.maximum(aa + bb - 2.0 * (A @ B.T), 0.0)
+
+
+def mmd_ref_state(ref: np.ndarray, max_n: int = 1024) -> tuple:
+    """Precompute mmd_rbf's reference-side work — the subsampled sample
+    matrix and its within-sample squared-distance block, which are
+    IDENTICAL for every window scored against the same reference (r8:
+    drift_scores was recomputing the ref×ref block per window — the
+    largest of the three Gram-input matrices). Pass the returned state as
+    mmd_rbf(ref_state=...); the arithmetic is the exact same code path, so
+    results are bit-identical (pinned in tests/test_kernels.py)."""
+    X = np.asarray(ref, dtype=np.float64)
+    if X.ndim == 1:
+        X = X[:, None]
+    X = subsample(X, max_n)
+    return (X, _sqdists(X, X))
+
+
+def mmd_rbf(
+    ref: np.ndarray | None,
+    cur: np.ndarray,
+    gamma: float | None = None,
+    max_n: int = 1024,
+    ref_state: tuple | None = None,
+) -> float:
     """Unbiased MMD² estimate with an RBF kernel, median-heuristic bandwidth.
 
     Samples are deterministically subsampled to max_n per side so the Gram
     matrices stay bounded (SURVEY.md §7 hard part (b)). Accepts 1-D (treated
-    as a single feature) or 2-D (n, d) inputs.
+    as a single feature) or 2-D (n, d) inputs. ref_state (mmd_ref_state)
+    supplies the reference side precomputed when many windows score against
+    one fixed reference; `ref` is ignored then.
     """
-    X = np.asarray(ref, dtype=np.float64)
+    if ref_state is not None:
+        X, dxx = ref_state
+    else:
+        X = np.asarray(ref, dtype=np.float64)
+        if X.ndim == 1:
+            X = X[:, None]
+        X = subsample(X, max_n)
     Y = np.asarray(cur, dtype=np.float64)
-    if X.ndim == 1:
-        X = X[:, None]
     if Y.ndim == 1:
         Y = Y[:, None]
-    X, Y = subsample(X, max_n), subsample(Y, max_n)
+    Y = subsample(Y, max_n)
     n, m = len(X), len(Y)
     if n < 2 or m < 2:
         return 0.0
 
-    def sqdists(A: np.ndarray, B: np.ndarray) -> np.ndarray:
-        aa = np.sum(A * A, axis=1)[:, None]
-        bb = np.sum(B * B, axis=1)[None, :]
-        return np.maximum(aa + bb - 2.0 * (A @ B.T), 0.0)
-
-    dxx, dyy, dxy = sqdists(X, X), sqdists(Y, Y), sqdists(X, Y)
+    if ref_state is None:
+        dxx = _sqdists(X, X)
+    dyy, dxy = _sqdists(Y, Y), _sqdists(X, Y)
     if gamma is None:
         med = np.median(dxy[dxy > 0]) if np.any(dxy > 0) else 1.0
         gamma = 1.0 / (2.0 * max(med, 1e-12))

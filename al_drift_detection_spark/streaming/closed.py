@@ -94,7 +94,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from al_drift_detection_spark.kernels import chi2_sf, ks_2samp, mmd_rbf, psi, subsample
+from al_drift_detection_spark.kernels import (
+    chi2_sf,
+    ks_2samp,
+    mmd_ref_state,
+    mmd_rbf,
+    psi,
+    subsample,
+)
 
 CAT_OUT_SCHEMA = (
     "window_start timestamp, window_end timestamp, n long, chi2_stat double, "
@@ -606,6 +613,12 @@ def drift_scores_spec(
             acc[c] = merged
         return (n, [], [], [acc[c].tolist() for c in vcols], vcols)
 
+    # reference side of the MMD Gram inputs precomputed ONCE at spec build
+    # (driver-side; the ref samples are fixed spec config) instead of per
+    # window close — bit-identical results (kernels.mmd_ref_state; the r8
+    # drift_scores memo, applied to the streaming twin)
+    mmd_refs = {c: mmd_ref_state(ref[c], max_n=mmd_max_n) for c in vcols}
+
     def close(st, w_start, w_end):
         n = int(st[0])
         cur_by_col = {
@@ -617,7 +630,7 @@ def drift_scores_spec(
             r = ref[c]
             d, p = ks_2samp(r, cur)
             psi_v = psi(r, cur)
-            mmd_v = mmd_rbf(r, cur, max_n=mmd_max_n)
+            mmd_v = mmd_rbf(None, cur, max_n=mmd_max_n, ref_state=mmd_refs[c])
             flags = [p < ks_alpha, psi_v > psi_threshold, mmd_v > mmd_threshold]
             rows += [
                 (w_start, w_end, n, c, "ks", d, p, ks_alpha,

@@ -366,19 +366,26 @@ class CheckSuite:
         )
 
     def _miss_rows(self, df: DataFrame, ref: DataFrame, chk: Check) -> DataFrame:
-        """Referential misses in violation-row shape (broadcast anti join).
+        """Referential misses in violation-row shape (anti join; strategy
+        left to the planner).
 
-        The broadcast here is the DESIGN contract (north_star: "referential
-        checks against a broadcast reference set") — the reference is a
-        curated dimension-like table, bounded by construction, unlike the
-        data-derived dup-key set in _dup_rows whose forced broadcast was
-        removed. A deployment whose reference outgrows broadcast size should
-        pre-bucket both sides instead (sources.write_bucketed)."""
+        r8: the build side is no longer FORCE-broadcast — a curated
+        dimension-like reference still auto-broadcasts under the session's
+        64 MB threshold (and AQE converts to broadcast at runtime from
+        actual sizes), but a corpus-sized reference (the bench's
+        one-ref-row-per-image table) made the forced broadcast the
+        dominant cost of the whole suite: collect 10M keys to the driver,
+        build a ~200 MB HashedRelation, ship it to every task — measured
+        6.8–10.3 s vs 1.2–1.7 s for the planner's shuffle join at sf1.0
+        (guide §3.1: broadcast "a few hundred MB is asking for driver
+        OOMs"). The explicit .distinct() is gone too: an anti-join build
+        side dedups by construction, and the distinct was a full extra
+        exchange of the reference. Result rows are identical either way."""
         part, rid = self.part_col, self.row_id_col
         refcol = chk.params["ref_column"]
         return (
             df.select(part, rid, F.col(chk.column).alias(refcol))
-            .join(F.broadcast(ref.select(refcol).distinct()), refcol, "left_anti")
+            .join(ref.select(refcol), refcol, "left_anti")
             .select(
                 part,
                 F.col(rid).alias("row_id"),

@@ -388,3 +388,27 @@ def test_hist_distances_bounds_and_identities():
     assert hist_distances(np.ones(100), np.ones(50)) == (0.0, 0.0, 1.0)
     hc, tvc, bcc = hist_distances(np.ones(100), a)
     assert hc > 0.5 and tvc > 0.5 and bcc < 0.5
+
+
+def test_mmd_ref_state_bit_exact():
+    """mmd_rbf with the precomputed reference state (r8 drift_scores memo)
+    must be BIT-identical to the direct form — same subsample, same
+    squared-distance arithmetic, same median-heuristic gamma."""
+    import numpy as np
+
+    from al_drift_detection_spark.kernels import mmd_ref_state, mmd_rbf
+
+    rng = np.random.default_rng(11)
+    for n_ref, n_cur in [(1024, 2048), (7, 5), (1, 9), (300, 2)]:
+        ref = rng.normal(0, 1, n_ref)
+        cur = rng.normal(0.3, 1.2, n_cur)
+        direct = mmd_rbf(ref, cur, max_n=512)
+        state = mmd_ref_state(ref, max_n=512)
+        cached = mmd_rbf(None, cur, max_n=512, ref_state=state)
+        assert np.float64(direct).view(np.int64) == np.float64(cached).view(np.int64)
+    # 2-D inputs (embedding path) too
+    ref2 = rng.normal(0, 1, (200, 8))
+    cur2 = rng.normal(0.1, 1, (100, 8))
+    assert mmd_rbf(ref2, cur2, max_n=64) == mmd_rbf(
+        None, cur2, max_n=64, ref_state=mmd_ref_state(ref2, max_n=64)
+    )

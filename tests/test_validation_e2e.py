@@ -426,3 +426,77 @@ def test_suite_from_json_config(spark, images, ref, tmp_path_factory):
     # unknown kinds are rejected loudly
     with pytest.raises(ValueError, match="unknown check kind"):
         S.suite_from_config({"checks": [{"kind": "nope", "column": "x"}]})
+
+
+def test_decode_batch_vectorized_row_parity():
+    """The r8 shape-grouped vectorized _decode_batch must emit EXACTLY the
+    rows of the row-at-a-time form (any order): same violation decisions,
+    same rendered observed/expected strings, over a batch containing every
+    planted-corruption class (truncated blob, dims mismatch, noisy PSNR,
+    orphan phash, caption null/empty/mismatch, sub-8x8 tiny images)."""
+    import numpy as np
+    import pandas as pd
+
+    from al_drift_detection_spark.codec import average_phash, decode_blob, psnr
+    from al_drift_detection_spark.datagen import _make_row
+    from al_drift_detection_spark.decode import PSNR_MIN_DB, _decode_batch
+
+    recs = [_make_row(i, 42, 12, 500, 2) for i in range(6000)]
+    # add tiny images (per-row phash fallback path) and a shape-mismatched ref
+    from al_drift_detection_spark.codec import encode_pixels
+
+    tiny = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    recs.append(dict(recs[0], image_id="tiny_1", blob=encode_pixels(tiny, "png"),
+                     w=4, h=3, phash=average_phash(tiny),
+                     ref_blob=encode_pixels(tiny, "png")))
+    big = np.zeros((16, 16), dtype=np.uint8)
+    recs.append(dict(recs[1], image_id="mismatch_ref",
+                     blob=encode_pixels(big, "png"), w=16, h=16,
+                     phash=average_phash(big),
+                     ref_blob=encode_pixels(tiny, "png")))
+    pdf = pd.DataFrame(
+        {
+            "part": [r["part"] for r in recs],
+            "image_id": [r["image_id"] for r in recs],
+            "bytes": [r["blob"] for r in recs],
+            "w": [r["w"] for r in recs],
+            "h": [r["h"] for r in recs],
+            "caption": [r["caption"] for r in recs],
+            "phash": [r["phash"] for r in recs],
+            "ref_bytes": [r["ref_blob"] for r in recs],
+            "ref_caption": [r["ref_caption"] for r in recs],
+        }
+    )
+
+    # row-at-a-time reference (the pre-r8 implementation, verbatim logic)
+    rows = []
+    for t in pdf.itertuples(index=False):
+        part, rid = int(t.part), t.image_id
+        px = decode_blob(t.bytes)
+        if px is None:
+            rows.append((part, rid, "decode_ok", "bytes", "corrupt", "decodable"))
+            continue
+        dh, dw = px.shape
+        if dw != t.w or dh != t.h:
+            rows.append((part, rid, "dims_match", "w,h", f"({t.w},{t.h})", f"({dw},{dh})"))
+        ref_px = decode_blob(t.ref_bytes)
+        if ref_px is not None:
+            p = psnr(ref_px, px)
+            if p < PSNR_MIN_DB:
+                rows.append((part, rid, "psnr_ge_40", "bytes", f"{p:.2f}dB", f">={PSNR_MIN_DB}dB"))
+        got_hash = average_phash(px)
+        if got_hash != t.phash:
+            rows.append((part, rid, "phash_match", "phash", str(t.phash), str(got_hash)))
+        if t.caption != t.ref_caption:
+            rows.append(
+                (part, rid, "caption_match", "caption",
+                 "NULL" if t.caption is None else str(t.caption)[:64],
+                 str(t.ref_caption)[:64])
+            )
+    want = sorted(rows)
+    got = sorted(map(tuple, _decode_batch(pdf).itertuples(index=False)))
+    assert len(want) > 50  # the planted strides produced every class
+    assert {r[2] for r in want} == {
+        "decode_ok", "dims_match", "psnr_ge_40", "phash_match", "caption_match"
+    }
+    assert got == want

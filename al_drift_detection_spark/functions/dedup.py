@@ -235,6 +235,7 @@ def winnow_overlap_pairs(
         .distinct()
         .persist()
     )
+    kids = [fps]
     use = fps
     if max_doc_freq is not None:
         rare = (
@@ -244,7 +245,11 @@ def winnow_overlap_pairs(
             .select("fp")
         )
         use = fps.join(rare, "fp")
-    sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+    # persisted: joined back twice (na / nb) — each reference would re-run
+    # the groupBy over the cached fps otherwise (r8; the ngram_jaccard_pairs
+    # sizes fix applied to the winnowing twin)
+    sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp")).persist()
+    kids.append(sizes)
     a, b = use.alias("a"), use.alias("b")
     shared = (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
@@ -264,7 +269,7 @@ def winnow_overlap_pairs(
         )
         .filter(F.col("overlap") >= threshold)
     )
-    return attach_persisted(out, fps)
+    return attach_persisted(out, *kids)
 
 
 def _committed_gens(store_path: str) -> list[int]:

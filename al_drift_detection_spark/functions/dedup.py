@@ -915,21 +915,25 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
     # explode → one hash per token row → 64 partial-aggregating bit-vote sums
     # (map-side combine; codegen-friendly flat aggs instead of 64 nested
-    # array-aggregate lambdas over a re-evaluated token array)
+    # array-aggregate lambdas over a re-evaluated token array). BRANCHLESS
+    # form (r8): sum the raw bit (h>>i)&1 per position plus ONE token count
+    # — the classic ±1 vote is 2·ones − n, so vote > 0 ⇔ 2·ones > n; the
+    # per-row CASE WHEN in each of the 64 aggregate updates becomes pure
+    # bit arithmetic. Bit-identical fingerprints by the identity above.
     h = (
         df.select(id_col, F.explode(tokens(text_col)).alias("_t"))
         .select(id_col, F.xxhash64("_t").alias("_h"))
     )
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
+        F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))).alias(f"v{i}")
         for i in range(bits)
-    ]
+    ] + [F.count(F.lit(1)).alias("_n")]
     agg = h.groupBy(id_col).agg(*votes)
     packed = None
     for i in range(bits):
-        term = F.shiftleft(F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(0), i)
+        term = F.shiftleft(
+            F.when(F.col(f"v{i}") * 2 > F.col("_n"), F.lit(1).cast("long")).otherwise(0), i
+        )
         packed = term if packed is None else packed.bitwiseOR(term)
     return agg.select(id_col, packed.alias("simhash"))
 

@@ -493,14 +493,14 @@ def q_js_fixed_bins(spark: SparkSession, sf: str) -> DataFrame:
     "∫|ECDF_ref − ECDF_cur| dx over the merged support — the mass-weighted "
     "'how far did it move' companion to KS's sup-norm. Relational form: "
     "distinct-value pre-agg (kills ECDF ties), then the scale-safe bucketed "
-    "two-pass cumulative (operators/windows.global_cumulative) + bucketed "
-    "global lead (operators/windows.global_lead) — no single-partition "
+    "two-pass cumulative WITH the global lead fused into the same pass "
+    "(operators/windows.global_cumulative lead_col) — no single-partition "
     "sort anywhere. Kernel twin kernels.wasserstein_1d (pytest vs "
     "mean|sorted−sorted| identity)",
 )
 def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
     from al_drift_detection_spark.functions._persist import attach_persisted
-    from al_drift_detection_spark.operators.windows import global_cumulative, global_lead
+    from al_drift_detection_spark.operators.windows import global_cumulative
 
     s = _t(spark, sf, "events").select(
         F.col("value").alias("v"),
@@ -533,10 +533,15 @@ def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
     # the /10 coarsening the KS entries use: W1 pre-aggregates to DISTINCT
     # values, so finer buckets cost nothing extra in the offsets collect but
     # multiply the parallel-sort width at 100x scale
-    cum = global_cumulative(
-        g, bucket=F.floor(F.col("v")), order_cols=["v"], sums={"cr": "dr", "cc": "dc"}
+    # cumulative AND global lead in one fused pass (r8): the lead boundary
+    # mins ride the cumulative's per-bucket collect and its broadcast
+    # offsets join — one tiny driver job + one join instead of two of each
+    # (this query's cost is fixed job overhead, not data: ~3.1 s at BOTH
+    # 100k and 1M events pre-change)
+    e = global_cumulative(
+        g, bucket=F.floor(F.col("v")), order_cols=["v"],
+        sums={"cr": "dr", "cc": "dc"}, lead_col="nv",
     )
-    e = global_lead(cum, bucket=F.floor(F.col("v")), order_col="v", out_col="nv")
     out = (
         e.filter(F.col("nv").isNotNull())
         .crossJoin(F.broadcast(tot))

@@ -21,6 +21,7 @@ def global_cumulative(
     order_cols: list,
     sums: dict[str, str] | None = None,
     row_number_col: str | None = None,
+    lead_col: str | None = None,
 ):
     """Globally-ordered row_number / running sums WITHOUT a single-partition
     sort (the scale-safe replacement for `Window.orderBy(...)` with no
@@ -54,14 +55,28 @@ def global_cumulative(
     `sum + offset` alone would re-NULL rows whose bucket starts with nulls
     even though a prior bucket already contributed — so the offsets also
     carry a running non-null count.)
+
+    lead_col: also emit lead(order_cols[0]) over the GLOBAL order — the
+    global_lead contract (per-bucket lead; each bucket's last row takes the
+    next non-empty bucket's min; the final global row gets NULL) — FUSED
+    into this pass: the boundary mins ride the same per-bucket collect and
+    the same broadcast offsets join, and the lead shares the bucket
+    window's sort, so a cumulative+lead consumer (q_wasserstein's ECDF ×
+    merged-support step) pays ONE tiny driver job instead of two and one
+    join instead of two (r8, guide §1.2/§2.4). Requires exactly one order
+    column, typed double (the boundary column is double).
     """
     sums = sums or {}
+    if lead_col and len(order_cols) != 1:
+        raise ValueError("lead_col requires exactly one order column")
     d = df.withColumn("_bkt", bucket.cast("long"))
     aggs = [F.count(F.lit(1)).alias("_cnt")] + [
         x
         for o, c in sums.items()
         for x in (F.sum(c).alias(f"_s_{o}"), F.count(c).alias(f"_n_{o}"))
     ]
+    if lead_col:
+        aggs.append(F.min(order_cols[0]).alias("_min"))
     per_bucket = d.groupBy("_bkt").agg(*aggs).orderBy("_bkt").collect()
     if any(r["_bkt"] is None for r in per_bucket):
         n_null = next(r["_cnt"] for r in per_bucket if r["_bkt"] is None)
@@ -71,20 +86,27 @@ def global_cumulative(
             "other row's offset; filter or coalesce nulls upstream"
         )
     offsets, run = [], {"_cnt": 0, **{f"_s_{o}": 0.0 for o in sums}, **{f"_n_{o}": 0 for o in sums}}
-    for r in per_bucket:
+    for i, r in enumerate(per_bucket):
         offsets.append(
             (
                 r["_bkt"],
                 run["_cnt"],
                 *[v for o in sums for v in (run[f"_s_{o}"], run[f"_n_{o}"])],
+                *(
+                    [per_bucket[i + 1]["_min"] if i + 1 < len(per_bucket) else None]
+                    if lead_col
+                    else []
+                ),
             )
         )
         run["_cnt"] += r["_cnt"]
         for o in sums:
             run[f"_s_{o}"] += r[f"_s_{o}"] or 0.0
             run[f"_n_{o}"] += r[f"_n_{o}"]
-    schema = "_bkt long, _off_cnt long" + "".join(
-        f", _off_{o} double, _offn_{o} long" for o in sums
+    schema = (
+        "_bkt long, _off_cnt long"
+        + "".join(f", _off_{o} double, _offn_{o} long" for o in sums)
+        + (", _next_bucket_min double" if lead_col else "")
     )
     off_df = d.sparkSession.createDataFrame(offsets, schema)
     joined = d.join(F.broadcast(off_df), "_bkt")
@@ -93,6 +115,13 @@ def global_cumulative(
         w_rows = Window.partitionBy("_bkt").orderBy(*order_cols)
         out_cols.append(
             (F.row_number().over(w_rows) + F.col("_off_cnt")).alias(row_number_col)
+        )
+    if lead_col:
+        w_lead = Window.partitionBy("_bkt").orderBy(*order_cols)
+        out_cols.append(
+            F.coalesce(
+                F.lead(order_cols[0]).over(w_lead), F.col("_next_bucket_min")
+            ).alias(lead_col)
         )
     if sums:
         w_range = (

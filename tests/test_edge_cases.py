@@ -226,6 +226,50 @@ def test_global_lead_matches_pandas_across_bucket_gaps(spark):
         global_lead(null_df, bucket=F.floor(F.col("v") / 7), order_col="v", out_col="nv")
 
 
+def test_global_cumulative_fused_lead_matches_global_lead(spark):
+    """The lead_col fused into global_cumulative (one collect + one join for
+    cumulative AND lead — the r8 q_wasserstein job-count cut) must produce
+    exactly global_lead's column next to exactly the unfused cumulative
+    sums, across bucket gaps and at the final global row."""
+    import numpy as np
+
+    from al_drift_detection_spark.operators.windows import (
+        global_cumulative,
+        global_lead,
+    )
+
+    rng = np.random.default_rng(11)
+    v = np.unique(np.round(rng.exponential(40.0, 500), 2))
+    rows = [(float(x), float(i % 3)) for i, x in enumerate(v)]
+    df = spark.createDataFrame(rows, "v double, r double")
+    bucket = F.floor(F.col("v") / 7)
+
+    fused = (
+        global_cumulative(
+            df, bucket=bucket, order_cols=["v"], sums={"cr": "r"}, lead_col="nv"
+        )
+        .toPandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    cum = global_cumulative(df, bucket=bucket, order_cols=["v"], sums={"cr": "r"})
+    unfused = (
+        global_lead(cum, bucket=bucket, order_col="v", out_col="nv")
+        .toPandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    assert fused["cr"].tolist() == unfused["cr"].tolist()
+    got, want = fused["nv"].to_numpy(), unfused["nv"].to_numpy()
+    assert np.isnan(got[-1]) and np.isnan(want[-1])
+    assert np.array_equal(got[:-1], want[:-1])
+
+    with pytest.raises(ValueError, match="exactly one order column"):
+        global_cumulative(
+            df, bucket=bucket, order_cols=["v", "r"], lead_col="nv"
+        )
+
+
 def test_q_salted_agg_equals_plain_groupby(spark):
     """The salted two-level rewrite is semantics-preserving: identical to the
     plain groupBy on the same fixture (registry q_salted_agg)."""

@@ -102,24 +102,39 @@ def mg_summary(partials: DataFrame, k: int = 16) -> DataFrame:
     non-positives (Agarwal et al.'s merge; deficit stays ≤ n/(k+1)). Input
     is already O(chunks × k) rows, so the rank window is bounded by
     construction. Output: (window, item, est, n_total) — est ≤ true count."""
+    # ONE window pass over the summed partials (r8): the `(n)` total row
+    # rides the SAME per-window partition as the item rows — ordered LAST
+    # (flag-first sort key), so items still occupy ranks 1..m — and
+    # n_total folds out as a per-window max instead of a filter branch +
+    # join-back. The old shape paid a second consumer of the groupBy (its
+    # exchange only sometimes stage-reused) plus a join exchange; this is
+    # one exchange, one Window, zero joins — same est/n_total by identity.
     summed = partials.groupBy("window", "item").agg(F.sum("cnt").alias("cnt"))
+    flag = (F.col("item") == _N_ITEM).cast("int")
     w = Window.partitionBy("window")
-    n_tot = summed.filter(F.col("item") == _N_ITEM).select(
-        "window", F.col("cnt").alias("n_total")
-    )
-    items = summed.filter(F.col("item") != _N_ITEM)
-    ranked = items.withColumn(
-        "rank", F.row_number().over(w.orderBy(F.desc("cnt"), F.asc("item")))
-    )
-    t = ranked.withColumn(
-        "t", F.max(F.when(F.col("rank") == k + 1, F.col("cnt")).otherwise(0)).over(w)
-    )
-    return (
-        t.filter((F.col("rank") <= k) & (F.col("cnt") - F.col("t") > 0))
-        .join(n_tot, "window")
-        .select(
-            "window", "item", (F.col("cnt") - F.col("t")).alias("est"), "n_total"
+    wo = w.orderBy(F.asc("_is_n"), F.desc("cnt"), F.asc("item"))
+    ranked = (
+        summed.withColumn("_is_n", flag)
+        .withColumn("rank", F.row_number().over(wo))
+        .withColumn(
+            "n_total",
+            F.max(F.when(F.col("_is_n") == 1, F.col("cnt"))).over(w),
         )
+        .withColumn(
+            "t",
+            F.max(
+                F.when(
+                    (F.col("rank") == k + 1) & (F.col("_is_n") == 0), F.col("cnt")
+                ).otherwise(0)
+            ).over(w),
+        )
+    )
+    return ranked.filter(
+        (F.col("_is_n") == 0)
+        & (F.col("rank") <= k)
+        & (F.col("cnt") - F.col("t") > 0)
+    ).select(
+        "window", "item", (F.col("cnt") - F.col("t")).alias("est"), "n_total"
     )
 
 

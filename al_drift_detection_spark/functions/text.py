@@ -181,30 +181,47 @@ def shingle_rows(
 ) -> DataFrame:
     """Word n-gram shingles as exploded rows (id, g), DISTINCT by default.
 
-    posexplode(tokens) once, then n−1 lead() windows per doc assemble each
-    n-gram. An array-lambda formulation (transform over sequence with
-    element_at) is a trap: Catalyst's project-collapse inlines the split()
-    into every element_at, re-tokenizing the document n× per shingle. The
-    window shuffle here moves only small (id, pos, token) rows, partitioned
-    by doc id — well distributed at any scale.
+    Assembled PER ROW from shifted slices of the token array —
+    arrays_zip(slice(toks, 1, m), slice(toks, 2, m), ...) then one
+    transform lambda concatenating the NAMED zip fields — so shingling is
+    a pure projection: no shuffle, no sort (r8; the previous form
+    posexploded every token and re-assembled n-grams with lead() windows,
+    an Exchange + per-doc sort of EVERY token row — measured 1.6 s of
+    q_minhash_lsh_pairs' 2.5 at the 10x scale, and strictly unnecessary:
+    a document's tokens live in one row). Two array-lambda traps
+    deliberately avoided (CLAUDE.md): the lambda reads only the zipped
+    element — the tokenization is inlined once per SLICE (n× per row),
+    never per element as an element_at(split(...)) lambda would be; and
+    the zip inputs are ALIASED so fields bind by name, not positional
+    "0"/"1".
 
     distinct=False skips the dedup shuffle for consumers that are invariant
     under shingle multiplicity (MinHash / min-fingerprint: min of hashes over
     a multiset equals min over its set) — one full exchange of the shingle
     rows saved. Jaccard set semantics (sizes/intersections) NEED distinct.
-    """
-    from pyspark.sql.window import Window
 
-    tok = df.select(
-        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "t")
+    The (id, text) projection is repartitioned BY ID first: one exchange
+    of document rows — strictly fewer bytes than the token rows the old
+    window shuffled — that (a) decouples pipeline width from the input's
+    file-split count (a compact doc corpus is a handful of 128 MB splits;
+    without it the whole shingle + downstream partial-agg pipeline ran in
+     1-2 scan tasks once the window exchange was gone — measured 2.4 →
+    6.0 s on q_minhash_lsh_pairs before this line) and (b) leaves the
+    output hash(id)-clustered, so per-doc aggregates downstream (the
+    MinHash signature agg) need no further exchange.
+    """
+    toks = tokens("_txt")
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(
+        *[F.slice(toks, k + 1, m).alias(f"p{k}") for k in range(n)]
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("t")] + [F.lead("t", k).over(w) for k in range(1, n)]
-    g = F.concat_ws(" ", *parts)
+    g_arr = F.transform(
+        z, lambda x: F.concat_ws(" ", *[x[f"p{k}"] for k in range(n)])
+    )
     rows = (
-        tok.select("id", g.alias("g"), F.lead("t", n - 1).over(w).alias("_tail"))
-        .filter(F.col("_tail").isNotNull())
-        .select("id", "g")
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .repartition(F.col("id"))
+        .select("id", F.explode(g_arr).alias("g"))
     )
     return rows.distinct() if distinct else rows
 
@@ -374,7 +391,27 @@ def tfidf_top_terms(
     # explode + tf aggregation (the dominant stage) executes twice (verified:
     # 2 Generate-explode nodes, 0 ReusedExchange). Caller releases via
     # functions._persist.release after materializing.
-    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    #
+    # Keyed by id BEFORE the aggregate (r8): hash(id) satisfies the
+    # (id, term) clustering the aggregate requires, so the agg's own
+    # (id, term) exchange disappears (plan: HashAggregate pair directly
+    # over the id repartition) AND — the measured point — the cached tf
+    # keeps parallel id-clustered partitions, so the pre-window Sort +
+    # WindowGroupLimit prune to <= k rows per doc IN PARALLEL before the
+    # window's exchange. Phase-measured 10x-scale motivation: AQE
+    # coalesced the old post-agg exchange to 1-2 partitions (~25 MB), so
+    # join + sort + window ran single-task — 3.5 s of the query's 4.2;
+    # repartition-by-col is AQE parallelism-first coalesced, keeping
+    # width data-adaptive rather than advisory-size collapsed. Shuffle
+    # bytes are ~unchanged (real corpora have tf ≈ 1 for most (doc, term)
+    # pairs, so the pre-shuffle partial agg the old shape got was not
+    # reducing anything).
+    tf = (
+        tok.repartition(F.col("id"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # N enters as a LAZY one-row agg crossJoin-broadcast (the oracle's own
     # `CROSS JOIN n` shape) — an eager df.count() here would run a full

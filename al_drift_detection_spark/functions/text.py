@@ -306,10 +306,16 @@ def winnow_fingerprints(
     reordering, prefix insertion, and partial overlap, and the fingerprint
     density is ~2/(w+1) of shingles regardless of document length.
 
-    Relational shape (no UDF): shingle rows with positions (the shingle_rows
-    lead() pattern), ONE ordered window pass per document computing each
-    window-start's min over a [0, w−1] row frame — the per-doc ordering
-    shuffle is the only exchange, partitioned by doc id. The hash is md5 of
+    Relational shape (no UDF): the k-gram hash ARRAY assembles per row
+    (shifted slices of the token array — the r8 shingle_rows pattern; the
+    document's tokens live in one row, so no shuffle is needed to line
+    them up), posexplodes to (id, pos, h) behind an id repartition of the
+    doc rows, then ONE ordered window pass per document computes each
+    window-start's min over a [0, w−1] row frame. The doc-row repartition
+    is the only exchange — the window's required hash(id) clustering is
+    already established, so it plans as a local sort (pre-r8: the k-gram
+    assembly itself was a lead() window whose exchange moved every TOKEN
+    row). The hash is md5 of
     the shingle text compared as its hex string: a deterministic total order
     an ANSI oracle reproduces bit-for-bit (xxhash64 has no DuckDB twin).
     Window starts are FULL windows only (pos ≤ S − w); a document with
@@ -325,20 +331,18 @@ def winnow_fingerprints(
         raise ValueError(f"need k >= 1 and w >= 1, got k={k}, w={w}")
     from pyspark.sql.window import Window
 
-    tok = df.select(
-        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "t")
+    toks = tokens("_txt")
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    z = F.arrays_zip(
+        *[F.slice(toks, i + 1, m).alias(f"p{i}") for i in range(k)]
     )
-    ww = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("t")] + [F.lead("t", i).over(ww) for i in range(1, k)]
+    h_arr = F.transform(
+        z, lambda x: F.md5(F.concat_ws(" ", *[x[f"p{i}"] for i in range(k)]))
+    )
     sh = (
-        tok.select(
-            "id", "pos",
-            F.when(
-                F.lead("t", k - 1).over(ww).isNotNull() | F.lit(k == 1),
-                F.md5(F.concat_ws(" ", *parts)),
-            ).alias("h"),
-        )
-        .filter(F.col("h").isNotNull())
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .repartition(F.col("id"))
+        .select("id", F.posexplode(h_arr).alias("pos", "h"))
     )
     frame = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
     sized = sh.withColumn("s", F.count(F.lit(1)).over(Window.partitionBy("id")))

@@ -488,10 +488,19 @@ def run_closed_streams_combined(
         window=f"{window_seconds} seconds", watermark=watermark,
         slide=f"{slide_seconds} seconds" if slide_seconds else None,
     )
-    # ONE query → it keeps the whole shuffle-partition budget (the
-    # _stream_state_partitions formula with n_concurrent=1); the context
-    # still honors the SPARK_GRAFT_STREAM_STATE_PARTITIONS override
-    with _state_partition_conf(spark, 1):
+    # ONE query, HALF the shuffle-partition budget (n_concurrent=2 in the
+    # _stream_state_partitions formula; SPARK_GRAFT_STREAM_STATE_PARTITIONS
+    # still overrides): the dispatcher's per-trigger input is KB-sized
+    # partials, so per-partition fixed costs (task launch + fresh Python
+    # worker + state-store commit, every trigger) dominate — but unlike a
+    # share-nothing query it folds EVERY family's state, so it needs more
+    # width than budget//N. Measured A/B (identical verdict rows),
+    # stream-only wall: 10M rows/5000 windows — 32 parts 212.6 s,
+    # 16 → 151.3 s, 8 → 176.9 s; 1M rows/500 windows — 32 → 31.5 s,
+    # 16 → 18-21 s, 8 → 20-23 s, 4 → 31-35 s. budget//2 is the optimum at
+    # both scales and stays scale-adaptive (follows
+    # spark.sql.shuffle.partitions on a cluster).
+    with _state_partition_conf(spark, 2):
         q = (
             generic.writeStream.outputMode("append")
             .format("parquet")

@@ -46,27 +46,32 @@ def kmv_sketches(
     row_number().over(partitionBy(window)) would sort a window's ENTIRE
     distinct-key set in one task (few windows x billions of keys is
     exactly this operator's deployment case; the CLAUDE.md
-    single-hot-task rule). Stage 1 ranks within (window, salt) — SALT
-    buckets derived from the hash itself, so parallelism is window x
-    {salt} — and keeps k per bucket; the k smallest of the window are
-    necessarily among them (every survivor of the true top-k beats >= the
-    discarded rows of its own bucket). Stage 2 re-ranks the <= salt x k
-    survivors per window — bounded input regardless of data size. Output
-    bounded by windows x k."""
+    single-hot-task rule). Stage 1 DENSE-ranks the raw hash rows within
+    (window, salt) — SALT buckets derived from the hash itself, so
+    parallelism is window x {salt} — and keeps dense_rank <= k per
+    bucket: every copy of a bucket's k smallest DISTINCT hashes survives,
+    and the window's true k smallest are necessarily among them (each is
+    within the k smallest distinct of its own bucket). Ranking BEFORE
+    deduplicating (r8) removes the old up-front `.distinct()`'s full-table
+    exchange — one shuffle of every (window, hash) row — because
+    dense_rank counts distinct values by itself; the explicit distinct
+    then runs on the <= windows x salt x k survivors (x key multiplicity)
+    only. Stage 2 re-ranks the bounded survivor set per window. Output
+    bounded by windows x k, values identical (same distinct-hash set
+    survives stage 1 by the argument above)."""
     if k < 16:
         raise ValueError(f"k must be >= 16, got {k}")
     n_salt = 32
-    d = (
-        df.filter(F.col(key_col).isNotNull())
-        .select(window_col, F.xxhash64(key_col).alias("h"))
-        .distinct()
+    d = df.filter(F.col(key_col).isNotNull()).select(
+        window_col, F.xxhash64(key_col).alias("h")
     )
     s1 = Window.partitionBy(window_col, "_salt").orderBy("h")
     pre = (
         d.withColumn("_salt", F.pmod(F.col("h"), F.lit(n_salt)))
-        .withColumn("_rn", F.row_number().over(s1))
+        .withColumn("_rn", F.dense_rank().over(s1))
         .filter(F.col("_rn") <= k)
         .drop("_rn", "_salt")
+        .distinct()
     )
     s2 = Window.partitionBy(window_col).orderBy("h")
     return (

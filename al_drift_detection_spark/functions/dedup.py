@@ -920,8 +920,17 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     # — the classic ±1 vote is 2·ones − n, so vote > 0 ⇔ 2·ones > n; the
     # per-row CASE WHEN in each of the 64 aggregate updates becomes pure
     # bit arithmetic. Bit-identical fingerprints by the identity above.
+    # (id, text) repartitioned by id BEFORE the explode (r8, the
+    # shingle_rows pattern): decouples the 65-buffer vote aggregate's
+    # width from the input's file-split count (a compact doc corpus is
+    # 1-2 scan splits — the whole explode + partial agg ran single-task)
+    # and hash(id) satisfies the groupBy(id) clustering, so the
+    # aggregate's own exchange of 65-column partial rows disappears; the
+    # doc-row exchange is strictly fewer bytes.
     h = (
-        df.select(id_col, F.explode(tokens(text_col)).alias("_t"))
+        df.select(id_col, F.col(text_col).alias("_txt"))
+        .repartition(F.col(id_col))
+        .select(id_col, F.explode(tokens("_txt")).alias("_t"))
         .select(id_col, F.xxhash64("_t").alias("_h"))
     )
     votes = [
